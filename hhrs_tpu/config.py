@@ -1,0 +1,180 @@
+"""Single dataclass config tree with CLI overrides.
+
+The reference has no flag system at all — configuration is .env vars,
+in-code constants, and learned hyperparams shipped in ``best_params.gz``
+(reference main.py:239-240, train.py:290-295). Here everything lives in
+one typed config tree; ``from_cli`` applies ``section.field=value``
+overrides, and ``ModelConfig`` doubles as the hyperparameter contract
+carried inside artifact manifests.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any
+
+
+@dataclass
+class ModelConfig:
+    """DCN-R hyperparameters (reference train.py:179-193 search space)."""
+
+    emb_dim: int = 16
+    hidden_dim: int = 128
+    n_cross_layers: int = 2
+    n_res_blocks: int = 1
+    dropout: float = 0.6
+    # 'code' reproduces the reference's implemented cross math
+    # x_{l+1} = x_l + x_l*(w·x_l) + b  (reference train.py:96-99);
+    # 'canonical' is the x0-anchored DCN variant its docs describe.
+    cross_variant: str = "code"
+    # BatchNorm matches torch BatchNorm1d semantics (momentum 0.1, eps 1e-5).
+    bn_momentum: float = 0.1
+    bn_eps: float = 1e-5
+    # Compute dtype for matmuls; params stay float32. bfloat16 feeds the MXU
+    # at full rate on TPU; float32 is the parity-testing default.
+    compute_dtype: str = "float32"
+
+    def cat_emb_dim(self, n_cat: int) -> int:
+        # Heuristic preserved from the reference (train.py:139): floor(sqrt(n))+1.
+        return int(n_cat**0.5) + 1
+
+
+@dataclass
+class TrainConfig:
+    """Training-loop hyperparameters (reference train.py:195-253)."""
+
+    lr: float = 1e-3
+    batch_size: int = 512
+    weight_decay: float = 1e-4
+    optimizer: str = "adamw"  # 'adamw' (decoupled) or 'adam' (L2-coupled, torch-style)
+    n_epochs: int = 50
+    early_stop_patience: int = 5
+    lr_plateau_patience: int = 2
+    lr_plateau_factor: float = 0.5
+    seed: int = 42
+    # Drop the ragged last batch so every step has a static shape for XLA.
+    drop_remainder: bool = True
+    eval_batch_size: int = 8192
+
+
+@dataclass
+class MeshConfig:
+    """Device mesh layout for pjit/shard_map."""
+
+    data_axis: int = -1  # -1 → all devices on the data axis
+    model_axis: int = 1
+    axis_names: tuple = ("data", "model")
+
+
+@dataclass
+class DataConfig:
+    """Column contract of the hackathon CSV (reference train.py:274-295)."""
+
+    user_col: str = "user_id"
+    item_col: str = "item_id"
+    target_col: str = "was_booked"
+    raw_user_col: str = "guest_id"
+    raw_item_col: str = "hotel_id"
+    categorical_cols: tuple = ("city", "hotel_type")
+    numerical_cols: tuple = (
+        "price_rub",
+        "stars",
+        "user_reviews_count",
+        "rating_overall",
+        "rating_location",
+        "rating_cleanliness",
+        "rating_food",
+        "rating_service",
+        "price_per_star",
+        "cleanliness_vs_service",
+        "location_premium",
+    )
+    # Noise filter thresholds (reference train.py:280).
+    positive_rating: float = 8.0
+    negative_rating: float = 4.0
+    test_size: float = 0.2
+    split_seed: int = 42
+    # Reproduce the reference's scaler-fit-before-split leakage quirk
+    # (train.py:53-54 vs :67) for apples-to-apples metric parity.
+    leakage_compat: bool = True
+
+
+@dataclass
+class RetrievalConfig:
+    """Candidate-generation knobs (reference main.py:181-212, 268-270)."""
+
+    knn_neighbors: int = 16  # index width (main.py:268)
+    expand_neighbors: int = 10  # per-positive expansion, excl. self (main.py:200)
+    min_candidates: int = 20  # popularity-fallback trigger (main.py:204)
+    popular_pool: int = 100  # top-N city rows by review count (main.py:206)
+    mmr_top_k: int = 20  # MMR output size (main.py:133)
+
+
+@dataclass
+class ServeConfig:
+    host: str = "0.0.0.0"
+    port: int = 8000
+    # Candidate batches are padded to this static size so the scoring
+    # computation compiles once (XLA static shapes).
+    max_candidates: int = 1024
+    artifacts_dir: str = "artifacts"
+    data_dir: str = "data"
+
+
+@dataclass
+class Config:
+    model: ModelConfig = field(default_factory=ModelConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    retrieval: RetrievalConfig = field(default_factory=RetrievalConfig)
+    serve: ServeConfig = field(default_factory=ServeConfig)
+
+    def to_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+    def to_json(self) -> str:
+        return json.dumps(self.to_dict(), indent=2, default=str)
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "Config":
+        cfg = cls()
+        for section_name, section_vals in d.items():
+            section = getattr(cfg, section_name)
+            for k, v in section_vals.items():
+                if hasattr(section, k):
+                    cur = getattr(section, k)
+                    if isinstance(cur, tuple) and isinstance(v, list):
+                        v = tuple(v)
+                    setattr(section, k, v)
+        return cfg
+
+    def apply_overrides(self, overrides: list[str]) -> "Config":
+        """Apply `section.field=value` CLI overrides in place."""
+        for ov in overrides:
+            key, _, raw = ov.partition("=")
+            if not _:
+                raise ValueError(f"override must be section.field=value, got {ov!r}")
+            section_name, _, field_name = key.partition(".")
+            section = getattr(self, section_name)
+            cur = getattr(section, field_name)
+            setattr(section, field_name, _coerce(raw, cur))
+        return self
+
+
+def _coerce(raw: str, like: Any) -> Any:
+    if isinstance(like, bool):
+        return raw.lower() in ("1", "true", "yes", "on")
+    if isinstance(like, int):
+        return int(raw)
+    if isinstance(like, float):
+        return float(raw)
+    if isinstance(like, tuple):
+        return tuple(x.strip() for x in raw.split(","))
+    return raw
+
+
+def from_cli(argv: list[str]) -> Config:
+    return Config().apply_overrides([a for a in argv if "=" in a])

