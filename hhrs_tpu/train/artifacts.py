@@ -1,0 +1,107 @@
+"""Artifact export/load — the train→serve contract.
+
+The reference ships five files (reference train.py:389-397):
+final_dcn_model.pth, artifacts.gz, item_embeddings.npy, best_params.gz,
+model_dims.gz. Here the contract is a single directory with an explicit
+manifest:
+
+  manifest.json        version, model config (the 'best params'), model dims,
+                       final metrics, file inventory
+  params.msgpack       model params + batch-norm state (flax msgpack codec)
+  preproc.json         vocab maps, encoders, scaler stats, medians
+  item_embeddings.npy  the trained item table (drives similarity retrieval,
+                       reference main.py:259,268-270)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from dataclasses import dataclass
+
+import jax
+import numpy as np
+from flax import serialization
+
+from hhrs_tpu.config import ModelConfig
+from hhrs_tpu.data.preprocess import PreprocessArtifacts
+from hhrs_tpu.models.dcn import ModelDims
+
+MANIFEST = "manifest.json"
+PARAMS = "params.msgpack"
+PREPROC = "preproc.json"
+ITEM_EMB = "item_embeddings.npy"
+
+FORMAT_VERSION = 1
+
+
+@dataclass
+class ArtifactBundle:
+    params: dict
+    bn_state: dict
+    model_cfg: ModelConfig
+    dims: ModelDims
+    preproc: PreprocessArtifacts
+    item_embeddings: np.ndarray
+    metrics: dict
+
+
+def export_artifacts(
+    out_dir: str,
+    params: dict,
+    bn_state: dict,
+    model_cfg: ModelConfig,
+    dims: ModelDims,
+    preproc: PreprocessArtifacts,
+    metrics: dict | None = None,
+) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    host = jax.device_get({"params": params, "bn_state": bn_state})
+    with open(os.path.join(out_dir, PARAMS), "wb") as f:
+        f.write(serialization.to_bytes(host))
+    preproc.save(os.path.join(out_dir, PREPROC))
+    np.save(
+        os.path.join(out_dir, ITEM_EMB),
+        np.asarray(host["params"]["item_embedding"], dtype=np.float32),
+    )
+    manifest = {
+        "format_version": FORMAT_VERSION,
+        "model_config": dataclasses.asdict(model_cfg),
+        "model_dims": dims.to_dict(),
+        "metrics": metrics or {},
+        "files": [PARAMS, PREPROC, ITEM_EMB],
+    }
+    with open(os.path.join(out_dir, MANIFEST), "w") as f:
+        json.dump(manifest, f, indent=2)
+
+
+def load_artifact_bundle(out_dir: str) -> ArtifactBundle:
+    with open(os.path.join(out_dir, MANIFEST)) as f:
+        manifest = json.load(f)
+    if manifest["format_version"] != FORMAT_VERSION:
+        raise ValueError(f"artifact format {manifest['format_version']} != {FORMAT_VERSION}")
+
+    mc = manifest["model_config"]
+    model_cfg = ModelConfig(**{k: v for k, v in mc.items() if k in ModelConfig.__dataclass_fields__})
+    dims = ModelDims.from_dict(manifest["model_dims"])
+    preproc = PreprocessArtifacts.load(os.path.join(out_dir, PREPROC))
+
+    # Rebuild the pytree skeleton, then overlay saved leaves.
+    from hhrs_tpu.models.dcn import init_dcn
+
+    skeleton_params, skeleton_bn = init_dcn(jax.random.PRNGKey(0), dims, model_cfg)
+    skeleton = jax.device_get({"params": skeleton_params, "bn_state": skeleton_bn})
+    with open(os.path.join(out_dir, PARAMS), "rb") as f:
+        restored = serialization.from_bytes(skeleton, f.read())
+
+    item_embeddings = np.load(os.path.join(out_dir, ITEM_EMB))
+    return ArtifactBundle(
+        params=jax.device_put(restored["params"]),
+        bn_state=jax.device_put(restored["bn_state"]),
+        model_cfg=model_cfg,
+        dims=dims,
+        preproc=preproc,
+        item_embeddings=item_embeddings,
+        metrics=manifest.get("metrics", {}),
+    )

@@ -1,0 +1,109 @@
+"""Training entry point: ``python -m hhrs_tpu.train.cli``.
+
+Equivalent of ``python train.py`` in the reference (train.py:270-397) minus
+the 300-trial HPO sweep (that lives in hhrs_tpu.hpo.cli): load CSVs (or
+generate synthetic data), preprocess, train DCN-R, report final
+LogLoss/AUC/RMSE, export serve artifacts.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import sys
+
+from hhrs_tpu.config import Config
+from hhrs_tpu.utils.logging import MetricsLogger, setup_logging
+
+log = logging.getLogger("hhrs_tpu.train")
+
+
+def build_dataset(args, cfg: Config):
+    from hhrs_tpu.data.features import add_engineered_features
+    from hhrs_tpu.data.ingest import load_reviews_csv, noise_filter
+    from hhrs_tpu.data.preprocess import Preprocessor
+
+    if args.synthetic:
+        from hhrs_tpu.data.synthetic import write_synthetic_dataset
+
+        os.makedirs(args.data, exist_ok=True)
+        csv_path = os.path.join(args.data, "hackathon_augmented_data.csv")
+        if not os.path.exists(csv_path) or args.regen:
+            log.info("generating synthetic dataset in %s", args.data)
+            write_synthetic_dataset(
+                args.data,
+                n_users=args.synth_users,
+                n_items=args.synth_items,
+                n_reviews=args.synth_reviews,
+                seed=cfg.train.seed,
+            )
+    csv_path = os.path.join(args.data, "hackathon_augmented_data.csv")
+    df = load_reviews_csv(csv_path)
+    df = noise_filter(df, cfg.data.positive_rating, cfg.data.negative_rating)
+    df = add_engineered_features(df)
+    pre = Preprocessor(
+        categorical_cols=cfg.data.categorical_cols,
+        numerical_cols=cfg.data.numerical_cols,
+        test_size=cfg.data.test_size,
+        split_seed=cfg.data.split_seed,
+        leakage_compat=cfg.data.leakage_compat,
+    )
+    return pre.fit_transform(df)
+
+
+def main(argv=None) -> int:
+    setup_logging()
+    p = argparse.ArgumentParser(description="Train the TPU-native DCN-R ranker")
+    p.add_argument("--data", default="data", help="data dir with the two CSVs")
+    p.add_argument("--out", default="artifacts", help="artifact output dir")
+    p.add_argument("--synthetic", action="store_true", help="generate synthetic data if missing")
+    p.add_argument("--regen", action="store_true", help="force-regenerate synthetic data")
+    p.add_argument("--synth-users", type=int, default=2000)
+    p.add_argument("--synth-items", type=int, default=600)
+    p.add_argument("--synth-reviews", type=int, default=40000)
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--metrics-log", default=None, help="JSONL per-epoch metrics sink")
+    p.add_argument("overrides", nargs="*", help="section.field=value config overrides")
+    args = p.parse_args(argv)
+
+    cfg = Config().apply_overrides([a for a in args.overrides if "=" in a])
+    if args.epochs is not None:
+        cfg.train.n_epochs = args.epochs
+
+    try:
+        splits, preproc = build_dataset(args, cfg)
+    except FileNotFoundError as e:
+        log.error("Data file not found: %s (pass --synthetic to generate)", e)
+        return 1
+
+    from hhrs_tpu.models.dcn import ModelDims
+    from hhrs_tpu.train.artifacts import export_artifacts
+    from hhrs_tpu.train.trainer import train_dcn
+
+    dims = ModelDims.from_artifacts(preproc)
+    log.info(
+        "training DCN-R: %d users, %d items, cat_dims=%s, %d train / %d val",
+        dims.n_users,
+        dims.n_items,
+        dict(dims.cat_dims),
+        splits.n_train,
+        splits.n_val,
+    )
+
+    metrics_logger = MetricsLogger(args.metrics_log) if args.metrics_log else None
+    result = train_dcn(splits, dims, cfg.model, cfg.train, metrics_logger=metrics_logger)
+
+    m = result.final_metrics
+    log.info("Final Validation LogLoss: %.4f", m["val_logloss"])
+    log.info("Final Validation AUC:     %.4f", m["val_auc"])
+    log.info("Final Validation RMSE:    %.4f", m["val_rmse"])
+    log.info("Throughput: %.0f examples/s", result.examples_per_s)
+
+    export_artifacts(args.out, result.params, result.bn_state, cfg.model, dims, preproc, m)
+    log.info("artifacts exported to %s", args.out)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

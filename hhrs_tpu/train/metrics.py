@@ -1,0 +1,85 @@
+"""Evaluation metrics: BCE-with-logits, ROC AUC, RMSE.
+
+The reference evaluates LogLoss (BCEWithLogitsLoss), roc_auc_score on raw
+logits, and RMSE of sigmoid probabilities (reference train.py:376-383).
+AUC here is the exact Mann-Whitney statistic with average ranks for ties —
+identical to sklearn's roc_auc_score for binary labels — implemented both
+host-side (numpy) and on-device (jnp, sort-based, fixed shapes) so the
+eval loop never leaves the chip.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def bce_with_logits(logits: jnp.ndarray, labels: jnp.ndarray, weights=None) -> jnp.ndarray:
+    """Mean binary cross-entropy on logits; numerically stable form."""
+    per_ex = jnp.maximum(logits, 0) - logits * labels + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+    if weights is None:
+        return jnp.mean(per_ex)
+    return jnp.sum(per_ex * weights) / jnp.maximum(jnp.sum(weights), 1.0)
+
+
+def auc_score(labels: np.ndarray, scores: np.ndarray) -> float:
+    """Mann-Whitney AUC with tie-averaged ranks (== sklearn roc_auc_score)."""
+    labels = np.asarray(labels)
+    scores = np.asarray(scores, dtype=np.float64)
+    n_pos = int(labels.sum())
+    n_neg = len(labels) - n_pos
+    if n_pos == 0 or n_neg == 0:
+        return float("nan")
+    order = np.argsort(scores, kind="mergesort")
+    ranks = np.empty(len(scores), dtype=np.float64)
+    sorted_scores = scores[order]
+    # average ranks for ties
+    i = 0
+    r = 1.0
+    while i < len(sorted_scores):
+        j = i
+        while j + 1 < len(sorted_scores) and sorted_scores[j + 1] == sorted_scores[i]:
+            j += 1
+        avg = (r + r + (j - i)) / 2.0
+        ranks[order[i : j + 1]] = avg
+        r += j - i + 1
+        i = j + 1
+    sum_pos_ranks = ranks[labels > 0.5].sum()
+    return float((sum_pos_ranks - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg))
+
+
+def auc_score_jnp(labels: jnp.ndarray, scores: jnp.ndarray, mask=None) -> jnp.ndarray:
+    """On-device AUC (tie-averaged). Supports a validity mask for padded evals."""
+    if mask is None:
+        mask = jnp.ones_like(scores, dtype=jnp.float32)
+    mask = mask.astype(jnp.float32)
+    labels = labels.astype(jnp.float32) * mask
+    n = scores.shape[0]
+    # Push padded entries to the bottom so they get the lowest ranks and
+    # contribute nothing (their label is zeroed and they are excluded below).
+    neg_inf = jnp.asarray(-jnp.inf, scores.dtype)
+    s = jnp.where(mask > 0, scores, neg_inf)
+    order = jnp.argsort(s)
+    ranks_ordinal = jnp.zeros(n).at[order].set(jnp.arange(1, n + 1, dtype=jnp.float32))
+    # tie averaging: group equal scores via segment means over sorted runs
+    s_sorted = s[order]
+    new_group = jnp.concatenate([jnp.ones(1, jnp.int32), (s_sorted[1:] != s_sorted[:-1]).astype(jnp.int32)])
+    group_id = jnp.cumsum(new_group) - 1
+    group_sum = jax.ops.segment_sum(jnp.arange(1, n + 1, dtype=jnp.float32), group_id, num_segments=n)
+    group_cnt = jax.ops.segment_sum(jnp.ones(n, jnp.float32), group_id, num_segments=n)
+    avg_rank_sorted = group_sum[group_id] / jnp.maximum(group_cnt[group_id], 1.0)
+    ranks = jnp.zeros(n).at[order].set(avg_rank_sorted)
+
+    n_pos = jnp.sum(labels)
+    n_valid = jnp.sum(mask)
+    n_neg = n_valid - n_pos
+    # padded entries occupy the lowest ranks 1..n_pad; shift valid ranks down
+    n_pad = n - n_valid
+    sum_pos = jnp.sum(ranks * labels) - n_pad * n_pos
+    return (sum_pos - n_pos * (n_pos + 1) / 2.0) / jnp.maximum(n_pos * n_neg, 1.0)
+
+
+def rmse_of_probs(labels: np.ndarray, logits: np.ndarray) -> float:
+    probs = 1.0 / (1.0 + np.exp(-np.asarray(logits, dtype=np.float64)))
+    return float(np.sqrt(np.mean((np.asarray(labels) - probs) ** 2)))

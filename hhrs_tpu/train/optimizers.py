@@ -1,0 +1,69 @@
+"""Optimizers + plateau LR control with torch-parity semantics.
+
+* ``adamw`` — decoupled weight decay on ALL params (the reference relies on
+  torch AdamW's default, which decays embeddings and BN affine too).
+* ``adam`` — torch-style L2-coupled decay: wd·p is added to the gradient
+  *before* the moment updates (optax.adamw would decouple it).
+* ``PlateauScheduler`` — host-side replica of ReduceLROnPlateau('min')
+  (reference train.py:208-213): rel-threshold 1e-4, cooldown 0; the LR is a
+  dynamic hyperparameter injected into the jitted step, so changing it never
+  triggers a recompile.
+"""
+
+from __future__ import annotations
+
+import optax
+
+
+def make_optimizer(name: str, lr: float, weight_decay: float) -> optax.GradientTransformation:
+    name = name.lower()
+    if name == "adamw":
+        tx = optax.inject_hyperparams(
+            lambda learning_rate: optax.adamw(learning_rate, weight_decay=weight_decay)
+        )(learning_rate=lr)
+    elif name == "adam":
+        tx = optax.inject_hyperparams(
+            lambda learning_rate: optax.chain(
+                optax.add_decayed_weights(weight_decay),
+                optax.scale_by_adam(),
+                optax.scale_by_learning_rate(learning_rate),
+            )
+        )(learning_rate=lr)
+    else:
+        raise ValueError(f"unknown optimizer {name!r}")
+    return tx
+
+
+def set_learning_rate(opt_state, lr: float):
+    """Mutate the injected LR in an optax InjectHyperparamsState."""
+    opt_state.hyperparams["learning_rate"] = lr
+    return opt_state
+
+
+def get_learning_rate(opt_state) -> float:
+    return float(opt_state.hyperparams["learning_rate"])
+
+
+class PlateauScheduler:
+    """ReduceLROnPlateau('min') parity: shrink LR by `factor` after
+    `patience` epochs without improvement beyond a relative threshold."""
+
+    def __init__(self, lr: float, patience: int, factor: float, threshold: float = 1e-4):
+        self.lr = lr
+        self.patience = patience
+        self.factor = factor
+        self.threshold = threshold
+        self.best = float("inf")
+        self.num_bad = 0
+
+    def step(self, metric: float) -> float:
+        """Feed an epoch metric; returns the (possibly reduced) LR."""
+        if metric < self.best * (1.0 - self.threshold):
+            self.best = metric
+            self.num_bad = 0
+        else:
+            self.num_bad += 1
+            if self.num_bad > self.patience:
+                self.lr *= self.factor
+                self.num_bad = 0
+        return self.lr

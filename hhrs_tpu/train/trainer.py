@@ -1,0 +1,273 @@
+"""pjit'ed DCN-R trainer.
+
+Reproduces the reference training loop semantics (reference train.py:195-253):
+shuffled minibatches, Adam/AdamW, BCE-with-logits, ReduceLROnPlateau on the
+val loss, ≤50 epochs with early-stop patience 5, best-checkpoint retention,
+and an optional per-epoch pruning hook for HPO.
+
+TPU-first mechanics:
+  * the full (small) dataset lives on device; each step ships only a [B]
+    int32 index vector and gathers the batch on-chip — no per-step host
+    feature copies;
+  * one jitted train step with static shapes (ragged tail dropped); the
+    learning rate is an injected optax hyperparameter so plateau decays
+    never recompile;
+  * evaluation runs as a single jitted ``lax.scan`` over padded val batches;
+  * with a ``jax.sharding.Mesh``, the gathered batch is sharding-constrained
+    over the ``data`` axis — XLA inserts the psum for gradients and the
+    cross-shard reductions inside BatchNorm automatically, so DP-N training
+    is bit-consistent with single-device semantics.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hhrs_tpu.config import ModelConfig, TrainConfig
+from hhrs_tpu.data.preprocess import DatasetSplits
+from hhrs_tpu.models.dcn import ModelDims, apply_dcn, init_dcn
+from hhrs_tpu.train.metrics import auc_score, bce_with_logits, rmse_of_probs
+from hhrs_tpu.train.optimizers import (
+    PlateauScheduler,
+    get_learning_rate,
+    make_optimizer,
+    set_learning_rate,
+)
+
+log = logging.getLogger(__name__)
+
+
+@dataclass
+class TrainResult:
+    params: dict
+    bn_state: dict
+    history: list = field(default_factory=list)  # per-epoch dicts
+    best_val_loss: float = float("inf")
+    best_epoch: int = -1
+    final_metrics: dict = field(default_factory=dict)
+    examples_per_s: float = 0.0
+    pruned: bool = False
+
+
+def _device_put_splits(splits: DatasetSplits, sharding=None):
+    put = partial(jax.device_put, device=sharding) if sharding is not None else jax.device_put
+    train = {
+        "user": put(jnp.asarray(splits.train_user, jnp.int32)),
+        "item": put(jnp.asarray(splits.train_item, jnp.int32)),
+        "cat": put(jnp.asarray(splits.train_cat, jnp.int32)),
+        "num": put(jnp.asarray(splits.train_num, jnp.float32)),
+        "y": put(jnp.asarray(splits.train_y, jnp.float32)),
+    }
+    val = {
+        "user": jnp.asarray(splits.val_user, jnp.int32),
+        "item": jnp.asarray(splits.val_item, jnp.int32),
+        "cat": jnp.asarray(splits.val_cat, jnp.int32),
+        "num": jnp.asarray(splits.val_num, jnp.float32),
+        "y": jnp.asarray(splits.val_y, jnp.float32),
+    }
+    return train, val
+
+
+def make_train_step(cfg: ModelConfig, batch_sharding=None):
+    """Build the jitted train step: (params, bn, opt_state, data, idx, rng, tx) closure."""
+
+    def step(params, bn_state, opt_state, tx_update, data, idx, rng):
+        batch = {
+            "user": data["user"][idx],
+            "item": data["item"][idx],
+            "cat": data["cat"][idx],
+            "num": data["num"][idx],
+            "y": data["y"][idx],
+        }
+        if batch_sharding is not None:
+            batch = jax.tree.map(
+                lambda x: jax.lax.with_sharding_constraint(x, batch_sharding(x.ndim)), batch
+            )
+
+        def loss_fn(p):
+            logits, new_bn = apply_dcn(
+                p,
+                bn_state,
+                batch["user"],
+                batch["item"],
+                batch["cat"],
+                batch["num"],
+                cfg=cfg,
+                train=True,
+                rng=rng,
+            )
+            return bce_with_logits(logits, batch["y"]), new_bn
+
+        (loss, new_bn), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, new_opt = tx_update(grads, opt_state, params)
+        new_params = jax.tree.map(lambda p, u: p + u, params, updates)
+        return new_params, new_bn, new_opt, loss
+
+    return step
+
+
+def make_eval_fn(cfg: ModelConfig, eval_batch: int):
+    """Jitted full-val forward as a scan over padded batches → (logits, mask)."""
+
+    @partial(jax.jit, static_argnames=())
+    def eval_fn(params, bn_state, val):
+        n = val["user"].shape[0]
+        n_pad = (-n) % eval_batch
+        total = n + n_pad
+
+        def pad(x):
+            widths = [(0, n_pad)] + [(0, 0)] * (x.ndim - 1)
+            return jnp.pad(x, widths)
+
+        padded = jax.tree.map(pad, val)
+        n_batches = total // eval_batch
+        reshaped = jax.tree.map(
+            lambda x: x.reshape((n_batches, eval_batch) + x.shape[1:]), padded
+        )
+
+        def body(carry, b):
+            logits, _ = apply_dcn(
+                params, bn_state, b["user"], b["item"], b["cat"], b["num"], cfg=cfg, train=False
+            )
+            return carry, logits
+
+        _, all_logits = jax.lax.scan(body, None, reshaped)
+        logits_flat = all_logits.reshape(total)[:n]
+        return logits_flat
+
+    return eval_fn
+
+
+def train_dcn(
+    splits: DatasetSplits,
+    dims: ModelDims,
+    model_cfg: ModelConfig,
+    train_cfg: TrainConfig,
+    mesh=None,
+    report_fn: Callable[[int, float], bool] | None = None,
+    metrics_logger=None,
+) -> TrainResult:
+    """Full training run; returns the best checkpoint (by val loss) + history.
+
+    ``report_fn(epoch, val_loss) -> should_prune`` is the HPO pruning hook
+    (reference train.py:236-238).
+    """
+    rng = jax.random.PRNGKey(train_cfg.seed)
+    init_rng, rng = jax.random.split(rng)
+    params, bn_state = init_dcn(init_rng, dims, model_cfg)
+
+    tx = make_optimizer(train_cfg.optimizer, train_cfg.lr, train_cfg.weight_decay)
+    opt_state = tx.init(params)
+
+    batch_sharding = None
+    data_sharding = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        def batch_sharding(ndim):
+            return NamedSharding(mesh, P("data", *([None] * (ndim - 1))))
+
+        data_sharding = NamedSharding(mesh, P())  # replicate the resident dataset
+
+    train_data, val_data = _device_put_splits(splits, data_sharding)
+
+    # tx.update is a function — close over it instead of passing it traced.
+    raw_step = make_train_step(model_cfg, batch_sharding)
+    step_fn = jax.jit(lambda p, b, o, d, i, r: raw_step(p, b, o, tx.update, d, i, r))
+
+    eval_fn = make_eval_fn(model_cfg, train_cfg.eval_batch_size)
+
+    B = train_cfg.batch_size
+    n_train = splits.n_train
+    steps_per_epoch = n_train // B if train_cfg.drop_remainder else -(-n_train // B)
+    if steps_per_epoch == 0:
+        raise ValueError(f"batch_size {B} > n_train {n_train}")
+
+    plateau = PlateauScheduler(
+        train_cfg.lr, train_cfg.lr_plateau_patience, train_cfg.lr_plateau_factor
+    )
+
+    result = TrainResult(params=params, bn_state=bn_state)
+    best_snapshot = None
+    epochs_no_improve = 0
+    shuffle_rng = np.random.default_rng(train_cfg.seed)
+
+    t_start = time.perf_counter()
+    examples_seen = 0
+
+    for epoch in range(train_cfg.n_epochs):
+        perm = shuffle_rng.permutation(n_train)
+        epoch_losses = []
+        for s in range(steps_per_epoch):
+            idx = jnp.asarray(perm[s * B : (s + 1) * B], jnp.int32)
+            rng, step_rng = jax.random.split(rng)
+            params, bn_state, opt_state, loss = step_fn(
+                params, bn_state, opt_state, train_data, idx, step_rng
+            )
+            epoch_losses.append(loss)
+        examples_seen += steps_per_epoch * B
+
+        val_logits = np.asarray(eval_fn(params, bn_state, val_data))
+        val_loss = float(
+            np.asarray(bce_with_logits(jnp.asarray(val_logits), jnp.asarray(splits.val_y)))
+        )
+        train_loss = float(np.mean(np.asarray(jnp.stack(epoch_losses))))
+        lr = plateau.step(val_loss)
+        if lr != get_learning_rate(opt_state):
+            opt_state = set_learning_rate(opt_state, lr)
+
+        rec = {
+            "epoch": epoch,
+            "train_loss": train_loss,
+            "val_loss": val_loss,
+            "lr": lr,
+        }
+        result.history.append(rec)
+        if metrics_logger is not None:
+            metrics_logger.log(**rec)
+        log.info("epoch %d: train_loss %.4f val_loss %.4f lr %.2e", epoch, train_loss, val_loss, lr)
+
+        if val_loss < result.best_val_loss:
+            result.best_val_loss = val_loss
+            result.best_epoch = epoch
+            epochs_no_improve = 0
+            best_snapshot = jax.device_get((params, bn_state))
+        else:
+            epochs_no_improve += 1
+
+        if report_fn is not None and report_fn(epoch, val_loss):
+            log.info("trial pruned at epoch %d", epoch)
+            result.pruned = True
+            break
+
+        if epochs_no_improve >= train_cfg.early_stop_patience:
+            log.info("early stopping at epoch %d", epoch + 1)
+            break
+
+    elapsed = time.perf_counter() - t_start
+    result.examples_per_s = examples_seen / max(elapsed, 1e-9)
+
+    if best_snapshot is not None:
+        result.params, result.bn_state = jax.device_put(best_snapshot)
+    else:
+        result.params, result.bn_state = params, bn_state
+
+    # Final eval with the best checkpoint (reference train.py:365-387).
+    val_logits = np.asarray(eval_fn(result.params, result.bn_state, val_data))
+    y_val = splits.val_y
+    result.final_metrics = {
+        "val_logloss": float(
+            np.asarray(bce_with_logits(jnp.asarray(val_logits), jnp.asarray(y_val)))
+        ),
+        "val_auc": auc_score(y_val, val_logits),
+        "val_rmse": rmse_of_probs(y_val, val_logits),
+    }
+    return result

@@ -1,0 +1,146 @@
+"""Trainer tests: metrics oracles, plateau parity, end-to-end learning."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hhrs_tpu.config import ModelConfig, TrainConfig
+from hhrs_tpu.data import add_engineered_features, Preprocessor
+from hhrs_tpu.data.synthetic import generate_synthetic_dataset
+from hhrs_tpu.models.dcn import ModelDims
+from hhrs_tpu.train.metrics import auc_score, auc_score_jnp, bce_with_logits, rmse_of_probs
+from hhrs_tpu.train.optimizers import PlateauScheduler
+from hhrs_tpu.train.trainer import train_dcn
+
+
+def test_auc_matches_sklearn():
+    from sklearn.metrics import roc_auc_score
+
+    rng = np.random.default_rng(0)
+    y = (rng.uniform(size=500) < 0.3).astype(np.float32)
+    s = rng.normal(size=500) + y  # informative scores
+    s[:50] = s[0]  # force ties
+    assert abs(auc_score(y, s) - roc_auc_score(y, s)) < 1e-12
+
+    # device AUC matches too, including with padding mask
+    got = float(auc_score_jnp(jnp.asarray(y), jnp.asarray(s, jnp.float32)))
+    assert abs(got - roc_auc_score(y, s)) < 1e-5
+
+    mask = np.ones(520, np.float32)
+    mask[500:] = 0
+    yp = np.concatenate([y, np.zeros(20, np.float32)])
+    sp = np.concatenate([s, rng.normal(size=20)]).astype(np.float32)
+    got_masked = float(auc_score_jnp(jnp.asarray(yp), jnp.asarray(sp), jnp.asarray(mask)))
+    assert abs(got_masked - roc_auc_score(y, s)) < 1e-5
+
+
+def test_bce_matches_manual():
+    logits = jnp.asarray([-2.0, 0.0, 3.0, 10.0])
+    y = jnp.asarray([0.0, 1.0, 1.0, 0.0])
+    ln, yn = np.asarray(logits, np.float64), np.asarray(y, np.float64)
+    p = 1 / (1 + np.exp(-ln))
+    expected = -np.mean(yn * np.log(p) + (1 - yn) * np.log(1 - p))
+    assert abs(float(bce_with_logits(logits, y)) - expected) < 1e-3
+
+
+def test_rmse_of_probs():
+    y = np.array([0.0, 1.0])
+    logits = np.array([0.0, 0.0])
+    assert abs(rmse_of_probs(y, logits) - 0.5) < 1e-9
+
+
+def test_plateau_scheduler_reduces_after_patience():
+    sch = PlateauScheduler(lr=1.0, patience=2, factor=0.1)
+    assert sch.step(1.0) == 1.0  # new best
+    assert sch.step(1.0) == 1.0  # bad 1
+    assert sch.step(1.0) == 1.0  # bad 2
+    assert sch.step(1.0) == pytest.approx(0.1)  # bad 3 > patience → reduce
+    assert sch.step(0.5) == pytest.approx(0.1)  # improvement, no change
+
+
+@pytest.fixture(scope="module")
+def trained():
+    ds = generate_synthetic_dataset(n_users=400, n_items=150, n_reviews=12000, seed=5)
+    df = add_engineered_features(
+        ds.reviews.rename(columns={"guest_id": "user_id", "hotel_id": "item_id"})
+    )
+    splits, art = Preprocessor().fit_transform(df)
+    dims = ModelDims.from_artifacts(art)
+    mcfg = ModelConfig(emb_dim=8, hidden_dim=64, n_cross_layers=2, n_res_blocks=1, dropout=0.2)
+    tcfg = TrainConfig(lr=3e-3, batch_size=512, n_epochs=8, weight_decay=1e-5)
+    result = train_dcn(splits, dims, mcfg, tcfg)
+    return splits, art, dims, mcfg, result
+
+
+def test_training_learns_signal(trained):
+    _, _, _, _, result = trained
+    assert result.final_metrics["val_auc"] > 0.70, result.final_metrics
+    assert result.final_metrics["val_logloss"] < 0.68
+    assert len(result.history) >= 2
+    # loss decreased over training
+    assert result.history[-1]["val_loss"] < result.history[0]["val_loss"]
+
+
+def test_best_checkpoint_is_best(trained):
+    _, _, _, _, result = trained
+    best = min(h["val_loss"] for h in result.history)
+    assert result.best_val_loss == pytest.approx(best)
+
+
+def test_pruning_hook_stops_training():
+    ds = generate_synthetic_dataset(n_users=100, n_items=50, n_reviews=2000, seed=6)
+    df = add_engineered_features(
+        ds.reviews.rename(columns={"guest_id": "user_id", "hotel_id": "item_id"})
+    )
+    splits, art = Preprocessor().fit_transform(df)
+    dims = ModelDims.from_artifacts(art)
+    mcfg = ModelConfig(emb_dim=4, hidden_dim=16, n_cross_layers=1, n_res_blocks=1)
+    tcfg = TrainConfig(lr=1e-3, batch_size=256, n_epochs=10)
+    result = train_dcn(splits, dims, mcfg, tcfg, report_fn=lambda e, v: e >= 1)
+    assert result.pruned
+    assert len(result.history) == 2
+
+
+def test_artifact_roundtrip(tmp_path, trained):
+    from hhrs_tpu.train.artifacts import export_artifacts, load_artifact_bundle
+    from hhrs_tpu.models.dcn import apply_dcn
+
+    splits, art, dims, mcfg, result = trained
+    out = str(tmp_path / "artifacts")
+    export_artifacts(out, result.params, result.bn_state, mcfg, dims, art, result.final_metrics)
+    bundle = load_artifact_bundle(out)
+
+    # identical logits from restored params
+    B = 64
+    a = {
+        "user": jnp.asarray(splits.val_user[:B]),
+        "item": jnp.asarray(splits.val_item[:B]),
+        "cat": jnp.asarray(splits.val_cat[:B]),
+        "num": jnp.asarray(splits.val_num[:B]),
+    }
+    l1, _ = apply_dcn(result.params, result.bn_state, a["user"], a["item"], a["cat"], a["num"], cfg=mcfg)
+    l2, _ = apply_dcn(bundle.params, bundle.bn_state, a["user"], a["item"], a["cat"], a["num"], cfg=bundle.model_cfg)
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), atol=1e-6)
+    # item embeddings exported correctly
+    np.testing.assert_allclose(
+        bundle.item_embeddings, np.asarray(result.params["item_embedding"]), atol=1e-7
+    )
+    assert bundle.metrics["val_auc"] == pytest.approx(result.final_metrics["val_auc"])
+
+
+def test_dp_mesh_training_runs(eight_devices):
+    """DP over an 8-device mesh produces a finite loss trajectory."""
+    from jax.sharding import Mesh
+
+    ds = generate_synthetic_dataset(n_users=100, n_items=50, n_reviews=3000, seed=7)
+    df = add_engineered_features(
+        ds.reviews.rename(columns={"guest_id": "user_id", "hotel_id": "item_id"})
+    )
+    splits, art = Preprocessor().fit_transform(df)
+    dims = ModelDims.from_artifacts(art)
+    mcfg = ModelConfig(emb_dim=4, hidden_dim=16, n_cross_layers=1, n_res_blocks=1)
+    tcfg = TrainConfig(lr=1e-3, batch_size=256, n_epochs=2)
+    mesh = Mesh(np.asarray(eight_devices), ("data",))
+    result = train_dcn(splits, dims, mcfg, tcfg, mesh=mesh)
+    assert np.isfinite(result.best_val_loss)
