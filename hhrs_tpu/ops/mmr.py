@@ -1,0 +1,68 @@
+"""Maximal Marginal Relevance diversification, fully on device.
+
+Reference semantics (reference main.py:133-169), reproduced exactly:
+  * the top-scored candidate is selected unconditionally first;
+  * each subsequent pick maximizes  λ·relevance − (1−λ)·max_cos_sim
+    to the already-selected items, where ONLY items with trained
+    embeddings participate in similarity (and only such items are
+    selectable after the first pick — candidates without an embedding are
+    skipped by the reference loop);
+  * selection stops at min(top_k, n_candidates).
+
+Implemented as a ``lax.fori_loop`` of top_k-1 steps; each step is one
+[M, d]·[d] matvec (VPU/MXU) plus masked argmax — no host round-trips
+(the reference does O(k·|C|) sklearn cosine_similarity calls per request).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e30
+
+
+@partial(jax.jit, static_argnames=("top_k",))
+def mmr_rerank(
+    scores: jnp.ndarray,  # [M] relevance logits; NEG_INF/-inf for non-candidates
+    emb_norm: jnp.ndarray,  # [M, d] L2-normalized item embeddings (rows may be junk
+    #                         for items without embeddings — masked via `embedded`)
+    cand_mask: jnp.ndarray,  # [M] bool candidate set
+    embedded: jnp.ndarray,  # [M] bool: item has a trained embedding
+    lambda_param: jnp.ndarray,  # scalar in [0, 1]
+    top_k: int = 20,
+) -> jnp.ndarray:
+    """Returns [top_k] selected serve-item indices, -1 padded."""
+    M = scores.shape[0]
+    n_cand = jnp.sum(cand_mask)
+    n_select = jnp.minimum(top_k, n_cand)
+
+    masked_scores = jnp.where(cand_mask, scores, NEG_INF)
+    first = jnp.argmax(masked_scores)
+    have_any = n_cand > 0
+
+    selected = jnp.zeros(M, bool).at[first].set(have_any)
+    out = jnp.full((top_k,), -1, jnp.int32)
+    out = out.at[0].set(jnp.where(have_any, first.astype(jnp.int32), -1))
+
+    # similarity to the selected set so far; only embedded picks contribute
+    sim_first = jnp.dot(emb_norm, emb_norm[first], preferred_element_type=jnp.float32)
+    max_sim = jnp.where(have_any & embedded[first], sim_first, jnp.zeros(M))
+
+    def body(t, carry):
+        out, selected, max_sim = carry
+        selectable = cand_mask & ~selected & embedded
+        mmr = lambda_param * scores - (1.0 - lambda_param) * max_sim
+        mmr = jnp.where(selectable, mmr, NEG_INF)
+        j = jnp.argmax(mmr)
+        ok = (t < n_select) & jnp.any(selectable)
+        out = out.at[t].set(jnp.where(ok, j.astype(jnp.int32), -1))
+        selected = selected.at[j].set(selected[j] | ok)
+        sim_j = jnp.dot(emb_norm, emb_norm[j], preferred_element_type=jnp.float32)
+        max_sim = jnp.where(ok, jnp.maximum(max_sim, sim_j), max_sim)
+        return out, selected, max_sim
+
+    out, _, _ = jax.lax.fori_loop(1, top_k, body, (out, selected, max_sim))
+    return out

@@ -1,0 +1,196 @@
+"""On-device hybrid candidate generation.
+
+The TPU-native replacement for the reference's per-request pandas set
+algebra (reference main.py:181-212). Exact semantics preserved:
+
+  1. source reviews = friends' rows (mode 'friends') or the user's own rows
+     (mode 'personal') over the UNFILTERED serve dataframe;
+  2. positives = items those sources rated >= 8; negatives = items rated <= 4;
+  3. each positive with a trained embedding is expanded with its 10 nearest
+     cosine neighbors (drop-first-hit semantics, main.py:200-203);
+  4. if fewer than 20 candidates so far, the top-100 rows of the target city
+     by user_reviews_count are unioned in (main.py:204-207);
+  5. intersect with the target city's items, subtract negatives.
+
+Everything is a fixed-shape masked computation over the serve-item universe
+(all M items appearing in the serve CSV): friend ids scatter into a user
+mask, review rows segment-scatter into item masks, the kNN expansion is one
+precomputed [M, 10] gather + scatter-max, and the popularity fallback is a
+`jnp.where` on the candidate count. One jitted program, zero host round
+trips, no dynamic shapes.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+
+from hhrs_tpu.config import RetrievalConfig
+from hhrs_tpu.data import schema
+from hhrs_tpu.retrieval.similarity import build_neighbor_table
+
+
+@dataclass
+class ServeUniverse:
+    """Host-side vocabularies of the serve dataset (unfiltered CSV)."""
+
+    item_ids: np.ndarray  # [M] external ids, order of first appearance
+    user_ids: np.ndarray  # [U] external ids
+    cities: list  # [C] city names
+    item_index: dict  # ext item -> 0..M-1
+    user_index: dict  # ext user -> 0..U-1
+    city_index: dict  # name -> 0..C-1
+
+    @property
+    def n_items(self) -> int:
+        return len(self.item_ids)
+
+    @property
+    def n_users(self) -> int:
+        return len(self.user_ids)
+
+    @classmethod
+    def from_df(cls, main_df: pd.DataFrame) -> "ServeUniverse":
+        item_ids = main_df[schema.ITEM_COL].drop_duplicates().to_numpy()
+        user_ids = main_df[schema.USER_COL].drop_duplicates().to_numpy()
+        cities = list(pd.unique(main_df["city"].dropna()))
+        return cls(
+            item_ids=item_ids,
+            user_ids=user_ids,
+            cities=cities,
+            item_index={int(v): i for i, v in enumerate(item_ids)},
+            user_index={int(v): i for i, v in enumerate(user_ids)},
+            city_index={c: i for i, c in enumerate(cities)},
+        )
+
+
+class CandidateGenerator:
+    """Builds device-resident masks/tables once; serves fixed-shape queries."""
+
+    def __init__(
+        self,
+        main_df: pd.DataFrame,
+        item_id_mapping: dict,  # train vocab: ext item -> train internal
+        item_embeddings: np.ndarray,  # [n_train, emb]
+        cfg: RetrievalConfig | None = None,
+        max_sources: int = 256,
+    ):
+        self.cfg = cfg or RetrievalConfig()
+        self.universe = ServeUniverse.from_df(main_df)
+        uni = self.universe
+        M, U, C = uni.n_items, uni.n_users, len(uni.cities)
+        self.max_sources = max_sources
+
+        # --- review arrays (length R) ---
+        r_user = main_df[schema.USER_COL].map(uni.user_index).to_numpy(np.int32)
+        r_item = main_df[schema.ITEM_COL].map(uni.item_index).to_numpy(np.int32)
+        r_rating = main_df["rating_overall"].to_numpy(np.float32)
+
+        # --- serve item -> train internal id (+validity) ---
+        s2t = np.zeros(M, np.int32)
+        s2t_valid = np.zeros(M, bool)
+        for ext, si in uni.item_index.items():
+            ti = item_id_mapping.get(ext)
+            if ti is not None:
+                s2t[si] = ti
+                s2t_valid[si] = True
+        self.s2t_np = s2t
+        self.s2t_valid_np = s2t_valid
+
+        # --- kNN expansion table in serve-item space: [M, expand] ---
+        n_train = item_embeddings.shape[0]
+        nbr_train = build_neighbor_table(item_embeddings, self.cfg.expand_neighbors)
+        # train internal -> serve index (every train item exists in the serve
+        # universe since the train vocab is a filtered subset of the CSV)
+        reverse = {v: k for k, v in item_id_mapping.items()}
+        t2s = np.full(n_train, M, np.int32)  # M = dump slot
+        for ti in range(n_train):
+            ext = reverse.get(ti)
+            if ext is not None and ext in uni.item_index:
+                t2s[ti] = uni.item_index[ext]
+        nbr_serve_by_train = t2s[nbr_train]  # [n_train, expand]
+        nbr_by_serve = np.full((M, self.cfg.expand_neighbors), M, np.int32)
+        nbr_by_serve[s2t_valid] = nbr_serve_by_train[s2t[s2t_valid]]
+        self.nbr_by_serve_np = nbr_by_serve
+
+        # --- per-city masks: membership + popularity fallback pool ---
+        city_item_mask = np.zeros((C + 1, M), bool)  # last row = unknown city
+        city_pop_mask = np.zeros((C + 1, M), bool)
+        counts = main_df["user_reviews_count"].to_numpy(np.float64)
+        city_codes = main_df["city"].map(uni.city_index).fillna(C).to_numpy(np.int32)
+        for c in range(C):
+            rows = np.nonzero(city_codes == c)[0]
+            city_item_mask[c, np.unique(r_item[rows])] = True
+            top_rows = rows[np.argsort(-counts[rows], kind="stable")[: self.cfg.popular_pool]]
+            city_pop_mask[c, np.unique(r_item[top_rows])] = True
+
+        # --- device arrays ---
+        self._r_user = jnp.asarray(r_user)
+        self._r_item = jnp.asarray(r_item)
+        self._r_pos = jnp.asarray(r_rating >= 8.0)
+        self._r_neg = jnp.asarray(r_rating <= 4.0)
+        self._s2t_valid = jnp.asarray(s2t_valid)
+        self._nbr = jnp.asarray(nbr_by_serve)
+        self._city_item = jnp.asarray(city_item_mask)
+        self._city_pop = jnp.asarray(city_pop_mask)
+        self._M = M
+        self._U = U
+
+        self._generate = jax.jit(self._generate_impl)
+
+    # ------------------------------------------------------------------ #
+
+    def _generate_impl(self, padded_sources: jnp.ndarray, city_idx: jnp.ndarray):
+        """padded_sources: [max_sources] serve-user indices (dump = U).
+        Returns (cand_mask [M], neg_mask [M], count)."""
+        M, U = self._M, self._U
+        user_mask = jnp.zeros(U + 1, bool).at[padded_sources].set(True)[:U]
+
+        row_sel = user_mask[self._r_user]
+        pos_rows = row_sel & self._r_pos
+        neg_rows = row_sel & self._r_neg
+        pos_mask = jnp.zeros(M, bool).at[self._r_item].max(pos_rows)
+        neg_mask = jnp.zeros(M, bool).at[self._r_item].max(neg_rows)
+
+        # kNN expansion of positives that have trained embeddings
+        contrib = pos_mask & self._s2t_valid  # [M]
+        expanded = (
+            jnp.zeros(M + 1, bool)
+            .at[self._nbr]
+            .max(jnp.broadcast_to(contrib[:, None], self._nbr.shape))[:M]
+        )
+
+        cand = pos_mask | expanded
+        count_before = jnp.sum(cand)
+        pop = self._city_pop[city_idx]
+        cand = cand | (jnp.where(count_before < self.cfg.min_candidates, True, False) & pop)
+
+        cand = cand & self._city_item[city_idx] & ~neg_mask
+        return cand, neg_mask, jnp.sum(cand)
+
+    # ------------------------------------------------------------------ #
+
+    def sources_for(self, user_id: int, mode: str, friend_graph) -> np.ndarray:
+        """Host-side source selection → padded serve-user index vector."""
+        U = self._U
+        if mode == "friends":
+            return friend_graph.padded_friend_indices(user_id, self.max_sources, dump=U)
+        out = np.full(self.max_sources, U, np.int32)
+        own = self.universe.user_index.get(int(user_id))
+        if own is not None:
+            out[0] = own
+        return out
+
+    def generate(self, user_id: int, city: str, mode: str, friend_graph) -> tuple:
+        """Full candidate generation → (cand_mask [M] np.bool_, count int)."""
+        sources = jnp.asarray(self.sources_for(user_id, mode, friend_graph))
+        city_idx = jnp.asarray(
+            self.universe.city_index.get(city, len(self.universe.cities)), jnp.int32
+        )
+        cand, _neg, count = self._generate(sources, city_idx)
+        return np.asarray(cand), int(count)

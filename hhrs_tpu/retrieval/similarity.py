@@ -1,0 +1,48 @@
+"""Item-embedding similarity: exact brute-force cosine top-k on device.
+
+The reference uses sklearn NearestNeighbors(metric='cosine',
+algorithm='brute') over the trained item table (reference main.py:268-270).
+On TPU the same exact computation is a normalized matmul (MXU) followed by
+``jax.lax.top_k`` — no index structure needed at these catalog sizes, and
+the whole query batch runs in one fused program.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def normalize_rows(x: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
+    n = jnp.linalg.norm(x, axis=-1, keepdims=True)
+    return x / jnp.maximum(n, eps)
+
+
+@partial(jax.jit, static_argnames=("k",))
+def cosine_topk(table_norm: jnp.ndarray, queries: jnp.ndarray, k: int):
+    """Top-k cosine neighbors of each query row against a pre-normalized table.
+
+    table_norm: [N, d] L2-normalized. queries: [Q, d] (raw; normalized here).
+    Returns (scores [Q, k], indices [Q, k]) sorted descending.
+    """
+    q = normalize_rows(queries)
+    sims = jnp.dot(q, table_norm.T, preferred_element_type=jnp.float32)  # [Q, N]
+    return jax.lax.top_k(sims, k)
+
+
+def build_neighbor_table(embeddings: np.ndarray, k: int, batch: int = 1024) -> np.ndarray:
+    """All-pairs neighbor table: for each item, its top-k neighbors
+    *excluding the first hit* (the reference drops element 0 of the kNN
+    result assuming it is self — main.py:201,301 — we reproduce that exact
+    drop-first semantics). Returns [N, k] int32 indices."""
+    emb = jnp.asarray(embeddings, jnp.float32)
+    table_norm = normalize_rows(emb)
+    out = []
+    n = emb.shape[0]
+    for s in range(0, n, batch):
+        _, idx = cosine_topk(table_norm, emb[s : s + batch], k + 1)
+        out.append(np.asarray(idx[:, 1:]))
+    return np.concatenate(out, axis=0).astype(np.int32)

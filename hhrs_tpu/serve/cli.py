@@ -1,0 +1,51 @@
+"""Serving entry point: ``python -m hhrs_tpu.serve.cli``.
+
+Equivalent of ``uvicorn main:app`` in the reference: load artifacts + CSVs,
+build the device-resident engine, warm up the compiled request program, and
+serve the REST contract. Exits non-zero on any startup failure (the
+reference's fail-fast lifespan, main.py:274-277).
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+
+from hhrs_tpu.utils.logging import setup_logging
+
+log = logging.getLogger("hhrs_tpu.serve")
+
+
+def main(argv=None) -> int:
+    setup_logging()
+    p = argparse.ArgumentParser(description="Serve the TPU-native hybrid recommender")
+    p.add_argument("--artifacts", default="artifacts")
+    p.add_argument("--data", default="data")
+    p.add_argument("--host", default="0.0.0.0")
+    p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--no-warmup", action="store_true")
+    args = p.parse_args(argv)
+
+    try:
+        from hhrs_tpu.serve.engine import RecommendationEngine
+        from hhrs_tpu.serve.http import serve_forever
+
+        engine = RecommendationEngine.from_dirs(args.artifacts, args.data)
+        if not args.no_warmup:
+            log.info("warming up compiled request program...")
+            engine.warmup()
+        log.info("Artifacts loaded successfully. Server is ready.")
+    except Exception as e:
+        log.critical("CRITICAL ERROR during startup: %s", e)
+        import traceback
+
+        traceback.print_exc()
+        return 1
+
+    serve_forever(engine, args.host, args.port)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

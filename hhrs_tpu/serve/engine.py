@@ -1,0 +1,223 @@
+"""Two-stage recommendation engine: on-device retrieval → DCN-R ranking → MMR.
+
+The serve path of the reference (main.py:233-357) rebuilt TPU-first. All
+request-independent state is device-resident and built once at startup:
+
+  * review/item masks and the kNN expansion table (CandidateGenerator);
+  * the full serve-item feature matrix [M, ·] (train-internal ids with the
+    reference's unknown→0 fallback, categorical codes, scaled numericals);
+  * normalized item embeddings for similarity + MMR.
+
+A request executes ONE jitted program with static shapes: friend scatter →
+candidate masks → DCN-R scoring of all M items (a single MXU batch; the
+reference instead materializes a pandas sub-frame and runs a dynamic-size
+torch batch) → masked MMR. The host only does id translation and JSON
+assembly. Fallback/edge semantics match the reference exactly:
+unknown user → n_users//2 model id; empty candidates → message response;
+λ=1.0 returns the full sorted candidate list, λ<1 the MMR top-20.
+"""
+
+from __future__ import annotations
+
+import logging
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+
+from hhrs_tpu.config import RetrievalConfig, ServeConfig
+from hhrs_tpu.data import schema
+from hhrs_tpu.data.features import add_engineered_features
+from hhrs_tpu.data.ingest import load_friendships_csv, load_reviews_csv
+from hhrs_tpu.models.dcn import apply_dcn
+from hhrs_tpu.ops.mmr import NEG_INF, mmr_rerank
+from hhrs_tpu.retrieval.candidates import CandidateGenerator
+from hhrs_tpu.retrieval.graph import FriendGraph
+from hhrs_tpu.retrieval.similarity import cosine_topk, normalize_rows
+from hhrs_tpu.train.artifacts import ArtifactBundle, load_artifact_bundle
+from hhrs_tpu.utils.logging import LatencyHistogram
+
+log = logging.getLogger(__name__)
+
+
+class RecommendationEngine:
+    def __init__(
+        self,
+        bundle: ArtifactBundle,
+        main_df: pd.DataFrame,
+        friendships: pd.DataFrame,
+        retrieval_cfg: RetrievalConfig | None = None,
+    ):
+        self.bundle = bundle
+        self.retrieval_cfg = retrieval_cfg or RetrievalConfig()
+        self.main_df = main_df
+        self.latency = LatencyHistogram()
+
+        art = bundle.preproc
+        self.gen = CandidateGenerator(
+            main_df, art.item_id_mapping, bundle.item_embeddings, self.retrieval_cfg
+        )
+        uni = self.gen.universe
+        self.graph = FriendGraph.from_pairs(friendships, uni.user_index)
+        M = uni.n_items
+
+        # --- serve-item feature matrix (first-occurrence row per item,
+        #     matching the reference's drop_duplicates ranking frame) ---
+        items_df = main_df.drop_duplicates(subset=[schema.ITEM_COL]).set_index(
+            schema.ITEM_COL, drop=False
+        )
+        items_df = items_df.loc[uni.item_ids]  # serve-index order
+        self.items_df = items_df
+
+        cats = []
+        for col in art.categorical_cols:
+            enc = art.cat_encoders[col]
+            cats.append(items_df[col].map(enc).fillna(0).to_numpy(np.int32))
+        X_cat = np.stack(cats, axis=1) if cats else np.zeros((M, 0), np.int32)
+        raw_num = items_df[art.numerical_cols].to_numpy(np.float64)
+        med = np.asarray([art.medians[c] for c in art.numerical_cols])
+        raw_num = np.where(np.isnan(raw_num), med, raw_num)
+        X_num = art.scaler.transform(raw_num).astype(np.float32)
+
+        self._item_internal = jnp.asarray(self.gen.s2t_np)  # unknown → 0 (fallback parity)
+        self._X_cat = jnp.asarray(X_cat)
+        self._X_num = jnp.asarray(X_num)
+        self._embedded = jnp.asarray(self.gen.s2t_valid_np)
+
+        # normalized embeddings in serve-item space (junk rows masked by _embedded)
+        emb_serve = bundle.item_embeddings[np.clip(self.gen.s2t_np, 0, None)]
+        self._emb_norm_serve = normalize_rows(jnp.asarray(emb_serve, jnp.float32))
+        self._table_norm_train = normalize_rows(jnp.asarray(bundle.item_embeddings, jnp.float32))
+        self._emb_train = jnp.asarray(bundle.item_embeddings, jnp.float32)
+        self._reverse_item_map = {v: k for k, v in art.item_id_mapping.items()}
+
+        # recommended_by source: positive review rows in frame order
+        pos_rows = main_df[main_df["rating_overall"] >= 8]
+        self._pos_items = pos_rows[schema.ITEM_COL].to_numpy()
+        self._pos_users = pos_rows[schema.USER_COL].to_numpy()
+
+        self._params = bundle.params
+        self._bn_state = bundle.bn_state
+        self._cfg = bundle.model_cfg
+        self._unknown_user = art.unknown_user_id
+        self._user_map = art.user_id_mapping
+        self._recommend_jit = jax.jit(self._recommend_impl)
+
+    # ------------------------------------------------------------------ #
+
+    def _recommend_impl(self, padded_sources, city_idx, user_internal, lam):
+        """The fused two-stage program: retrieval + rank + MMR."""
+        cand, _neg, count = self.gen._generate_impl(padded_sources, city_idx)
+        M = self.gen._M
+        users = jnp.full((M,), user_internal, jnp.int32)
+        logits, _ = apply_dcn(
+            self._params,
+            self._bn_state,
+            users,
+            self._item_internal,
+            self._X_cat,
+            self._X_num,
+            cfg=self._cfg,
+            train=False,
+        )
+        scores = jnp.where(cand, logits, NEG_INF)
+        mmr_idx = mmr_rerank(
+            scores,
+            self._emb_norm_serve,
+            cand,
+            self._embedded,
+            lam,
+            top_k=self.retrieval_cfg.mmr_top_k,
+        )
+        return cand, scores, mmr_idx, count
+
+    # ------------------------------------------------------------------ #
+
+    def recommend(self, user_id: int, city: str, mode: str = "friends", lambda_param: float = 0.7) -> dict:
+        import time
+
+        t0 = time.perf_counter()
+        uni = self.gen.universe
+        sources = jnp.asarray(self.gen.sources_for(user_id, mode, self.graph))
+        city_idx = jnp.asarray(uni.city_index.get(city, len(uni.cities)), jnp.int32)
+        user_internal = jnp.asarray(self._user_map.get(user_id, self._unknown_user), jnp.int32)
+
+        cand, scores, mmr_idx, count = self._recommend_jit(
+            sources, city_idx, user_internal, jnp.float32(lambda_param)
+        )
+        count = int(count)
+        if count == 0:
+            return {"ranked_hotels": [], "message": "No suitable candidates found."}
+
+        scores_np = np.asarray(scores)
+        if lambda_param < 1.0:
+            sel = np.asarray(mmr_idx)
+            ranked_serve_idx = sel[sel >= 0]
+        else:
+            order = np.argsort(-scores_np, kind="stable")
+            ranked_serve_idx = order[:count]
+
+        ranked_ext = uni.item_ids[ranked_serve_idx]
+        friends = set(self.graph.friends_of(user_id).tolist())
+        response = [self._hotel_payload(int(si), int(ext), friends) for si, ext in zip(ranked_serve_idx, ranked_ext)]
+        self.latency.observe(time.perf_counter() - t0)
+        return {"ranked_hotels": response}
+
+    def _hotel_payload(self, serve_idx: int, ext_id: int, friends: set) -> dict:
+        row = self.items_df.iloc[serve_idx]
+        recommended_by = []
+        seen = set()
+        if friends:
+            hits = self._pos_items == ext_id
+            for u in self._pos_users[hits]:
+                u = int(u)
+                if u in friends and u not in seen:
+                    recommended_by.append(u)
+                    seen.add(u)
+        city = row["city"]
+        price = row["price_rub"]
+        stars = row["stars"]
+        return {
+            "hotel_id": ext_id,
+            "city": None if pd.isna(city) else str(city),
+            "price_rub": None if pd.isna(price) else float(price),
+            "stars": None if pd.isna(stars) else float(stars),
+            "recommended_by": recommended_by,
+        }
+
+    # ------------------------------------------------------------------ #
+
+    def similar_items(self, item_id: int, n: int = 10) -> list | None:
+        """Top-n similar items; None if the item is unknown (→ 404 upstream)."""
+        internal = self.bundle.preproc.item_id_mapping.get(item_id)
+        if internal is None:
+            return None
+        _, idx = cosine_topk(self._table_norm_train, self._emb_train[internal][None, :], n + 1)
+        neighbor_train_ids = np.asarray(idx)[0, 1:]  # drop first hit (self)
+        return [
+            int(self._reverse_item_map[t])
+            for t in neighbor_train_ids.tolist()
+            if t in self._reverse_item_map
+        ]
+
+    # ------------------------------------------------------------------ #
+
+    @classmethod
+    def from_dirs(cls, artifacts_dir: str, data_dir: str, retrieval_cfg=None) -> "RecommendationEngine":
+        """Startup loader (reference load_artifacts, main.py:233-277)."""
+        import os
+
+        bundle = load_artifact_bundle(artifacts_dir)
+        main_df = load_reviews_csv(os.path.join(data_dir, "hackathon_augmented_data.csv"))
+        main_df = add_engineered_features(main_df)
+        friendships = load_friendships_csv(os.path.join(data_dir, "friendships.csv"))
+        return cls(bundle, main_df, friendships, retrieval_cfg)
+
+    def warmup(self) -> None:
+        """Compile the request program before accepting traffic."""
+        uni = self.gen.universe
+        if uni.n_users and len(uni.cities):
+            self.recommend(int(uni.user_ids[0]), uni.cities[0], "friends", 0.7)
+            self.recommend(int(uni.user_ids[0]), uni.cities[0], "personal", 1.0)

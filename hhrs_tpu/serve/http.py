@@ -1,0 +1,143 @@
+"""REST front — the reference's FastAPI contract (main.py:287-357) on a
+dependency-free stdlib HTTP server.
+
+Endpoints:
+  POST /recommendations   → RecommendationResponse (422 invalid, 500 internal)
+  GET  /similar_items?item_id=&n=   → SimilarItemsResponse (404 unknown item)
+  GET  /healthz           → liveness + latency summary
+  GET  /docs              → minimal human-readable API page
+
+``create_fastapi_app`` provides the same routes as a FastAPI app when
+fastapi is installed (it is not baked into this image — the stdlib server
+is the default production front and what the tests drive).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import traceback
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+from pydantic import ValidationError
+
+from hhrs_tpu.serve.schemas import RecommendationRequest
+
+log = logging.getLogger(__name__)
+
+DOCS_HTML = """<!doctype html><html><head><title>Hybrid Recommendation API</title></head>
+<body><h1>Hybrid Recommendation API (TPU-native)</h1>
+<h2>POST /recommendations</h2>
+<pre>{"user_id": 15, "city": "Sochi", "type": "friends"|"personal", "lambda_param": 0.7}</pre>
+<p>Returns ranked hotels with recommended_by friend ids. lambda_param&lt;1.0 applies MMR top-20.</p>
+<h2>GET /similar_items?item_id=123&amp;n=10</h2>
+<p>n in [1, 50]. 404 if the item is unknown.</p>
+<h2>GET /healthz</h2></body></html>"""
+
+
+def make_handler(engine):
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def log_message(self, fmt, *args):  # route through logging, not stderr
+            log.debug("%s - %s", self.address_string(), fmt % args)
+
+        # ---------------- helpers ----------------
+        def _send(self, code: int, payload, content_type="application/json"):
+            body = (
+                payload.encode() if isinstance(payload, str) else json.dumps(payload).encode()
+            )
+            self.send_response(code)
+            self.send_header("Content-Type", content_type)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        # ---------------- routes ----------------
+        def do_GET(self):
+            url = urlparse(self.path)
+            try:
+                if url.path == "/similar_items":
+                    return self._similar_items(parse_qs(url.query))
+                if url.path == "/healthz":
+                    return self._send(200, {"status": "ok", "latency": engine.latency.summary()})
+                if url.path == "/docs":
+                    return self._send(200, DOCS_HTML, "text/html")
+                return self._send(404, {"detail": "Not Found"})
+            except Exception as e:  # 500 + traceback log (reference main.py:354-357)
+                log.error("CRITICAL ERROR during %s request: %s", url.path, e)
+                traceback.print_exc()
+                return self._send(500, {"detail": "Internal server error."})
+
+        def do_POST(self):
+            url = urlparse(self.path)
+            try:
+                if url.path == "/recommendations":
+                    length = int(self.headers.get("Content-Length", 0))
+                    raw = self.rfile.read(length) if length else b"{}"
+                    try:
+                        req = RecommendationRequest.model_validate_json(raw)
+                    except ValidationError as ve:
+                        return self._send(422, {"detail": json.loads(ve.json())})
+                    result = engine.recommend(
+                        req.user_id, req.city, req.type, req.lambda_param
+                    )
+                    return self._send(200, result)
+                return self._send(404, {"detail": "Not Found"})
+            except Exception as e:
+                log.error("CRITICAL ERROR during /recommendations request: %s", e)
+                traceback.print_exc()
+                return self._send(500, {"detail": "Internal server error."})
+
+        def _similar_items(self, q):
+            if "item_id" not in q:
+                return self._send(422, {"detail": "item_id query parameter is required"})
+            try:
+                item_id = int(q["item_id"][0])
+                n = int(q.get("n", ["10"])[0])
+            except ValueError:
+                return self._send(422, {"detail": "item_id and n must be integers"})
+            if not 1 <= n <= 50:
+                return self._send(422, {"detail": "n must be in [1, 50]"})
+            ids = engine.similar_items(item_id, n)
+            if ids is None:
+                return self._send(404, {"detail": f"Hotel with ID {item_id} not found."})
+            return self._send(200, {"similar_item_ids": ids})
+
+    return Handler
+
+
+def serve_forever(engine, host: str = "0.0.0.0", port: int = 8000):
+    server = ThreadingHTTPServer((host, port), make_handler(engine))
+    log.info("serving on %s:%d", host, port)
+    server.serve_forever()
+
+
+def create_fastapi_app(engine):
+    """Optional FastAPI front with the identical contract (requires fastapi)."""
+    from fastapi import FastAPI, HTTPException, Query
+
+    from hhrs_tpu.serve.schemas import RecommendationResponse, SimilarItemsResponse
+
+    app = FastAPI(title="Hybrid Recommendation API (TPU-native)", version="1.0")
+
+    @app.get("/similar_items", response_model=SimilarItemsResponse)
+    def similar_items(item_id: int = Query(...), n: int = Query(10, ge=1, le=50)):
+        ids = engine.similar_items(item_id, n)
+        if ids is None:
+            raise HTTPException(status_code=404, detail=f"Hotel with ID {item_id} not found.")
+        return {"similar_item_ids": ids}
+
+    @app.post("/recommendations", response_model=RecommendationResponse)
+    def recommendations(request_data: RecommendationRequest):
+        try:
+            return engine.recommend(
+                request_data.user_id, request_data.city, request_data.type, request_data.lambda_param
+            )
+        except Exception as e:
+            log.error("CRITICAL ERROR during /recommendations request: %s", e)
+            traceback.print_exc()
+            raise HTTPException(status_code=500, detail="Internal server error.")
+
+    return app

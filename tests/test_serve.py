@@ -1,0 +1,203 @@
+"""Serve-path tests: full two-stage pipeline vs an independent oracle, plus
+the REST contract driven over a real HTTP socket.
+"""
+
+import json
+import threading
+import urllib.request
+import urllib.error
+from http.server import ThreadingHTTPServer
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+import pytest
+
+from hhrs_tpu.config import ModelConfig, TrainConfig
+from hhrs_tpu.data import add_engineered_features, Preprocessor
+from hhrs_tpu.data.ingest import noise_filter
+from hhrs_tpu.data.preprocess import encode_items_for_ranking
+from hhrs_tpu.data.synthetic import generate_synthetic_dataset
+from hhrs_tpu.models.dcn import ModelDims, apply_dcn
+from hhrs_tpu.serve.engine import RecommendationEngine
+from hhrs_tpu.serve.http import make_handler
+from hhrs_tpu.train.artifacts import export_artifacts, load_artifact_bundle
+from hhrs_tpu.train.trainer import train_dcn
+
+from tests.test_retrieval import oracle_candidates, oracle_mmr
+
+
+@pytest.fixture(scope="module")
+def engine_setup(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("serve")
+    ds = generate_synthetic_dataset(n_users=250, n_items=120, n_reviews=7000, seed=21)
+    main_df = add_engineered_features(
+        ds.reviews.rename(columns={"guest_id": "user_id", "hotel_id": "item_id"})
+    )
+    filtered = noise_filter(main_df.copy())
+    splits, art = Preprocessor().fit_transform(filtered)
+    dims = ModelDims.from_artifacts(art)
+    mcfg = ModelConfig(emb_dim=8, hidden_dim=32, n_cross_layers=1, n_res_blocks=1, dropout=0.2)
+    tcfg = TrainConfig(lr=3e-3, batch_size=512, n_epochs=3)
+    result = train_dcn(splits, dims, mcfg, tcfg)
+    out = str(tmp / "artifacts")
+    export_artifacts(out, result.params, result.bn_state, mcfg, dims, art, result.final_metrics)
+    bundle = load_artifact_bundle(out)
+    engine = RecommendationEngine(bundle, main_df, ds.friendships)
+    return engine, main_df, ds.friendships, bundle
+
+
+def _oracle_recommend(engine, main_df, friendships, bundle, user_id, city, mode, lam):
+    """Independent recomputation of the full reference pipeline."""
+    art = bundle.preproc
+    cand = oracle_candidates(
+        main_df, friendships, art.item_id_mapping, bundle.item_embeddings, user_id, city, mode
+    )
+    if not cand:
+        return []
+    items_df = main_df[main_df["item_id"].isin(list(cand))].drop_duplicates(subset=["item_id"])
+    users, items, cats, nums = encode_items_for_ranking(art, items_df, user_id)
+    logits, _ = apply_dcn(
+        bundle.params,
+        bundle.bn_state,
+        jnp.asarray(users),
+        jnp.asarray(items),
+        jnp.asarray(cats),
+        jnp.asarray(nums),
+        cfg=bundle.model_cfg,
+        train=False,
+    )
+    scores = np.asarray(logits, np.float64)
+    ext_ids = items_df["item_id"].to_numpy()
+    order = np.argsort(-scores, kind="stable")
+    if lam < 1.0:
+        score_by_item = {int(ext_ids[i]): float(scores[i]) for i in range(len(ext_ids))}
+        emb_by_item = {}
+        for i, ext in enumerate(ext_ids):
+            ti = art.item_id_mapping.get(int(ext))
+            if ti is not None:
+                emb_by_item[int(ext)] = bundle.item_embeddings[ti]
+        return oracle_mmr(score_by_item, emb_by_item, lam)
+    return [int(ext_ids[i]) for i in order]
+
+
+@pytest.mark.parametrize("mode,lam", [("friends", 1.0), ("friends", 0.5), ("personal", 1.0), ("personal", 0.3)])
+def test_two_stage_pipeline_matches_oracle(engine_setup, mode, lam):
+    engine, main_df, friendships, bundle = engine_setup
+    uni = engine.gen.universe
+    checked = 0
+    for user in uni.user_ids[:5]:
+        for city in uni.cities[:2]:
+            expected = _oracle_recommend(
+                engine, main_df, friendships, bundle, int(user), city, mode, lam
+            )
+            got = engine.recommend(int(user), city, mode, lam)
+            got_ids = [h["hotel_id"] for h in got["ranked_hotels"]]
+            assert got_ids == expected, (user, city, mode, lam)
+            checked += 1
+    assert checked == 10
+
+
+def test_recommended_by_lists_friends(engine_setup):
+    engine, main_df, friendships, bundle = engine_setup
+    uni = engine.gen.universe
+    user = int(uni.user_ids[0])
+    friends = set(engine.graph.friends_of(user).tolist())
+    res = engine.recommend(user, uni.cities[0], "friends", 1.0)
+    for h in res["ranked_hotels"]:
+        for rec_user in h["recommended_by"]:
+            assert rec_user in friends
+            rows = main_df[
+                (main_df["user_id"] == rec_user)
+                & (main_df["item_id"] == h["hotel_id"])
+                & (main_df["rating_overall"] >= 8)
+            ]
+            assert len(rows) > 0
+
+
+def test_empty_candidates_message(engine_setup):
+    engine, *_ = engine_setup
+    res = engine.recommend(1, "Atlantis", "friends", 0.7)
+    assert res == {"ranked_hotels": [], "message": "No suitable candidates found."}
+
+
+def test_similar_items_contract(engine_setup):
+    engine, main_df, _, bundle = engine_setup
+    art = bundle.preproc
+    some_item = next(iter(art.item_id_mapping))
+    ids = engine.similar_items(some_item, 5)
+    assert len(ids) == 5
+    assert some_item not in ids  # self dropped
+    assert engine.similar_items(10**9, 5) is None  # unknown → None → 404
+
+
+@pytest.fixture(scope="module")
+def http_server(engine_setup):
+    engine, *_ = engine_setup
+    server = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(engine))
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{port}"
+    server.shutdown()
+
+
+def _post(url, payload):
+    req = urllib.request.Request(
+        url, data=json.dumps(payload).encode(), headers={"Content-Type": "application/json"}
+    )
+    try:
+        with urllib.request.urlopen(req) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def _get(url):
+    try:
+        with urllib.request.urlopen(url) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_http_recommendations(http_server, engine_setup):
+    engine, *_ = engine_setup
+    uni = engine.gen.universe
+    status, body = _post(
+        http_server + "/recommendations",
+        {"user_id": int(uni.user_ids[0]), "city": uni.cities[0], "type": "friends", "lambda_param": 0.7},
+    )
+    assert status == 200
+    assert "ranked_hotels" in body
+    if body["ranked_hotels"]:
+        h = body["ranked_hotels"][0]
+        assert set(h) == {"hotel_id", "city", "price_rub", "stars", "recommended_by"}
+
+
+def test_http_validation_errors(http_server):
+    status, body = _post(http_server + "/recommendations", {"user_id": 1, "city": "X", "lambda_param": 2.0})
+    assert status == 422
+    status, _ = _post(http_server + "/recommendations", {"city": "X"})
+    assert status == 422
+
+
+def test_http_similar_items(http_server, engine_setup):
+    engine, _, _, bundle = engine_setup
+    some_item = next(iter(bundle.preproc.item_id_mapping))
+    status, body = _get(http_server + f"/similar_items?item_id={some_item}&n=3")
+    assert status == 200 and len(body["similar_item_ids"]) == 3
+    status, body = _get(http_server + "/similar_items?item_id=999999999&n=3")
+    assert status == 404
+    status, body = _get(http_server + f"/similar_items?item_id={some_item}&n=99")
+    assert status == 422
+    status, body = _get(http_server + "/similar_items")
+    assert status == 422
+
+
+def test_http_healthz_and_docs(http_server):
+    status, body = _get(http_server + "/healthz")
+    assert status == 200 and body["status"] == "ok"
+    with urllib.request.urlopen(http_server + "/docs") as r:
+        assert r.status == 200 and b"Hybrid Recommendation API" in r.read()
