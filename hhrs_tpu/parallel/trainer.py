@@ -1,0 +1,149 @@
+"""pjit'ed data+model-parallel train step.
+
+Layout (SURVEY.md §2, parallelism rows):
+  * batch sharded over ``data`` → XLA psum-reduces gradients across the data
+    axis automatically (the program is written global-view; the mean over
+    the batch axis *is* the global mean, so sync-BN also falls out for free);
+  * embedding tables row-sharded over ``model`` → lookups compile to
+    cross-shard gathers over ICI; their gradients stay sharded (scatter-add
+    onto the owning shard, no replication of table grads);
+  * dense tower replicated; its gradients are psum'ed.
+
+The step is a pure function ``(params, bn, opt, batch, rng) → (params, bn,
+opt, loss)`` jitted once with explicit in/out shardings and donated state —
+params update in place in HBM, nothing round-trips to host.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from hhrs_tpu.config import ModelConfig
+from hhrs_tpu.models.dcn import apply_dcn
+from hhrs_tpu.parallel.sharding import (
+    batch_pspec,
+    opt_state_shardings,
+    param_shardings,
+)
+from hhrs_tpu.train.metrics import bce_with_logits
+
+
+@dataclass
+class ParallelTrainState:
+    params: Any
+    bn_state: Any
+    opt_state: Any
+    shardings: Any  # dict: params / bn_state / opt_state sharding pytrees
+
+
+def shard_train_state(
+    mesh: Mesh,
+    params,
+    bn_state,
+    opt_state,
+    model_axis: str | None = "model",
+) -> ParallelTrainState:
+    """device_put the train state with row-sharded tables + replicated rest."""
+    p_sh = param_shardings(params, mesh, model_axis)
+    rep = NamedSharding(mesh, P())
+    bn_sh = jax.tree.map(lambda _: rep, bn_state)
+    opt_sh = opt_state_shardings(opt_state, params, p_sh, mesh)
+    return ParallelTrainState(
+        params=jax.tree.map(jax.device_put, params, p_sh),
+        bn_state=jax.device_put(bn_state, rep),
+        opt_state=jax.tree.map(jax.device_put, opt_state, opt_sh),
+        shardings={"params": p_sh, "bn_state": bn_sh, "opt_state": opt_sh},
+    )
+
+
+def make_parallel_train_step(
+    mesh: Mesh,
+    model_cfg: ModelConfig,
+    tx_update: Callable,
+    state: ParallelTrainState,
+    data_axis: str = "data",
+    donate: bool = True,
+):
+    """Jit the full train step with explicit shardings.
+
+    ``batch`` is a dict of arrays (user/item/cat/num/y) whose leading axis
+    is sharded over ``data``; the rng key is replicated.
+    """
+    rep = NamedSharding(mesh, P())
+
+    def batch_sharding(x):
+        return NamedSharding(mesh, batch_pspec(x.ndim, data_axis))
+
+    def step(params, bn_state, opt_state, batch, rng):
+        def loss_fn(p):
+            logits, new_bn = apply_dcn(
+                p,
+                bn_state,
+                batch["user"],
+                batch["item"],
+                batch["cat"],
+                batch["num"],
+                cfg=model_cfg,
+                train=True,
+                rng=rng,
+            )
+            return bce_with_logits(logits, batch["y"]), new_bn
+
+        (loss, new_bn), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, new_opt = tx_update(grads, opt_state, params)
+        new_params = jax.tree.map(lambda p, u: p + u, params, updates)
+        return new_params, new_bn, new_opt, loss
+
+    def batch_shardings_of(batch):
+        return jax.tree.map(batch_sharding, batch)
+
+    def jit_for(batch_example):
+        return jax.jit(
+            step,
+            in_shardings=(
+                state.shardings["params"],
+                state.shardings["bn_state"],
+                state.shardings["opt_state"],
+                batch_shardings_of(batch_example),
+                rep,
+            ),
+            out_shardings=(
+                state.shardings["params"],
+                state.shardings["bn_state"],
+                state.shardings["opt_state"],
+                rep,
+            ),
+            donate_argnums=(0, 2) if donate else (),
+        )
+
+    return jit_for
+
+
+def make_parallel_eval_step(mesh: Mesh, model_cfg: ModelConfig, state: ParallelTrainState,
+                            data_axis: str = "data"):
+    """Jitted inference over a data-sharded batch → replicated logits."""
+    rep = NamedSharding(mesh, P())
+
+    def fwd(params, bn_state, batch):
+        logits, _ = apply_dcn(
+            params, bn_state, batch["user"], batch["item"], batch["cat"], batch["num"],
+            cfg=model_cfg, train=False,
+        )
+        return logits
+
+    def jit_for(batch_example):
+        b_sh = jax.tree.map(
+            lambda x: NamedSharding(mesh, batch_pspec(x.ndim, data_axis)), batch_example
+        )
+        return jax.jit(
+            fwd,
+            in_shardings=(state.shardings["params"], state.shardings["bn_state"], b_sh),
+            out_shardings=rep,
+        )
+
+    return jit_for

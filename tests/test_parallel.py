@@ -1,0 +1,156 @@
+"""Parallel layer tests on the 8-device virtual CPU mesh (SURVEY.md §4):
+row-sharded lookups are exact vs. unsharded gathers, and the pjit'ed
+data+model-parallel train step matches single-device training numerics.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hhrs_tpu.config import ModelConfig, TrainConfig
+from hhrs_tpu.models.dcn import ModelDims, init_dcn
+from hhrs_tpu.parallel.embedding import all_to_all_lookup, pad_table, psum_lookup
+from hhrs_tpu.parallel.mesh import make_mesh, mesh_shape_for
+from hhrs_tpu.parallel.sharding import param_pspecs
+from hhrs_tpu.parallel.trainer import (
+    make_parallel_train_step,
+    shard_train_state,
+)
+from hhrs_tpu.train.optimizers import make_optimizer
+
+DIMS = ModelDims(n_users=64, n_items=48, cat_dims=(("city", 6), ("hotel_type", 5)), n_num_features=11)
+
+
+def tiny_batch(rng, b=32):
+    ks = jax.random.split(rng, 5)
+    return {
+        "user": jax.random.randint(ks[0], (b,), 0, DIMS.n_users),
+        "item": jax.random.randint(ks[1], (b,), 0, DIMS.n_items),
+        "cat": jnp.stack(
+            [
+                jax.random.randint(ks[2], (b,), 0, 6),
+                jax.random.randint(ks[2], (b,), 0, 5),
+            ],
+            axis=1,
+        ),
+        "num": jax.random.normal(ks[3], (b, 11)),
+        "y": jax.random.bernoulli(ks[4], 0.5, (b,)).astype(jnp.float32),
+    }
+
+
+def test_mesh_shape_for():
+    assert mesh_shape_for(8) == (4, 2)
+    assert mesh_shape_for(2) == (2, 1)
+    assert mesh_shape_for(8, model_axis=4) == (2, 4)
+    assert mesh_shape_for(6, model_axis=4) == (3, 2)  # 4 doesn't divide 6 → fall to 2
+
+
+@pytest.mark.parametrize("rows", [64, 61])  # even and ragged (needs pad)
+def test_psum_lookup_exact(eight_devices, rows):
+    mesh = make_mesh(4, 2)
+    key = jax.random.PRNGKey(0)
+    table = jax.random.normal(key, (rows, 16))
+    ids = jax.random.randint(jax.random.PRNGKey(1), (32,), 0, rows)
+    padded = pad_table(table, 2)
+    out = psum_lookup(mesh, padded, ids)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(table[ids]), rtol=1e-6)
+
+
+@pytest.mark.parametrize("rows", [64, 61])
+def test_all_to_all_lookup_exact(eight_devices, rows):
+    mesh = make_mesh(4, 2)
+    table = jax.random.normal(jax.random.PRNGKey(0), (rows, 16))
+    # B must divide data*model = 8 for the double-sharded id vector.
+    ids = jax.random.randint(jax.random.PRNGKey(1), (64,), 0, rows)
+    out = all_to_all_lookup(mesh, pad_table(table, 2), ids)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(table[ids]), rtol=1e-6)
+
+
+def test_all_to_all_lookup_skewed_ids(eight_devices):
+    """Worst-case skew: every id owned by shard 0 (capacity path)."""
+    mesh = make_mesh(4, 2)
+    table = jax.random.normal(jax.random.PRNGKey(0), (64, 8))
+    ids = jnp.zeros((64,), jnp.int32).at[: 8].set(jnp.arange(8))  # all rows < 32 → shard 0
+    out = all_to_all_lookup(mesh, table, ids)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(table[ids]), rtol=1e-6)
+
+
+def test_param_pspecs_tables_sharded():
+    params, _ = init_dcn(jax.random.PRNGKey(0), DIMS, ModelConfig())
+    specs = param_pspecs(params)
+    assert specs["user_embedding"] == jax.sharding.PartitionSpec("model", None)
+    assert specs["item_embedding"] == jax.sharding.PartitionSpec("model", None)
+    assert specs["cat_embeddings"][0] == jax.sharding.PartitionSpec("model", None)
+    assert specs["final"]["kernel"] == jax.sharding.PartitionSpec()
+
+
+def test_parallel_step_matches_single_device(eight_devices):
+    """One fwd/bwd/update step on a 4x2 mesh == the same step unsharded."""
+    mcfg = ModelConfig(emb_dim=8, hidden_dim=16, n_res_blocks=1, n_cross_layers=2, dropout=0.0)
+    tcfg = TrainConfig(lr=1e-2, optimizer="adamw", weight_decay=1e-3)
+    params, bn = init_dcn(jax.random.PRNGKey(0), DIMS, mcfg)
+    tx = make_optimizer(tcfg.optimizer, tcfg.lr, tcfg.weight_decay)
+    opt = tx.init(params)
+    batch = tiny_batch(jax.random.PRNGKey(7), b=64)
+    rng = jax.random.PRNGKey(3)
+
+    # Reference: plain single-device jit.
+    from hhrs_tpu.train.metrics import bce_with_logits
+    from hhrs_tpu.models.dcn import apply_dcn
+
+    def step(p, b_, o, batch, r):
+        def loss_fn(pp):
+            logits, nbn = apply_dcn(
+                pp, b_, batch["user"], batch["item"], batch["cat"], batch["num"],
+                cfg=mcfg, train=True, rng=r,
+            )
+            return bce_with_logits(logits, batch["y"]), nbn
+
+        (loss, nbn), g = jax.value_and_grad(loss_fn, has_aux=True)(p)
+        up, no = tx.update(g, o, p)
+        return jax.tree.map(lambda a, u: a + u, p, up), nbn, no, loss
+
+    ref_params, ref_bn, _, ref_loss = jax.jit(step)(params, bn, opt, batch, rng)
+
+    mesh = make_mesh(4, 2)
+    state = shard_train_state(mesh, params, bn, opt)
+    jit_for = make_parallel_train_step(mesh, mcfg, tx.update, state, donate=False)
+    pstep = jit_for(batch)
+    new_params, new_bn, _, loss = pstep(state.params, state.bn_state, state.opt_state, batch, rng)
+
+    np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-5)
+    # Post-Adam params only match loosely: first-step Adam is g/(|g|+eps),
+    # which amplifies the reordered-reduction noise of sharded matmuls for
+    # near-zero gradients. BN state (pure statistics) must match tightly.
+    for a, b in zip(
+        jax.tree_util.tree_leaves(jax.device_get(new_params)),
+        jax.tree_util.tree_leaves(jax.device_get(ref_params)),
+    ):
+        np.testing.assert_allclose(a, b, atol=tcfg.lr, rtol=0)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(jax.device_get(new_bn)),
+        jax.tree_util.tree_leaves(jax.device_get(ref_bn)),
+    ):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+    # The meaningful exactness check: gradients themselves agree.
+    def grads_of(p, b_, batch, r):
+        def loss_fn(pp):
+            logits, _ = apply_dcn(
+                pp, b_, batch["user"], batch["item"], batch["cat"], batch["num"],
+                cfg=mcfg, train=True, rng=r,
+            )
+            return bce_with_logits(logits, batch["y"])
+
+        return jax.grad(loss_fn)(p)
+
+    ref_g = jax.jit(grads_of)(params, bn, batch, rng)
+    sh_g = jax.jit(grads_of, in_shardings=(state.shardings["params"], None, None, None))(
+        state.params, state.bn_state, batch, rng
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(jax.device_get(sh_g)),
+        jax.tree_util.tree_leaves(jax.device_get(ref_g)),
+    ):
+        np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-6)
