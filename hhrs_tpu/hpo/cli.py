@@ -1,0 +1,120 @@
+"""HPO sweep entry point: ``python -m hhrs_tpu.hpo.cli``.
+
+The TPU-native equivalent of the reference's 300-trial study driver
+(reference train.py:303-397): load-or-create a resumable study, optimize
+val LogLoss over the reference search space with per-epoch median pruning,
+record val AUC per trial, and export serve artifacts whenever a trial
+improves on the best value (so a killed sweep always leaves the
+best-so-far model on disk — the reference only exports at the very end).
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+
+from hhrs_tpu.config import Config, ModelConfig, TrainConfig
+from hhrs_tpu.hpo.space import reference_search_space
+from hhrs_tpu.hpo.study import TrialPruned, create_study
+from hhrs_tpu.utils.logging import setup_logging
+
+log = logging.getLogger("hhrs_tpu.hpo")
+
+
+def model_cfg_from_params(params: dict, base: ModelConfig | None = None) -> ModelConfig:
+    base = base or ModelConfig()
+    return ModelConfig(
+        emb_dim=int(params["emb_dim"]),
+        hidden_dim=int(params["hidden_dim"]),
+        n_cross_layers=int(params["n_cross_layers"]),
+        n_res_blocks=int(params["n_res_blocks"]),
+        dropout=float(params["dropout"]),
+        cross_variant=base.cross_variant,
+        compute_dtype=base.compute_dtype,
+    )
+
+
+def train_cfg_from_params(params: dict, base: TrainConfig | None = None) -> TrainConfig:
+    base = base or TrainConfig()
+    return TrainConfig(
+        lr=float(params["lr"]),
+        batch_size=int(params["batch_size"]),
+        weight_decay=float(params["weight_decay"]),
+        optimizer=str(params["optimizer"]),
+        n_epochs=base.n_epochs,
+        early_stop_patience=base.early_stop_patience,
+        lr_plateau_patience=int(params["lr_plateau_patience"]),
+        lr_plateau_factor=float(params["lr_plateau_factor"]),
+        seed=base.seed,
+        eval_batch_size=base.eval_batch_size,
+    )
+
+
+def main(argv=None) -> int:
+    setup_logging()
+    p = argparse.ArgumentParser(description="HPO sweep for the TPU-native DCN-R")
+    p.add_argument("--trials", type=int, default=300)
+    p.add_argument("--journal", default="artifacts/hpo_journal.jsonl")
+    p.add_argument("--data", default="data")
+    p.add_argument("--out", default="artifacts")
+    p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--synth-users", type=int, default=2000)
+    p.add_argument("--synth-items", type=int, default=600)
+    p.add_argument("--synth-reviews", type=int, default=40000)
+    p.add_argument("--epochs", type=int, default=None, help="cap epochs per trial")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("overrides", nargs="*")
+    args = p.parse_args(argv)
+
+    cfg = Config().apply_overrides([a for a in args.overrides if "=" in a])
+    if args.epochs is not None:
+        cfg.train.n_epochs = args.epochs
+
+    from hhrs_tpu.models.dcn import ModelDims
+    from hhrs_tpu.train.artifacts import export_artifacts
+    from hhrs_tpu.train.cli import build_dataset
+    from hhrs_tpu.train.trainer import train_dcn
+
+    splits, preproc = build_dataset(args, cfg)
+    dims = ModelDims.from_artifacts(preproc)
+    log.info("HPO over %d train rows, %d trials", splits.n_train, args.trials)
+
+    space = reference_search_space()
+    study = create_study(args.journal, seed=args.seed)
+    best_box = {"value": float("inf")}
+    for t in study.trials:
+        if t["state"] == "complete" and t["value"] is not None:
+            best_box["value"] = min(best_box["value"], t["value"])
+
+    def objective(trial):
+        mcfg = model_cfg_from_params(trial.params, cfg.model)
+        tcfg = train_cfg_from_params(trial.params, cfg.train)
+
+        def report_fn(epoch: int, val_loss: float) -> bool:
+            trial.report(val_loss, epoch)
+            return trial.should_prune()
+
+        result = train_dcn(splits, dims, mcfg, tcfg, report_fn=report_fn)
+        if result.pruned:
+            raise TrialPruned()
+        trial.set_user_attr("val_auc", result.final_metrics["val_auc"])
+        trial.set_user_attr("examples_per_s", result.examples_per_s)
+        if result.best_val_loss < best_box["value"]:
+            best_box["value"] = result.best_val_loss
+            log.info("new best (%.5f) — exporting artifacts to %s", result.best_val_loss, args.out)
+            export_artifacts(
+                args.out, result.params, result.bn_state, mcfg, dims, preproc,
+                result.final_metrics,
+            )
+        return result.best_val_loss
+
+    study.optimize(objective, space, n_trials=args.trials)
+
+    log.info("best value: %.5f", study.best_value)
+    log.info("best params: %s", study.best_params)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

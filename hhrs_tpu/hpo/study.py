@@ -1,0 +1,254 @@
+"""Study: trial lifecycle + crash-safe resumable journal.
+
+Mirrors the optuna surface the reference uses (train.py:303-325):
+``load-or-create study → study.optimize(objective, n_trials) →
+study.best_params / best_value``, with per-epoch ``trial.report(value,
+step)`` + ``trial.should_prune()`` inside the objective.
+
+Persistence is an append-only JSONL journal (one record per completed /
+pruned / failed trial, fsync'd) instead of the reference's joblib pickle —
+a crash mid-trial loses only that trial, and resuming is replaying the
+file. If optuna is importable, ``backend="optuna"`` wraps it instead.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import math
+import os
+
+from hhrs_tpu.hpo.pruner import MedianPruner, NopPruner
+from hhrs_tpu.hpo.sampler import TPESampler
+
+log = logging.getLogger(__name__)
+
+
+class TrialPruned(Exception):
+    pass
+
+
+class Trial:
+    def __init__(self, number: int, space: dict, params: dict, study: "Study"):
+        self.number = number
+        self._space = space
+        self.params = params
+        self._study = study
+        self.intermediates: dict = {}
+        self.user_attrs: dict = {}
+        self._last_step = -1
+
+    # optuna-compatible suggest API: values were pre-sampled jointly by the
+    # sampler; suggest_* just reads them (and validates the name).
+    def _get(self, name):
+        if name not in self.params:
+            raise KeyError(f"param {name!r} not in search space")
+        return self.params[name]
+
+    def suggest_categorical(self, name, choices=None):
+        return self._get(name)
+
+    def suggest_int(self, name, low=None, high=None, step=1):
+        return int(self._get(name))
+
+    def suggest_float(self, name, low=None, high=None, log=False):
+        return float(self._get(name))
+
+    def report(self, value: float, step: int) -> None:
+        self.intermediates[step] = float(value)
+        self._last_step = step
+
+    def should_prune(self) -> bool:
+        if self._last_step < 0:
+            return False
+        return self._study._pruner.should_prune(
+            self._last_step,
+            self.intermediates[self._last_step],
+            [t["intermediates_by_step"] for t in self._study.trials if t["state"] == "complete"],
+        )
+
+    def set_user_attr(self, key: str, value) -> None:
+        self.user_attrs[key] = value
+
+
+class Study:
+    def __init__(
+        self,
+        journal_path: str | None = None,
+        sampler=None,
+        pruner=None,
+        seed: int = 0,
+        direction: str = "minimize",
+    ):
+        assert direction == "minimize", "only minimize is used by this workload"
+        self.journal_path = journal_path
+        self.sampler = sampler or TPESampler(seed=seed)
+        self._pruner = pruner if pruner is not None else MedianPruner()
+        self.trials: list[dict] = []
+        if journal_path and os.path.exists(journal_path):
+            self._load()
+            log.info("resumed study from %s: %d prior trials", journal_path, len(self.trials))
+
+    # -- persistence ------------------------------------------------------
+    def _load(self) -> None:
+        with open(self.journal_path) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                try:
+                    rec = json.loads(line)
+                except json.JSONDecodeError:
+                    log.warning("skipping corrupt journal line (torn write)")
+                    continue
+                rec["intermediates_by_step"] = {
+                    int(k): v for k, v in rec.get("intermediates", {}).items()
+                }
+                self.trials.append(rec)
+
+    def _append(self, rec: dict) -> None:
+        if not self.journal_path:
+            return
+        os.makedirs(os.path.dirname(self.journal_path) or ".", exist_ok=True)
+        with open(self.journal_path, "a") as f:
+            f.write(json.dumps({k: v for k, v in rec.items() if k != "intermediates_by_step"}) + "\n")
+            f.flush()
+            os.fsync(f.fileno())
+
+    # -- optimization -----------------------------------------------------
+    def optimize(self, objective, space: dict, n_trials: int, callbacks=()) -> None:
+        """Run until the study holds ``n_trials`` total (resume-aware)."""
+        while len(self.trials) < n_trials:
+            number = len(self.trials)
+            history = [
+                (t["params"], t.get("value"))
+                for t in self.trials
+                if t["state"] == "complete"
+            ]
+            params = self.sampler.sample(space, history)
+            trial = Trial(number, space, params, self)
+            rec = {"number": number, "params": params, "state": "running"}
+            try:
+                value = objective(trial)
+                rec.update(state="complete", value=float(value))
+            except TrialPruned:
+                rec.update(state="pruned", value=None)
+            except Exception as e:  # noqa: BLE001 — a failed trial must not kill the study
+                log.exception("trial %d failed", number)
+                rec.update(state="failed", value=None, error=repr(e))
+            rec["intermediates"] = {str(k): v for k, v in trial.intermediates.items()}
+            rec["intermediates_by_step"] = dict(trial.intermediates)
+            rec["user_attrs"] = trial.user_attrs
+            self.trials.append(rec)
+            self._append(rec)
+            for cb in callbacks:
+                cb(self, rec)
+            if rec["state"] == "complete":
+                log.info(
+                    "trial %d complete: value %.5f (best %.5f)",
+                    number, rec["value"], self.best_value,
+                )
+
+    # -- results ----------------------------------------------------------
+    @property
+    def completed(self) -> list[dict]:
+        return [t for t in self.trials if t["state"] == "complete"]
+
+    @property
+    def best_trial(self) -> dict:
+        done = self.completed
+        if not done:
+            raise ValueError("no completed trials")
+        return min(done, key=lambda t: t["value"])
+
+    @property
+    def best_params(self) -> dict:
+        return self.best_trial["params"]
+
+    @property
+    def best_value(self) -> float:
+        return self.best_trial["value"]
+
+
+def create_study(journal_path=None, seed=0, backend="auto", **kwargs):
+    """Load-or-create. backend='optuna' (or 'auto' with optuna installed
+    and HHRS_HPO_OPTUNA=1) wraps a real optuna study via OptunaStudyAdapter."""
+    if backend in ("optuna", "auto") and os.environ.get("HHRS_HPO_OPTUNA") == "1":
+        try:
+            return OptunaStudyAdapter(journal_path, seed=seed)
+        except ImportError:
+            if backend == "optuna":
+                raise
+            log.warning("optuna not installed; using built-in study")
+    return Study(journal_path, seed=seed, **kwargs)
+
+
+class OptunaStudyAdapter:
+    """Thin adapter so the same objective runs on real optuna when present."""
+
+    def __init__(self, journal_path, seed=0):
+        import optuna  # gated: not in the base image
+
+        storage = None
+        if journal_path:
+            storage = optuna.storages.JournalStorage(
+                optuna.storages.journal.JournalFileBackend(journal_path + ".optuna")
+            )
+        self._study = optuna.create_study(
+            study_name="hhrs_dcn", storage=storage, load_if_exists=True,
+            direction="minimize", sampler=optuna.samplers.TPESampler(seed=seed),
+            pruner=optuna.pruners.MedianPruner(),
+        )
+
+    def optimize(self, objective, space: dict, n_trials: int, callbacks=()) -> None:
+        import optuna
+
+        def wrapped(otrial):
+            params = {}
+            for name, dim in space.items():
+                if dim.kind == "categorical":
+                    params[name] = otrial.suggest_categorical(name, list(dim.choices))
+                elif dim.kind == "int":
+                    params[name] = otrial.suggest_int(name, int(dim.low), int(dim.high), step=dim.step)
+                else:
+                    params[name] = otrial.suggest_float(name, dim.low, dim.high, log=dim.log)
+            shim = Trial(otrial.number, space, params, _OptunaShimStudy(otrial))
+            try:
+                return objective(shim)
+            except TrialPruned:
+                raise optuna.TrialPruned()
+
+        self._study.optimize(wrapped, n_trials=n_trials)
+
+    @property
+    def best_params(self):
+        return self._study.best_params
+
+    @property
+    def best_value(self):
+        return self._study.best_value
+
+    @property
+    def trials(self):
+        return [
+            {"number": t.number, "params": t.params, "state": str(t.state).lower(), "value": t.value}
+            for t in self._study.trials
+        ]
+
+
+class _OptunaShimStudy:
+    """Routes Trial.report/should_prune through the real optuna trial."""
+
+    def __init__(self, otrial):
+        self._otrial = otrial
+        self.trials = []
+
+        class _P:
+            def __init__(self, ot):
+                self._ot = ot
+
+            def should_prune(self, step, value, completed):
+                self._ot.report(value, step)
+                return self._ot.should_prune()
+
+        self._pruner = _P(otrial)

@@ -1,0 +1,151 @@
+"""HPO engine tests: space transforms, TPE convergence, pruning, and
+journal resumability (reference study semantics — train.py:303-325)."""
+
+import math
+import os
+
+import numpy as np
+import pytest
+
+from hhrs_tpu.hpo.pruner import MedianPruner
+from hhrs_tpu.hpo.sampler import RandomSampler, TPESampler
+from hhrs_tpu.hpo.space import categorical, float_range, int_range, reference_search_space
+from hhrs_tpu.hpo.study import Study, TrialPruned
+
+
+def test_dim_roundtrip():
+    d = categorical(16, 24, 32, 48, 64)
+    for v in d.choices:
+        assert d.from_unit(d.to_unit(v)) == v
+    d = int_range(32, 512, step=32)
+    for v in (32, 256, 512):
+        assert d.from_unit(d.to_unit(v)) == v
+    d = float_range(1e-5, 1e-2, log=True)
+    assert math.isclose(d.from_unit(d.to_unit(1e-3)), 1e-3, rel_tol=1e-9)
+    assert d.from_unit(0.0) == pytest.approx(1e-5)
+    assert d.from_unit(1.0) == pytest.approx(1e-2)
+
+
+def test_random_sampler_in_bounds():
+    space = reference_search_space()
+    s = RandomSampler(seed=1)
+    for _ in range(50):
+        p = s.sample(space, [])
+        assert p["emb_dim"] in (16, 24, 32, 48, 64)
+        assert 32 <= p["hidden_dim"] <= 512 and p["hidden_dim"] % 32 == 0
+        assert 1e-5 <= p["lr"] <= 1e-2
+        assert p["optimizer"] in ("adam", "adamw")
+
+
+def test_tpe_beats_random_on_toy_objective():
+    space = {"x": float_range(0.0, 1.0), "y": float_range(0.0, 1.0)}
+
+    def f(p):
+        return (p["x"] - 0.7) ** 2 + (p["y"] - 0.2) ** 2
+
+    def run(sampler, n=60):
+        hist = []
+        for _ in range(n):
+            p = sampler.sample(space, hist)
+            hist.append((p, f(p)))
+        return min(v for _, v in hist)
+
+    best_tpe = run(TPESampler(seed=3, n_startup_trials=10))
+    assert best_tpe < 1e-2  # TPE should home in on the optimum
+
+
+def test_median_pruner():
+    pr = MedianPruner(n_startup_trials=2, n_warmup_steps=1)
+    completed = [{0: 1.0, 1: 0.5, 2: 0.3}, {0: 1.1, 1: 0.6, 2: 0.35}]
+    assert not pr.should_prune(0, 99.0, completed)  # warmup step
+    assert pr.should_prune(1, 0.9, completed)  # worse than median 0.55
+    assert not pr.should_prune(1, 0.4, completed)
+    assert not pr.should_prune(1, 0.9, completed[:1])  # startup not reached
+
+
+def test_study_resume(tmp_path):
+    journal = str(tmp_path / "j.jsonl")
+    space = {"x": float_range(0.0, 1.0)}
+
+    def obj(trial):
+        return (trial.suggest_float("x") - 0.5) ** 2
+
+    s1 = Study(journal, seed=0)
+    s1.optimize(obj, space, n_trials=5)
+    assert len(s1.trials) == 5
+
+    s2 = Study(journal, seed=0)
+    assert len(s2.trials) == 5
+    s2.optimize(obj, space, n_trials=8)
+    assert len(s2.trials) == 8
+    assert s2.best_value <= s1.best_value
+    # journal holds all 8
+    s3 = Study(journal, seed=0)
+    assert len(s3.trials) == 8
+
+
+def test_study_handles_pruned_and_failed(tmp_path):
+    journal = str(tmp_path / "j.jsonl")
+    space = {"x": float_range(0.0, 1.0)}
+    calls = {"n": 0}
+
+    def obj(trial):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise TrialPruned()
+        if calls["n"] == 3:
+            raise RuntimeError("boom")
+        return trial.suggest_float("x")
+
+    s = Study(journal, seed=0)
+    s.optimize(obj, space, n_trials=5)
+    states = [t["state"] for t in s.trials]
+    assert states.count("pruned") == 1
+    assert states.count("failed") == 1
+    assert states.count("complete") == 3
+    assert math.isfinite(s.best_value)
+
+
+def test_trial_report_prune_flow():
+    space = {"x": float_range(0.0, 1.0)}
+    s = Study(None, seed=0, pruner=MedianPruner(n_startup_trials=1, n_warmup_steps=0))
+
+    # Seed one completed trial with good intermediates.
+    def good(trial):
+        for e in range(3):
+            trial.report(0.1, e)
+        return 0.1
+
+    s.optimize(good, space, n_trials=1)
+
+    pruned = {"hit": False}
+
+    def bad(trial):
+        trial.report(5.0, 0)
+        if trial.should_prune():
+            pruned["hit"] = True
+            raise TrialPruned()
+        return 5.0
+
+    s.optimize(bad, space, n_trials=2)
+    assert pruned["hit"]
+    assert s.trials[1]["state"] == "pruned"
+
+
+def test_hpo_cli_smoke(tmp_path):
+    """Two real trials end-to-end on tiny synthetic data."""
+    from hhrs_tpu.hpo.cli import main
+
+    rc = main([
+        "--trials", "2",
+        "--journal", str(tmp_path / "journal.jsonl"),
+        "--data", str(tmp_path / "data"),
+        "--out", str(tmp_path / "artifacts"),
+        "--synthetic",
+        "--synth-users", "120", "--synth-items", "60", "--synth-reviews", "1500",
+        "--epochs", "2",
+        "train.eval_batch_size=512",
+    ])
+    assert rc == 0
+    assert os.path.exists(tmp_path / "journal.jsonl")
+    assert os.path.exists(tmp_path / "artifacts" / "manifest.json")
