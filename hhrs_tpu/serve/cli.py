@@ -25,13 +25,15 @@ def main(argv=None) -> int:
     p.add_argument("--host", default="0.0.0.0")
     p.add_argument("--port", type=int, default=8000)
     p.add_argument("--no-warmup", action="store_true")
+    p.add_argument("--pallas", action="store_true",
+                   help="score with the fused Pallas eval tower (BN folded)")
     args = p.parse_args(argv)
 
     try:
         from hhrs_tpu.serve.engine import RecommendationEngine
         from hhrs_tpu.serve.http import serve_forever
 
-        engine = RecommendationEngine.from_dirs(args.artifacts, args.data)
+        engine = RecommendationEngine.from_dirs(args.artifacts, args.data, use_pallas=args.pallas)
         if not args.no_warmup:
             log.info("warming up compiled request program...")
             engine.warmup()

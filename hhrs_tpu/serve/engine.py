@@ -49,11 +49,13 @@ class RecommendationEngine:
         main_df: pd.DataFrame,
         friendships: pd.DataFrame,
         retrieval_cfg: RetrievalConfig | None = None,
+        use_pallas: bool = False,
     ):
         self.bundle = bundle
         self.retrieval_cfg = retrieval_cfg or RetrievalConfig()
         self.main_df = main_df
         self.latency = LatencyHistogram()
+        self.use_pallas = use_pallas
 
         art = bundle.preproc
         self.gen = CandidateGenerator(
@@ -103,6 +105,18 @@ class RecommendationEngine:
         self._cfg = bundle.model_cfg
         self._unknown_user = art.unknown_user_id
         self._user_map = art.user_id_mapping
+        self._folded = None
+        if self.use_pallas:
+            # Fused eval tower (ops/pallas/tower_kernel.py): BN folded into
+            # the matmuls, whole tower one kernel. Interpret off-TPU so the
+            # flag still works in CPU tests.
+            from hhrs_tpu.ops.pallas import pallas_supported
+            from hhrs_tpu.ops.pallas.tower_kernel import fold_eval_params
+
+            self._folded = fold_eval_params(
+                bundle.params, bundle.bn_state, eps=bundle.model_cfg.bn_eps
+            )
+            self._pallas_interpret = not pallas_supported()
         self._recommend_jit = jax.jit(self._recommend_impl)
 
     # ------------------------------------------------------------------ #
@@ -112,16 +126,24 @@ class RecommendationEngine:
         cand, _neg, count = self.gen._generate_impl(padded_sources, city_idx)
         M = self.gen._M
         users = jnp.full((M,), user_internal, jnp.int32)
-        logits, _ = apply_dcn(
-            self._params,
-            self._bn_state,
-            users,
-            self._item_internal,
-            self._X_cat,
-            self._X_num,
-            cfg=self._cfg,
-            train=False,
-        )
+        if self._folded is not None:
+            from hhrs_tpu.ops.pallas.tower_kernel import build_x0, dcnr_tower_eval_pallas
+
+            x0 = build_x0(self._params, users, self._item_internal, self._X_cat, self._X_num)
+            logits = dcnr_tower_eval_pallas(
+                self._folded, x0, self._cfg.cross_variant, interpret=self._pallas_interpret
+            )
+        else:
+            logits, _ = apply_dcn(
+                self._params,
+                self._bn_state,
+                users,
+                self._item_internal,
+                self._X_cat,
+                self._X_num,
+                cfg=self._cfg,
+                train=False,
+            )
         scores = jnp.where(cand, logits, NEG_INF)
         mmr_idx = mmr_rerank(
             scores,
@@ -205,7 +227,8 @@ class RecommendationEngine:
     # ------------------------------------------------------------------ #
 
     @classmethod
-    def from_dirs(cls, artifacts_dir: str, data_dir: str, retrieval_cfg=None) -> "RecommendationEngine":
+    def from_dirs(cls, artifacts_dir: str, data_dir: str, retrieval_cfg=None,
+                  use_pallas: bool = False) -> "RecommendationEngine":
         """Startup loader (reference load_artifacts, main.py:233-277)."""
         import os
 
@@ -213,7 +236,7 @@ class RecommendationEngine:
         main_df = load_reviews_csv(os.path.join(data_dir, "hackathon_augmented_data.csv"))
         main_df = add_engineered_features(main_df)
         friendships = load_friendships_csv(os.path.join(data_dir, "friendships.csv"))
-        return cls(bundle, main_df, friendships, retrieval_cfg)
+        return cls(bundle, main_df, friendships, retrieval_cfg, use_pallas=use_pallas)
 
     def warmup(self) -> None:
         """Compile the request program before accepting traffic."""

@@ -64,6 +64,7 @@ def main(argv=None) -> int:
     p.add_argument("--synth-reviews", type=int, default=40000)
     p.add_argument("--epochs", type=int, default=None)
     p.add_argument("--metrics-log", default=None, help="JSONL per-epoch metrics sink")
+    p.add_argument("--checkpoint-dir", default=None, help="orbax checkpoint dir (resume-from-latest)")
     p.add_argument("overrides", nargs="*", help="section.field=value config overrides")
     args = p.parse_args(argv)
 
@@ -92,7 +93,10 @@ def main(argv=None) -> int:
     )
 
     metrics_logger = MetricsLogger(args.metrics_log) if args.metrics_log else None
-    result = train_dcn(splits, dims, cfg.model, cfg.train, metrics_logger=metrics_logger)
+    result = train_dcn(
+        splits, dims, cfg.model, cfg.train,
+        metrics_logger=metrics_logger, checkpoint_dir=args.checkpoint_dir,
+    )
 
     m = result.final_metrics
     log.info("Final Validation LogLoss: %.4f", m["val_logloss"])

@@ -154,11 +154,15 @@ def train_dcn(
     mesh=None,
     report_fn: Callable[[int, float], bool] | None = None,
     metrics_logger=None,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 1,
 ) -> TrainResult:
     """Full training run; returns the best checkpoint (by val loss) + history.
 
     ``report_fn(epoch, val_loss) -> should_prune`` is the HPO pruning hook
-    (reference train.py:236-238).
+    (reference train.py:236-238). With ``checkpoint_dir`` the full loop
+    state saves every ``checkpoint_every`` epochs and a rerun resumes from
+    the latest completed epoch (train/checkpoint.py).
     """
     rng = jax.random.PRNGKey(train_cfg.seed)
     init_rng, rng = jax.random.split(rng)
@@ -199,11 +203,46 @@ def train_dcn(
     best_snapshot = None
     epochs_no_improve = 0
     shuffle_rng = np.random.default_rng(train_cfg.seed)
+    start_epoch = 0
+
+    ckpt = None
+    if checkpoint_dir is not None:
+        from hhrs_tpu.train.checkpoint import TrainCheckpointer
+
+        ckpt = TrainCheckpointer(checkpoint_dir)
+        latest = ckpt.latest_epoch()
+        if latest is not None:
+            state_tpl = {
+                "params": params,
+                "bn_state": bn_state,
+                "opt_state": opt_state,
+                "best_params": params,
+                "best_bn": bn_state,
+                "rng": rng,
+            }
+            state, meta = ckpt.restore(latest, jax.device_get(state_tpl))
+            params = jax.device_put(state["params"])
+            bn_state = jax.device_put(state["bn_state"])
+            opt_state = jax.device_put(state["opt_state"])
+            rng = jnp.asarray(state["rng"])
+            if meta["has_best"]:
+                best_snapshot = (state["best_params"], state["best_bn"])
+            start_epoch = latest + 1
+            result.history = meta["history"]
+            result.best_val_loss = meta["best_val_loss"]
+            result.best_epoch = meta["best_epoch"]
+            epochs_no_improve = meta["epochs_no_improve"]
+            plateau.lr = meta["plateau"]["lr"]
+            plateau.best = meta["plateau"]["best"]
+            plateau.num_bad = meta["plateau"]["num_bad"]
+            opt_state = set_learning_rate(opt_state, plateau.lr)
+            shuffle_rng.bit_generator.state = meta["shuffle_rng_state"]
+            log.info("resumed from checkpoint epoch %d", latest)
 
     t_start = time.perf_counter()
     examples_seen = 0
 
-    for epoch in range(train_cfg.n_epochs):
+    for epoch in range(start_epoch, train_cfg.n_epochs):
         perm = shuffle_rng.permutation(n_train)
         epoch_losses = []
         for s in range(steps_per_epoch):
@@ -243,6 +282,31 @@ def train_dcn(
         else:
             epochs_no_improve += 1
 
+        if ckpt is not None and (epoch + 1) % checkpoint_every == 0:
+            bp, bb = best_snapshot if best_snapshot is not None else (params, bn_state)
+            ckpt.save(
+                epoch,
+                jax.device_get(
+                    {
+                        "params": params,
+                        "bn_state": bn_state,
+                        "opt_state": opt_state,
+                        "best_params": bp,
+                        "best_bn": bb,
+                        "rng": rng,
+                    }
+                ),
+                {
+                    "has_best": best_snapshot is not None,
+                    "history": result.history,
+                    "best_val_loss": result.best_val_loss,
+                    "best_epoch": result.best_epoch,
+                    "epochs_no_improve": epochs_no_improve,
+                    "plateau": {"lr": plateau.lr, "best": plateau.best, "num_bad": plateau.num_bad},
+                    "shuffle_rng_state": shuffle_rng.bit_generator.state,
+                },
+            )
+
         if report_fn is not None and report_fn(epoch, val_loss):
             log.info("trial pruned at epoch %d", epoch)
             result.pruned = True
@@ -251,6 +315,9 @@ def train_dcn(
         if epochs_no_improve >= train_cfg.early_stop_patience:
             log.info("early stopping at epoch %d", epoch + 1)
             break
+
+    if ckpt is not None:
+        ckpt.close()
 
     elapsed = time.perf_counter() - t_start
     result.examples_per_s = examples_seen / max(elapsed, 1e-9)

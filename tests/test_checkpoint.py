@@ -1,0 +1,69 @@
+"""Checkpoint/resume fault-injection tests (SURVEY.md §5: kill training
+mid-run, assert resume continues identically to an uninterrupted run)."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from hhrs_tpu.config import ModelConfig, TrainConfig
+from hhrs_tpu.data.features import add_engineered_features
+from hhrs_tpu.data.ingest import noise_filter
+from hhrs_tpu.data.preprocess import Preprocessor
+from hhrs_tpu.data.synthetic import generate_synthetic_dataset
+from hhrs_tpu.models.dcn import ModelDims
+from hhrs_tpu.train.trainer import train_dcn
+
+MCFG = ModelConfig(emb_dim=8, hidden_dim=32, n_cross_layers=1, n_res_blocks=1, dropout=0.2)
+TCFG = TrainConfig(lr=3e-3, batch_size=256, n_epochs=6, early_stop_patience=10,
+                   eval_batch_size=1024)
+
+
+@pytest.fixture(scope="module")
+def small_splits():
+    ds = generate_synthetic_dataset(n_users=200, n_items=80, n_reviews=4000, seed=11)
+    df = add_engineered_features(noise_filter(ds.reviews.rename(
+        columns={"guest_id": "user_id", "hotel_id": "item_id"})))
+    return Preprocessor().fit_transform(df)
+
+
+def test_resume_matches_uninterrupted(small_splits, tmp_path):
+    splits, art = small_splits
+    dims = ModelDims.from_artifacts(art)
+
+    # Uninterrupted 6-epoch run.
+    full = train_dcn(splits, dims, MCFG, TCFG)
+
+    # Interrupted: 3 epochs with checkpointing, then "crash" and rerun to 6.
+    ckpt_dir = str(tmp_path / "ckpt")
+    part1 = train_dcn(
+        splits, dims, MCFG, dataclasses.replace(TCFG, n_epochs=3), checkpoint_dir=ckpt_dir
+    )
+    assert len(part1.history) == 3
+
+    part2 = train_dcn(splits, dims, MCFG, TCFG, checkpoint_dir=ckpt_dir)
+    # Resumed run carries the prior history and continues from epoch 3.
+    assert [h["epoch"] for h in part2.history] == list(range(6))
+
+    for h_full, h_res in zip(full.history, part2.history):
+        np.testing.assert_allclose(h_full["train_loss"], h_res["train_loss"], rtol=1e-5)
+        np.testing.assert_allclose(h_full["val_loss"], h_res["val_loss"], rtol=1e-5)
+        assert h_full["lr"] == pytest.approx(h_res["lr"])
+
+    np.testing.assert_allclose(full.best_val_loss, part2.best_val_loss, rtol=1e-5)
+    assert full.best_epoch == part2.best_epoch
+    np.testing.assert_allclose(
+        full.final_metrics["val_auc"], part2.final_metrics["val_auc"], rtol=1e-4
+    )
+
+
+def test_resume_noop_when_complete(small_splits, tmp_path):
+    """Resuming a finished run trains zero extra epochs, returns best state."""
+    splits, art = small_splits
+    dims = ModelDims.from_artifacts(art)
+    ckpt_dir = str(tmp_path / "ckpt2")
+    cfg3 = dataclasses.replace(TCFG, n_epochs=3)
+    first = train_dcn(splits, dims, MCFG, cfg3, checkpoint_dir=ckpt_dir)
+    again = train_dcn(splits, dims, MCFG, cfg3, checkpoint_dir=ckpt_dir)
+    assert [h["epoch"] for h in again.history] == [0, 1, 2]
+    np.testing.assert_allclose(first.best_val_loss, again.best_val_loss, rtol=1e-6)

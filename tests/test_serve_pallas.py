@@ -1,0 +1,26 @@
+"""The Pallas-fused serve engine must return the same recommendations as
+the jnp engine (BN folding + fused tower are numerics-preserving)."""
+
+import pytest
+
+from hhrs_tpu.serve.engine import RecommendationEngine
+
+from tests.test_serve import engine_setup  # noqa: F401 — module fixture
+
+
+@pytest.mark.parametrize("lam", [1.0, 0.6])
+def test_pallas_engine_matches_jnp_engine(engine_setup, lam):  # noqa: F811
+    engine, main_df, friendships, bundle = engine_setup
+    pallas_engine = RecommendationEngine(bundle, main_df, friendships, use_pallas=True)
+
+    uni = engine.gen.universe
+    checked = 0
+    for user_id in uni.user_ids[:6]:
+        for city in uni.cities[:2]:
+            a = engine.recommend(int(user_id), city, "friends", lam)
+            b = pallas_engine.recommend(int(user_id), city, "friends", lam)
+            ra = [h["hotel_id"] for h in a.get("ranked_hotels", [])]
+            rb = [h["hotel_id"] for h in b.get("ranked_hotels", [])]
+            assert ra == rb
+            checked += len(ra)
+    assert checked > 0
