@@ -1,0 +1,80 @@
+"""DB ops entry point: ``python -m hhrs_tpu.db.cli``.
+
+Equivalent of ``python database_setup.py`` in the reference
+(database_setup.py:127-129) plus working registry commands:
+
+  seed      --db hhrs.sqlite --data data/
+  register  --db hhrs.sqlite --artifacts artifacts/ [--version v1] [--no-activate]
+  activate  --db hhrs.sqlite --model-id N
+  list      --db hhrs.sqlite
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import os
+import sys
+
+from hhrs_tpu.utils.logging import setup_logging
+
+log = logging.getLogger("hhrs_tpu.db")
+
+
+def main(argv=None) -> int:
+    setup_logging()
+    p = argparse.ArgumentParser(description="DB seeding + model registry ops")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    ps = sub.add_parser("seed")
+    ps.add_argument("--db", default="hhrs.sqlite")
+    ps.add_argument("--data", default="data")
+
+    pr = sub.add_parser("register")
+    pr.add_argument("--db", default="hhrs.sqlite")
+    pr.add_argument("--artifacts", default="artifacts")
+    pr.add_argument("--version", default=None)
+    pr.add_argument("--no-activate", action="store_true")
+
+    pa = sub.add_parser("activate")
+    pa.add_argument("--db", default="hhrs.sqlite")
+    pa.add_argument("--model-id", type=int, required=True)
+
+    pl = sub.add_parser("list")
+    pl.add_argument("--db", default="hhrs.sqlite")
+
+    args = p.parse_args(argv)
+    from hhrs_tpu.db.registry import ModelRegistry, seed_database
+
+    try:
+        if args.cmd == "seed":
+            counts = seed_database(args.db, args.data)
+            log.info("Database seeded successfully: %s", counts)
+        elif args.cmd == "register":
+            manifest_path = os.path.join(args.artifacts, "manifest.json")
+            with open(manifest_path) as f:
+                manifest = json.load(f)
+            version = args.version or f"v{len(ModelRegistry(args.db).list()) + 1}"
+            mid = ModelRegistry(args.db).register(
+                version,
+                args.artifacts,
+                metrics=manifest.get("metrics", {}),
+                hyperparams=manifest.get("model_config", {}),
+                activate=not args.no_activate,
+            )
+            log.info("registered model_id=%d version=%s", mid, version)
+        elif args.cmd == "activate":
+            ModelRegistry(args.db).activate(args.model_id)
+            log.info("model %d is now active", args.model_id)
+        elif args.cmd == "list":
+            for m in ModelRegistry(args.db).list():
+                print(json.dumps(m))
+        return 0
+    except Exception as e:
+        log.error("An error occurred: %s. Rolled back.", e)
+        return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,268 @@
+"""sqlite3 schema, seeding, and the model registry.
+
+Schema parity with the reference (database_setup.py:23-64): users, hotels,
+reviews, friendships, ml_models — same columns, same dedup rules
+(friendship pairs stored sorted + unique, database_setup.py:105-110), same
+idempotent drop/create/seed with rollback on failure (…:115-123).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import sqlite3
+import time
+
+import pandas as pd
+
+from hhrs_tpu.data import schema as dschema
+
+log = logging.getLogger(__name__)
+
+DDL = """
+CREATE TABLE users (
+    user_id INTEGER PRIMARY KEY
+);
+CREATE TABLE hotels (
+    hotel_id INTEGER PRIMARY KEY,
+    city TEXT,
+    hotel_type TEXT,
+    price_rub REAL,
+    stars REAL,
+    user_reviews_count REAL
+);
+CREATE TABLE reviews (
+    review_id INTEGER PRIMARY KEY AUTOINCREMENT,
+    user_id INTEGER NOT NULL REFERENCES users(user_id),
+    hotel_id INTEGER NOT NULL REFERENCES hotels(hotel_id),
+    rating_overall REAL,
+    rating_location REAL,
+    rating_cleanliness REAL,
+    rating_food REAL,
+    rating_service REAL,
+    was_booked INTEGER
+);
+CREATE TABLE friendships (
+    user_id_1 INTEGER NOT NULL REFERENCES users(user_id),
+    user_id_2 INTEGER NOT NULL REFERENCES users(user_id),
+    PRIMARY KEY (user_id_1, user_id_2)
+);
+"""
+
+ML_MODELS_DDL = """
+CREATE TABLE ml_models (
+    model_id INTEGER PRIMARY KEY AUTOINCREMENT,
+    version TEXT NOT NULL,
+    created_at REAL NOT NULL,
+    metrics_json TEXT,
+    hyperparams_json TEXT,
+    artifact_path TEXT NOT NULL,
+    is_active INTEGER NOT NULL DEFAULT 0
+);
+"""
+
+DDL = DDL + ML_MODELS_DDL
+
+TABLES = ("users", "hotels", "reviews", "friendships", "ml_models")
+
+
+def connect(db_path: str) -> sqlite3.Connection:
+    conn = sqlite3.connect(db_path)
+    conn.execute("PRAGMA foreign_keys = ON")
+    return conn
+
+
+def create_schema(conn: sqlite3.Connection, drop: bool = True) -> None:
+    cur = conn.cursor()
+    if drop:
+        # Children before parents, with FK enforcement off during the DDL.
+        cur.execute("PRAGMA foreign_keys = OFF")
+        for t in reversed(TABLES):
+            cur.execute(f"DROP TABLE IF EXISTS {t}")
+    cur.executescript(DDL)
+    cur.execute("PRAGMA foreign_keys = ON")
+    conn.commit()
+
+
+def seed_database(db_path: str, data_dir: str) -> dict:
+    """Idempotent drop/create/seed from the two CSVs; rollback on error.
+
+    Mirrors the reference seeding flow (database_setup.py:66-123): users =
+    union of review + friendship ids, hotels deduped on id, friendships
+    stored as sorted unique pairs.
+    """
+    reviews = pd.read_csv(os.path.join(data_dir, "hackathon_augmented_data.csv"))
+    reviews = reviews.rename(
+        columns={dschema.RAW_USER_COL: "user_id", dschema.RAW_ITEM_COL: "hotel_id"}
+    )
+    friends = pd.read_csv(os.path.join(data_dir, "friendships.csv"))
+
+    conn = connect(db_path)
+    try:
+        create_schema(conn, drop=True)
+        cur = conn.cursor()
+
+        user_ids = sorted(
+            set(reviews["user_id"].astype(int))
+            | set(friends["user_id_1"].astype(int))
+            | set(friends["user_id_2"].astype(int))
+        )
+        cur.executemany("INSERT INTO users (user_id) VALUES (?)", [(u,) for u in user_ids])
+
+        hotels = reviews.drop_duplicates(subset=["hotel_id"])
+        cur.executemany(
+            "INSERT INTO hotels VALUES (?,?,?,?,?,?)",
+            [
+                (
+                    int(r.hotel_id), str(r.city), str(r.hotel_type),
+                    float(r.price_rub), float(r.stars), float(r.user_reviews_count),
+                )
+                for r in hotels.itertuples()
+            ],
+        )
+
+        cur.executemany(
+            "INSERT INTO reviews (user_id, hotel_id, rating_overall, rating_location,"
+            " rating_cleanliness, rating_food, rating_service, was_booked)"
+            " VALUES (?,?,?,?,?,?,?,?)",
+            [
+                (
+                    int(r.user_id), int(r.hotel_id), float(r.rating_overall),
+                    float(r.rating_location), float(r.rating_cleanliness),
+                    float(r.rating_food), float(r.rating_service), int(r.was_booked),
+                )
+                for r in reviews.itertuples()
+            ],
+        )
+
+        # Sorted-pair dedup (reference database_setup.py:105-110).
+        pairs = {
+            (min(int(a), int(b)), max(int(a), int(b)))
+            for a, b in zip(friends["user_id_1"], friends["user_id_2"])
+            if int(a) != int(b)
+        }
+        cur.executemany("INSERT INTO friendships VALUES (?,?)", sorted(pairs))
+
+        conn.commit()
+        counts = {
+            t: cur.execute(f"SELECT COUNT(*) FROM {t}").fetchone()[0] for t in TABLES
+        }
+        log.info("seeded %s: %s", db_path, counts)
+        return counts
+    except Exception:
+        conn.rollback()
+        raise
+    finally:
+        conn.close()
+
+
+class ModelRegistry:
+    """The ml_models registry, made functional (the reference never reads
+    its own registry table — SURVEY.md §1)."""
+
+    def __init__(self, db_path: str):
+        self.db_path = db_path
+        conn = connect(db_path)
+        have = {
+            r[0]
+            for r in conn.execute(
+                "SELECT name FROM sqlite_master WHERE type='table'"
+            ).fetchall()
+        }
+        if "ml_models" not in have:
+            conn.executescript(ML_MODELS_DDL)
+            conn.commit()
+        conn.close()
+
+    def register(
+        self,
+        version: str,
+        artifact_path: str,
+        metrics: dict | None = None,
+        hyperparams: dict | None = None,
+        activate: bool = True,
+    ) -> int:
+        conn = connect(self.db_path)
+        try:
+            cur = conn.cursor()
+            if activate:
+                cur.execute("UPDATE ml_models SET is_active = 0")
+            cur.execute(
+                "INSERT INTO ml_models (version, created_at, metrics_json,"
+                " hyperparams_json, artifact_path, is_active) VALUES (?,?,?,?,?,?)",
+                (
+                    version, time.time(), json.dumps(metrics or {}),
+                    json.dumps(hyperparams or {}), os.path.abspath(artifact_path),
+                    1 if activate else 0,
+                ),
+            )
+            conn.commit()
+            return cur.lastrowid
+        finally:
+            conn.close()
+
+    def active(self) -> dict | None:
+        conn = connect(self.db_path)
+        try:
+            row = conn.execute(
+                "SELECT model_id, version, created_at, metrics_json, hyperparams_json,"
+                " artifact_path FROM ml_models WHERE is_active = 1"
+                " ORDER BY created_at DESC LIMIT 1"
+            ).fetchone()
+        finally:
+            conn.close()
+        if row is None:
+            return None
+        return {
+            "model_id": row[0],
+            "version": row[1],
+            "created_at": row[2],
+            "metrics": json.loads(row[3] or "{}"),
+            "hyperparams": json.loads(row[4] or "{}"),
+            "artifact_path": row[5],
+        }
+
+    def activate(self, model_id: int) -> None:
+        conn = connect(self.db_path)
+        try:
+            cur = conn.cursor()
+            cur.execute("UPDATE ml_models SET is_active = 0")
+            n = cur.execute(
+                "UPDATE ml_models SET is_active = 1 WHERE model_id = ?", (model_id,)
+            ).rowcount
+            if n == 0:
+                raise KeyError(f"model_id {model_id} not found")
+            conn.commit()
+        finally:
+            conn.close()
+
+    def list(self) -> list[dict]:
+        conn = connect(self.db_path)
+        try:
+            rows = conn.execute(
+                "SELECT model_id, version, created_at, metrics_json, artifact_path,"
+                " is_active FROM ml_models ORDER BY created_at"
+            ).fetchall()
+        finally:
+            conn.close()
+        return [
+            {
+                "model_id": r[0], "version": r[1], "created_at": r[2],
+                "metrics": json.loads(r[3] or "{}"), "artifact_path": r[4],
+                "is_active": bool(r[5]),
+            }
+            for r in rows
+        ]
+
+
+def resolve_artifacts_dir(spec: str) -> str:
+    """Resolve 'registry:<db_path>' to the active model's artifact dir;
+    anything else passes through as a plain directory path."""
+    if spec.startswith("registry:"):
+        reg = ModelRegistry(spec[len("registry:"):])
+        active = reg.active()
+        if active is None:
+            raise FileNotFoundError("no active model in registry")
+        return active["artifact_path"]
+    return spec

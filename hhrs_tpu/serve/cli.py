@@ -20,7 +20,8 @@ log = logging.getLogger("hhrs_tpu.serve")
 def main(argv=None) -> int:
     setup_logging()
     p = argparse.ArgumentParser(description="Serve the TPU-native hybrid recommender")
-    p.add_argument("--artifacts", default="artifacts")
+    p.add_argument("--artifacts", default="artifacts",
+                   help="artifact dir, or 'registry:<db>' to use the active registered model")
     p.add_argument("--data", default="data")
     p.add_argument("--host", default="0.0.0.0")
     p.add_argument("--port", type=int, default=8000)
@@ -30,10 +31,12 @@ def main(argv=None) -> int:
     args = p.parse_args(argv)
 
     try:
+        from hhrs_tpu.db.registry import resolve_artifacts_dir
         from hhrs_tpu.serve.engine import RecommendationEngine
         from hhrs_tpu.serve.http import serve_forever
 
-        engine = RecommendationEngine.from_dirs(args.artifacts, args.data, use_pallas=args.pallas)
+        artifacts_dir = resolve_artifacts_dir(args.artifacts)
+        engine = RecommendationEngine.from_dirs(artifacts_dir, args.data, use_pallas=args.pallas)
         if not args.no_warmup:
             log.info("warming up compiled request program...")
             engine.warmup()

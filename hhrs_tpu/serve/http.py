@@ -36,6 +36,21 @@ DOCS_HTML = """<!doctype html><html><head><title>Hybrid Recommendation API</titl
 <h2>GET /healthz</h2></body></html>"""
 
 
+def _prometheus_metrics(engine) -> str:
+    """Prometheus text exposition of the serve-path latency histogram."""
+    s = engine.latency.summary()
+    lines = [
+        "# TYPE hhrs_recommend_requests_total counter",
+        f"hhrs_recommend_requests_total {s['count']}",
+        "# TYPE hhrs_recommend_latency_ms summary",
+    ]
+    for q, key in ((0.5, "p50_ms"), (0.9, "p90_ms"), (0.99, "p99_ms")):
+        v = s.get(key)
+        if v is not None and v == v:  # skip NaN before any traffic
+            lines.append(f'hhrs_recommend_latency_ms{{quantile="{q}"}} {v:.3f}')
+    return "\n".join(lines) + "\n"
+
+
 def make_handler(engine):
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"
@@ -62,6 +77,8 @@ def make_handler(engine):
                     return self._similar_items(parse_qs(url.query))
                 if url.path == "/healthz":
                     return self._send(200, {"status": "ok", "latency": engine.latency.summary()})
+                if url.path == "/metrics":
+                    return self._send(200, _prometheus_metrics(engine), "text/plain; version=0.0.4")
                 if url.path == "/docs":
                     return self._send(200, DOCS_HTML, "text/html")
                 return self._send(404, {"detail": "Not Found"})

@@ -65,6 +65,10 @@ def main(argv=None) -> int:
     p.add_argument("--epochs", type=int, default=None)
     p.add_argument("--metrics-log", default=None, help="JSONL per-epoch metrics sink")
     p.add_argument("--checkpoint-dir", default=None, help="orbax checkpoint dir (resume-from-latest)")
+    p.add_argument("--register-db", default=None,
+                   help="register exported artifacts as the active model in this sqlite registry")
+    p.add_argument("--profile-dir", default=None,
+                   help="capture a jax.profiler trace of the run into this dir")
     p.add_argument("overrides", nargs="*", help="section.field=value config overrides")
     args = p.parse_args(argv)
 
@@ -93,10 +97,17 @@ def main(argv=None) -> int:
     )
 
     metrics_logger = MetricsLogger(args.metrics_log) if args.metrics_log else None
-    result = train_dcn(
-        splits, dims, cfg.model, cfg.train,
-        metrics_logger=metrics_logger, checkpoint_dir=args.checkpoint_dir,
-    )
+
+    import contextlib
+
+    from hhrs_tpu.utils.profiling import trace
+
+    profile_cm = trace(args.profile_dir) if args.profile_dir else contextlib.nullcontext()
+    with profile_cm:
+        result = train_dcn(
+            splits, dims, cfg.model, cfg.train,
+            metrics_logger=metrics_logger, checkpoint_dir=args.checkpoint_dir,
+        )
 
     m = result.final_metrics
     log.info("Final Validation LogLoss: %.4f", m["val_logloss"])
@@ -106,6 +117,18 @@ def main(argv=None) -> int:
 
     export_artifacts(args.out, result.params, result.bn_state, cfg.model, dims, preproc, m)
     log.info("artifacts exported to %s", args.out)
+
+    if args.register_db:
+        import dataclasses
+
+        from hhrs_tpu.db.registry import ModelRegistry
+
+        reg = ModelRegistry(args.register_db)
+        mid = reg.register(
+            f"v{len(reg.list()) + 1}", args.out,
+            metrics=m, hyperparams=dataclasses.asdict(cfg.model),
+        )
+        log.info("registered model_id=%d in %s", mid, args.register_db)
     return 0
 
 

@@ -1,0 +1,77 @@
+"""DB seeding + model registry tests (reference database_setup.py parity:
+idempotent seed, sorted-pair friendship dedup, rollback; plus the
+functional registry the reference only designed)."""
+
+import json
+import os
+import sqlite3
+
+import pytest
+
+from hhrs_tpu.data.synthetic import write_synthetic_dataset
+from hhrs_tpu.db.registry import ModelRegistry, resolve_artifacts_dir, seed_database
+
+
+@pytest.fixture(scope="module")
+def data_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("dbdata"))
+    write_synthetic_dataset(d, n_users=100, n_items=40, n_reviews=800, n_friendships=200, seed=5)
+    return d
+
+
+def test_seed_counts_and_dedup(data_dir, tmp_path):
+    db = str(tmp_path / "hhrs.sqlite")
+    counts = seed_database(db, data_dir)
+    assert counts["reviews"] == 800
+    assert counts["hotels"] <= 40
+    assert counts["users"] >= counts["hotels"] > 0
+
+    conn = sqlite3.connect(db)
+    # sorted-pair invariant (reference database_setup.py:105-110)
+    bad = conn.execute("SELECT COUNT(*) FROM friendships WHERE user_id_1 >= user_id_2").fetchone()[0]
+    assert bad == 0
+    # reseeding is idempotent
+    counts2 = seed_database(db, data_dir)
+    assert counts2 == counts
+    conn.close()
+
+
+def test_seed_rollback_on_missing_data(tmp_path):
+    db = str(tmp_path / "x.sqlite")
+    with pytest.raises(FileNotFoundError):
+        seed_database(db, str(tmp_path / "nope"))
+
+
+def test_registry_lifecycle(tmp_path):
+    db = str(tmp_path / "reg.sqlite")
+    reg = ModelRegistry(db)
+    assert reg.active() is None
+
+    a = reg.register("v1", str(tmp_path / "art1"), metrics={"val_auc": 0.91})
+    b = reg.register("v2", str(tmp_path / "art2"), metrics={"val_auc": 0.93})
+    assert reg.active()["version"] == "v2"  # latest registration activates
+
+    reg.activate(a)
+    assert reg.active()["version"] == "v1"
+    assert len(reg.list()) == 2
+    with pytest.raises(KeyError):
+        reg.activate(999)
+
+    assert resolve_artifacts_dir(f"registry:{db}") == os.path.abspath(str(tmp_path / "art1"))
+    assert resolve_artifacts_dir("plain/dir") == "plain/dir"
+
+
+def test_db_cli_seed_and_register(data_dir, tmp_path):
+    from hhrs_tpu.db.cli import main
+
+    db = str(tmp_path / "cli.sqlite")
+    assert main(["seed", "--db", db, "--data", data_dir]) == 0
+
+    art = tmp_path / "arts"
+    art.mkdir()
+    (art / "manifest.json").write_text(json.dumps({"metrics": {"val_auc": 0.9}, "model_config": {}}))
+    assert main(["register", "--db", db, "--artifacts", str(art)]) == 0
+    assert ModelRegistry(db).active()["metrics"]["val_auc"] == 0.9
+    assert main(["list", "--db", db]) == 0
+    # error path returns 1 (reference exit-1 semantics)
+    assert main(["seed", "--db", db, "--data", str(tmp_path / "missing")]) == 1
