@@ -19,11 +19,25 @@ from hhrs_tpu.data import schema
 log = logging.getLogger(__name__)
 
 
-def load_reviews_csv(path: str) -> pd.DataFrame:
+def _read_csv(path: str, engine: str = "auto") -> pd.DataFrame:
+    """native (C++ mmap reader) when built, pandas otherwise."""
+    if engine in ("auto", "native"):
+        from hhrs_tpu import runtime
+
+        if runtime.native_available():
+            from hhrs_tpu.runtime.csv import read_csv_native
+
+            return read_csv_native(path)
+        if engine == "native":
+            raise RuntimeError("native runtime not available")
+    return pd.read_csv(path)
+
+
+def load_reviews_csv(path: str, engine: str = "auto") -> pd.DataFrame:
     """Load the reviews CSV and normalize user/item column names."""
     if not os.path.exists(path):
         raise FileNotFoundError(path)
-    df = pd.read_csv(path)
+    df = _read_csv(path, engine)
     df = df.rename(
         columns={schema.RAW_USER_COL: schema.USER_COL, schema.RAW_ITEM_COL: schema.ITEM_COL}
     )
@@ -31,10 +45,10 @@ def load_reviews_csv(path: str) -> pd.DataFrame:
     return df
 
 
-def load_friendships_csv(path: str) -> pd.DataFrame:
+def load_friendships_csv(path: str, engine: str = "auto") -> pd.DataFrame:
     if not os.path.exists(path):
         raise FileNotFoundError(path)
-    df = pd.read_csv(path)
+    df = _read_csv(path, engine)
     missing = [c for c in schema.FRIEND_COLS if c not in df.columns]
     if missing:
         raise ValueError(f"friendships CSV missing columns {missing}")

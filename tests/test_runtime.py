@@ -1,0 +1,77 @@
+"""Native C++ CSV reader tests: pandas parity on the project schema,
+edge cases (missing values, quoted fields, CRLF), and thread invariance."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from hhrs_tpu.data.synthetic import write_synthetic_dataset
+from hhrs_tpu.runtime import native_available
+
+pytestmark = pytest.mark.skipif(
+    not native_available(), reason="native runtime not built (no toolchain)"
+)
+
+
+def _assert_frames_match(ref: pd.DataFrame, nat: pd.DataFrame):
+    assert list(ref.columns) == list(nat.columns)
+    assert len(ref) == len(nat)
+    for c in ref.columns:
+        r, m = ref[c], nat[c]
+        if str(r.dtype) == "object" or str(r.dtype).startswith("str"):
+            assert (
+                r.fillna("~").astype(str).to_numpy() == m.fillna("~").astype(str).to_numpy()
+            ).all(), c
+        else:
+            assert r.dtype == m.dtype, (c, r.dtype, m.dtype)
+            np.testing.assert_allclose(
+                r.to_numpy(np.float64), m.to_numpy(np.float64), rtol=1e-12, equal_nan=True
+            )
+
+
+def test_parity_on_synthetic_schema(tmp_path):
+    from hhrs_tpu.runtime.csv import read_csv_native
+
+    write_synthetic_dataset(str(tmp_path), n_users=300, n_items=100, n_reviews=5000, seed=9)
+    for f in ("hackathon_augmented_data.csv", "friendships.csv"):
+        path = str(tmp_path / f)
+        _assert_frames_match(pd.read_csv(path), read_csv_native(path))
+
+
+def test_edge_cases(tmp_path):
+    from hhrs_tpu.runtime.csv import read_csv_native
+
+    p = tmp_path / "edge.csv"
+    p.write_text(
+        "id,price,city,note\r\n"
+        "1,10.5,\"Sochi\",hello\r\n"
+        "2,,Moscow,\r\n"
+        "3,-7.25,Sochi,world\r\n"
+    )
+    ref = pd.read_csv(str(p))
+    nat = read_csv_native(str(p))
+    _assert_frames_match(ref, nat)
+    assert nat["id"].dtype == np.int64
+    assert nat["price"].dtype == np.float64  # has a missing cell → float
+    assert pd.isna(nat["price"].iloc[1])
+    assert pd.isna(nat["note"].iloc[1])
+
+
+def test_thread_invariance(tmp_path):
+    from hhrs_tpu.runtime.csv import read_csv_native
+
+    write_synthetic_dataset(str(tmp_path), n_users=200, n_items=80, n_reviews=3000, seed=4)
+    path = str(tmp_path / "hackathon_augmented_data.csv")
+    a = read_csv_native(path, n_threads=1)
+    b = read_csv_native(path, n_threads=7)
+    _assert_frames_match(a, b)
+
+
+def test_ingest_uses_native_with_parity(tmp_path):
+    from hhrs_tpu.data.ingest import load_reviews_csv
+
+    write_synthetic_dataset(str(tmp_path), n_users=100, n_items=50, n_reviews=1000, seed=2)
+    path = str(tmp_path / "hackathon_augmented_data.csv")
+    nat = load_reviews_csv(path, engine="native")
+    ref = load_reviews_csv(path, engine="pandas")
+    _assert_frames_match(ref, nat)
