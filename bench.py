@@ -47,6 +47,8 @@ def _np_batch(rng, n):
 
 
 def bench_jax() -> float:
+    from functools import partial
+
     import jax
     import jax.numpy as jnp
 
@@ -67,8 +69,11 @@ def bench_jax() -> float:
     nb = _np_batch(np.random.default_rng(0), BATCH)
     batch = {k: jnp.asarray(v) for k, v in nb.items()}
 
-    @jax.jit
-    def step(params, bn, opt, batch, rng):
+    # Per-step dispatch — the production default (train.fused_epoch=False):
+    # on this image's tunneled TPU backend device-side loop iterations carry
+    # a ~4ms fixed cost, so per-step async dispatch is the fast path.
+    @partial(jax.jit, donate_argnums=(0, 2))
+    def step(params, bn, opt, rng):
         def loss_fn(p):
             logits, nbn = apply_dcn(
                 p, bn, batch["user"], batch["item"], batch["cat"], batch["num"],
@@ -83,13 +88,13 @@ def bench_jax() -> float:
     rng = jax.random.PRNGKey(1)
     for _ in range(WARMUP_STEPS):
         rng, k = jax.random.split(rng)
-        params, bn, opt, loss = step(params, bn, opt, batch, k)
+        params, bn, opt, loss = step(params, bn, opt, k)
     loss.block_until_ready()
 
     t0 = time.perf_counter()
     for _ in range(MEASURE_STEPS):
         rng, k = jax.random.split(rng)
-        params, bn, opt, loss = step(params, bn, opt, batch, k)
+        params, bn, opt, loss = step(params, bn, opt, k)
     loss.block_until_ready()
     dt = time.perf_counter() - t0
     return MEASURE_STEPS * BATCH / dt

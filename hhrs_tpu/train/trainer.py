@@ -114,6 +114,36 @@ def make_train_step(cfg: ModelConfig, batch_sharding=None):
     return step
 
 
+def make_epoch_fn(cfg: ModelConfig, tx_update, steps_per_epoch: int, batch_size: int,
+                  batch_sharding=None):
+    """Whole-epoch lax.scan: ONE dispatch per epoch.
+
+    At this model family's sizes a single step is a few hundred µs of
+    device time, so per-step Python dispatch is a material tax; scanning
+    the step over the epoch's [S, B] index matrix keeps the chip busy
+    back-to-back. Identical math to the per-step path given the same index
+    permutation and the same per-step rng stream.
+    """
+    raw_step = make_train_step(cfg, batch_sharding)
+
+    def epoch(params, bn_state, opt_state, data, perm, rng):
+        step_rngs = jax.random.split(rng, steps_per_epoch)
+        idx_mat = perm[: steps_per_epoch * batch_size].reshape(steps_per_epoch, batch_size)
+
+        def body(carry, xs):
+            p, bn, opt = carry
+            idx, r = xs
+            p, bn, opt, loss = raw_step(p, bn, opt, tx_update, data, idx, r)
+            return (p, bn, opt), loss
+
+        (params, bn_state, opt_state), losses = jax.lax.scan(
+            body, (params, bn_state, opt_state), (idx_mat, step_rngs)
+        )
+        return params, bn_state, opt_state, jnp.mean(losses)
+
+    return epoch
+
+
 def make_eval_fn(cfg: ModelConfig, eval_batch: int):
     """Jitted full-val forward as a scan over padded batches → (logits, mask)."""
 
@@ -184,8 +214,12 @@ def train_dcn(
     train_data, val_data = _device_put_splits(splits, data_sharding)
 
     # tx.update is a function — close over it instead of passing it traced.
+    # params/bn/opt donate: the step updates them in place in HBM.
     raw_step = make_train_step(model_cfg, batch_sharding)
-    step_fn = jax.jit(lambda p, b, o, d, i, r: raw_step(p, b, o, tx.update, d, i, r))
+    step_fn = jax.jit(
+        lambda p, b, o, d, i, r: raw_step(p, b, o, tx.update, d, i, r),
+        donate_argnums=(0, 1, 2),
+    )
 
     eval_fn = make_eval_fn(model_cfg, train_cfg.eval_batch_size)
 
@@ -194,6 +228,15 @@ def train_dcn(
     steps_per_epoch = n_train // B if train_cfg.drop_remainder else -(-n_train // B)
     if steps_per_epoch == 0:
         raise ValueError(f"batch_size {B} > n_train {n_train}")
+
+    # Whole-epoch scan needs uniform batch shapes (ragged tail excluded).
+    fused = train_cfg.fused_epoch and train_cfg.drop_remainder
+    epoch_fn = None
+    if fused:
+        epoch_fn = jax.jit(
+            make_epoch_fn(model_cfg, tx.update, steps_per_epoch, B, batch_sharding),
+            donate_argnums=(0, 2),
+        )
 
     plateau = PlateauScheduler(
         train_cfg.lr, train_cfg.lr_plateau_patience, train_cfg.lr_plateau_factor
@@ -244,21 +287,29 @@ def train_dcn(
 
     for epoch in range(start_epoch, train_cfg.n_epochs):
         perm = shuffle_rng.permutation(n_train)
-        epoch_losses = []
-        for s in range(steps_per_epoch):
-            idx = jnp.asarray(perm[s * B : (s + 1) * B], jnp.int32)
-            rng, step_rng = jax.random.split(rng)
-            params, bn_state, opt_state, loss = step_fn(
-                params, bn_state, opt_state, train_data, idx, step_rng
+        if fused:
+            rng, epoch_rng = jax.random.split(rng)
+            params, bn_state, opt_state, mean_loss = epoch_fn(
+                params, bn_state, opt_state, train_data,
+                jnp.asarray(perm, jnp.int32), epoch_rng,
             )
-            epoch_losses.append(loss)
+        else:
+            epoch_losses = []
+            for s in range(steps_per_epoch):
+                idx = jnp.asarray(perm[s * B : (s + 1) * B], jnp.int32)
+                rng, step_rng = jax.random.split(rng)
+                params, bn_state, opt_state, loss = step_fn(
+                    params, bn_state, opt_state, train_data, idx, step_rng
+                )
+                epoch_losses.append(loss)
+            mean_loss = jnp.mean(jnp.stack(epoch_losses))
         examples_seen += steps_per_epoch * B
 
         val_logits = np.asarray(eval_fn(params, bn_state, val_data))
         val_loss = float(
             np.asarray(bce_with_logits(jnp.asarray(val_logits), jnp.asarray(splits.val_y)))
         )
-        train_loss = float(np.mean(np.asarray(jnp.stack(epoch_losses))))
+        train_loss = float(np.asarray(mean_loss))
         lr = plateau.step(val_loss)
         if lr != get_learning_rate(opt_state):
             opt_state = set_learning_rate(opt_state, lr)
