@@ -1,0 +1,84 @@
+"""Serve-path latency benchmark: p50/p90/p99 of the full two-stage
+recommend program (retrieval → DCN-R scoring → MMR) on the current backend.
+
+Usage: python benchmarks/serve_latency.py [--pallas] [--requests 100]
+Prints one JSON line. The p50 is a BASELINE.md target metric.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--pallas", action="store_true")
+    p.add_argument("--requests", type=int, default=100)
+    p.add_argument("--users", type=int, default=2000)
+    p.add_argument("--items", type=int, default=600)
+    p.add_argument("--reviews", type=int, default=40000)
+    args = p.parse_args(argv)
+
+    import tempfile
+
+    from hhrs_tpu.config import ModelConfig, TrainConfig
+    from hhrs_tpu.data.features import add_engineered_features
+    from hhrs_tpu.data.ingest import noise_filter
+    from hhrs_tpu.data.preprocess import Preprocessor
+    from hhrs_tpu.data.synthetic import generate_synthetic_dataset
+    from hhrs_tpu.models.dcn import ModelDims
+    from hhrs_tpu.serve.engine import RecommendationEngine
+    from hhrs_tpu.train.artifacts import export_artifacts, load_artifact_bundle
+    from hhrs_tpu.train.trainer import train_dcn
+
+    ds = generate_synthetic_dataset(
+        n_users=args.users, n_items=args.items, n_reviews=args.reviews, seed=13
+    )
+    main_df = add_engineered_features(
+        ds.reviews.rename(columns={"guest_id": "user_id", "hotel_id": "item_id"})
+    )
+    splits, art = Preprocessor().fit_transform(noise_filter(main_df.copy()))
+    dims = ModelDims.from_artifacts(art)
+    mcfg = ModelConfig()
+    result = train_dcn(splits, dims, mcfg, TrainConfig(n_epochs=2))
+    with tempfile.TemporaryDirectory() as tmp:
+        export_artifacts(tmp, result.params, result.bn_state, mcfg, dims, art,
+                         result.final_metrics)
+        bundle = load_artifact_bundle(tmp)
+
+    engine = RecommendationEngine(bundle, main_df, ds.friendships, use_pallas=args.pallas)
+    engine.warmup()
+
+    uni = engine.gen.universe
+    users = uni.user_ids
+    cities = uni.cities
+    t_all = []
+    for i in range(args.requests):
+        u = int(users[i % len(users)])
+        c = cities[i % len(cities)]
+        t0 = time.perf_counter()
+        engine.recommend(u, c, "friends", 0.7)
+        t_all.append(time.perf_counter() - t0)
+
+    t_all.sort()
+    q = lambda p_: t_all[min(int(len(t_all) * p_), len(t_all) - 1)] * 1e3
+    print(json.dumps({
+        "metric": "serve_recommend_latency",
+        "p50_ms": round(q(0.50), 2),
+        "p90_ms": round(q(0.90), 2),
+        "p99_ms": round(q(0.99), 2),
+        "requests": args.requests,
+        "pallas": args.pallas,
+        "unit": "ms",
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -57,6 +57,11 @@ class TrainConfig:
     # Drop the ragged last batch so every step has a static shape for XLA.
     drop_remainder: bool = True
     eval_batch_size: int = 8192
+    # Numeric sanitizer: raise FloatingPointError the moment any jitted
+    # computation produces a NaN (jax_debug_nans; SURVEY.md §5 — this is
+    # the CI-grade replacement for a race/memory sanitizer in a
+    # shared-nothing functional runtime). Costs recompiles; off in prod.
+    debug_nans: bool = False
     # Fuse the whole epoch into one lax.scan dispatch (one host→device
     # round-trip per epoch instead of per step). Default off: measured on
     # this image's tunneled TPU backend, device-side loop iterations carry

@@ -95,10 +95,21 @@ class RecommendationEngine:
         self._emb_train = jnp.asarray(bundle.item_embeddings, jnp.float32)
         self._reverse_item_map = {v: k for k, v in art.item_id_mapping.items()}
 
-        # recommended_by source: positive review rows in frame order
+        # recommended_by source: positive review rows in frame order,
+        # pre-bucketed per item (deduped users, frame order preserved).
         pos_rows = main_df[main_df["rating_overall"] >= 8]
         self._pos_items = pos_rows[schema.ITEM_COL].to_numpy()
         self._pos_users = pos_rows[schema.USER_COL].to_numpy()
+        self._pos_users_by_item: dict = {}
+        for it, u in zip(self._pos_items.tolist(), self._pos_users.tolist()):
+            lst = self._pos_users_by_item.setdefault(it, [])
+            if u not in lst:
+                lst.append(u)
+
+        # Columnar payload fields (avoids per-request pandas .iloc).
+        self._payload_city = items_df["city"].to_numpy(object)
+        self._payload_price = items_df["price_rub"].to_numpy(np.float64)
+        self._payload_stars = items_df["stars"].to_numpy(np.float64)
 
         self._params = bundle.params
         self._bn_state = bundle.bn_state
@@ -153,7 +164,10 @@ class RecommendationEngine:
             lam,
             top_k=self.retrieval_cfg.mmr_top_k,
         )
-        return cand, scores, mmr_idx, count
+        # Descending stable order computed on device so the host needs no
+        # score transfer (parity with np.argsort(-scores, kind='stable')).
+        order = jnp.argsort(-scores)
+        return order, mmr_idx, count
 
     # ------------------------------------------------------------------ #
 
@@ -166,19 +180,16 @@ class RecommendationEngine:
         city_idx = jnp.asarray(uni.city_index.get(city, len(uni.cities)), jnp.int32)
         user_internal = jnp.asarray(self._user_map.get(user_id, self._unknown_user), jnp.int32)
 
-        cand, scores, mmr_idx, count = self._recommend_jit(
-            sources, city_idx, user_internal, jnp.float32(lambda_param)
-        )
+        order, mmr_idx, count = jax.device_get(
+            self._recommend_jit(sources, city_idx, user_internal, jnp.float32(lambda_param))
+        )  # ONE device→host transfer for the whole request
         count = int(count)
         if count == 0:
             return {"ranked_hotels": [], "message": "No suitable candidates found."}
 
-        scores_np = np.asarray(scores)
         if lambda_param < 1.0:
-            sel = np.asarray(mmr_idx)
-            ranked_serve_idx = sel[sel >= 0]
+            ranked_serve_idx = mmr_idx[mmr_idx >= 0]
         else:
-            order = np.argsort(-scores_np, kind="stable")
             ranked_serve_idx = order[:count]
 
         ranked_ext = uni.item_ids[ranked_serve_idx]
@@ -188,19 +199,14 @@ class RecommendationEngine:
         return {"ranked_hotels": response}
 
     def _hotel_payload(self, serve_idx: int, ext_id: int, friends: set) -> dict:
-        row = self.items_df.iloc[serve_idx]
         recommended_by = []
-        seen = set()
         if friends:
-            hits = self._pos_items == ext_id
-            for u in self._pos_users[hits]:
-                u = int(u)
-                if u in friends and u not in seen:
-                    recommended_by.append(u)
-                    seen.add(u)
-        city = row["city"]
-        price = row["price_rub"]
-        stars = row["stars"]
+            recommended_by = [
+                int(u) for u in self._pos_users_by_item.get(ext_id, ()) if u in friends
+            ]
+        city = self._payload_city[serve_idx]
+        price = self._payload_price[serve_idx]
+        stars = self._payload_stars[serve_idx]
         return {
             "hotel_id": ext_id,
             "city": None if pd.isna(city) else str(city),

@@ -83,3 +83,39 @@ def auc_score_jnp(labels: jnp.ndarray, scores: jnp.ndarray, mask=None) -> jnp.nd
 def rmse_of_probs(labels: np.ndarray, logits: np.ndarray) -> float:
     probs = 1.0 / (1.0 + np.exp(-np.asarray(logits, dtype=np.float64)))
     return float(np.sqrt(np.mean((np.asarray(labels) - probs) ** 2)))
+
+
+def recall_at_k(
+    user_ids: np.ndarray,
+    labels: np.ndarray,
+    scores: np.ndarray,
+    k: int = 100,
+) -> float:
+    """Per-user recall@k averaged over users with ≥1 positive.
+
+    For each user: fraction of their positive items that rank in their
+    per-user top-k by score. The retrieval-quality half of the BASELINE
+    target (recall@100 parity); the reference never computes it — this is
+    the metric its candidate-generation stage implicitly optimizes.
+    """
+    user_ids = np.asarray(user_ids)
+    labels = np.asarray(labels) > 0.5
+    scores = np.asarray(scores, dtype=np.float64)
+
+    order = np.lexsort((-scores, user_ids))  # group by user, scores desc
+    u_sorted = user_ids[order]
+    l_sorted = labels[order]
+    # rank within each user group
+    starts = np.r_[0, np.flatnonzero(u_sorted[1:] != u_sorted[:-1]) + 1]
+    group_of = np.cumsum(np.isin(np.arange(len(u_sorted)), starts)) - 1
+    rank_in_group = np.arange(len(u_sorted)) - starts[group_of]
+
+    hits = l_sorted & (rank_in_group < k)
+    pos_per_group = np.zeros(len(starts))
+    hit_per_group = np.zeros(len(starts))
+    np.add.at(pos_per_group, group_of, l_sorted)
+    np.add.at(hit_per_group, group_of, hits)
+    valid = pos_per_group > 0
+    if not valid.any():
+        return float("nan")
+    return float(np.mean(hit_per_group[valid] / pos_per_group[valid]))

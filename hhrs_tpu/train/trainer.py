@@ -34,7 +34,7 @@ import numpy as np
 from hhrs_tpu.config import ModelConfig, TrainConfig
 from hhrs_tpu.data.preprocess import DatasetSplits
 from hhrs_tpu.models.dcn import ModelDims, apply_dcn, init_dcn
-from hhrs_tpu.train.metrics import auc_score, bce_with_logits, rmse_of_probs
+from hhrs_tpu.train.metrics import auc_score, bce_with_logits, recall_at_k, rmse_of_probs
 from hhrs_tpu.train.optimizers import (
     PlateauScheduler,
     get_learning_rate,
@@ -194,6 +194,10 @@ def train_dcn(
     state saves every ``checkpoint_every`` epochs and a rerun resumes from
     the latest completed epoch (train/checkpoint.py).
     """
+    if train_cfg.debug_nans:
+        # Sticky for the process by design: a NaN aborts the run anyway.
+        jax.config.update("jax_debug_nans", True)
+
     rng = jax.random.PRNGKey(train_cfg.seed)
     init_rng, rng = jax.random.split(rng)
     params, bn_state = init_dcn(init_rng, dims, model_cfg)
@@ -387,5 +391,6 @@ def train_dcn(
         ),
         "val_auc": auc_score(y_val, val_logits),
         "val_rmse": rmse_of_probs(y_val, val_logits),
+        "val_recall_at_100": recall_at_k(splits.val_user, y_val, val_logits, 100),
     }
     return result
