@@ -28,10 +28,14 @@ EMB_DIM = 16
 HIDDEN = 128
 N_CROSS = 2
 N_RES = 1
-BATCH = 4096
+# Dispatch-amortizing batch: throughput rises ~3.5x from 4096 to 16384 and
+# ~5x at 65536, but XLA compile time at 65536 (~5 min for the scatter-add
+# table grads) is disproportionate for a bench — 16384 keeps compile tens of
+# seconds. Both stacks are measured at the same batch.
+BATCH = 16384
 WARMUP_STEPS = 10
-MEASURE_STEPS = 50
-TORCH_STEPS = 8
+MEASURE_STEPS = 40
+TORCH_STEPS = 4
 
 
 def _np_batch(rng, n):
@@ -50,6 +54,8 @@ def bench_jax() -> float:
     from functools import partial
 
     import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/hhrs_jax_cache")
     import jax.numpy as jnp
 
     from hhrs_tpu.config import ModelConfig
