@@ -69,12 +69,29 @@ def main(argv=None) -> int:
                    help="register exported artifacts as the active model in this sqlite registry")
     p.add_argument("--profile-dir", default=None,
                    help="capture a jax.profiler trace of the run into this dir")
+    p.add_argument("--mesh", default=None, metavar="DATAxMODEL",
+                   help="train over a device mesh, e.g. 4x2 (data-parallel batch, "
+                        "row-sharded tables); requires that many devices")
+    p.add_argument("--distributed", action="store_true",
+                   help="multi-host: run jax.distributed.initialize first")
     p.add_argument("overrides", nargs="*", help="section.field=value config overrides")
     args = p.parse_args(argv)
 
     cfg = Config().apply_overrides([a for a in args.overrides if "=" in a])
     if args.epochs is not None:
         cfg.train.n_epochs = args.epochs
+
+    if args.distributed:
+        from hhrs_tpu.parallel.distributed import initialize_distributed
+
+        initialize_distributed()
+
+    mesh = None
+    if args.mesh:
+        from hhrs_tpu.parallel.mesh import make_mesh
+
+        n_data, _, n_model = args.mesh.partition("x")
+        mesh = make_mesh(int(n_data), int(n_model or 1))
 
     try:
         splits, preproc = build_dataset(args, cfg)
@@ -105,7 +122,7 @@ def main(argv=None) -> int:
     profile_cm = trace(args.profile_dir) if args.profile_dir else contextlib.nullcontext()
     with profile_cm:
         result = train_dcn(
-            splits, dims, cfg.model, cfg.train,
+            splits, dims, cfg.model, cfg.train, mesh=mesh,
             metrics_logger=metrics_logger, checkpoint_dir=args.checkpoint_dir,
         )
 
