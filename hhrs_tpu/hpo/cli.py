@@ -113,6 +113,14 @@ def main(argv=None) -> int:
 
     log.info("best value: %.5f", study.best_value)
     log.info("best params: %s", study.best_params)
+
+    # Study plots (reference train.py:337-350 equivalent).
+    try:
+        from hhrs_tpu.hpo.plots import save_study_plots
+
+        save_study_plots(study.trials, args.out)
+    except Exception as e:  # noqa: BLE001 — plotting must never fail the sweep
+        log.warning("study plots skipped: %s", e)
     return 0
 
 

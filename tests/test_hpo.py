@@ -132,6 +132,28 @@ def test_trial_report_prune_flow():
     assert s.trials[1]["state"] == "pruned"
 
 
+def test_param_importances_and_plots(tmp_path):
+    import numpy as np
+
+    from hhrs_tpu.hpo.plots import param_importances, save_study_plots
+
+    rng = np.random.default_rng(0)
+    trials = []
+    for i in range(40):
+        x = float(rng.uniform())
+        cat = str(rng.choice(["a", "b"]))
+        trials.append({
+            "number": i, "state": "complete",
+            "value": (x - 0.6) ** 2 + float(rng.normal()) * 0.05,
+            "params": {"x": x, "cat": cat},
+        })
+    imp = param_importances(trials)
+    assert imp["x"] > imp["cat"]  # the driving param dominates
+    paths = save_study_plots(trials, str(tmp_path))
+    assert len(paths) == 2 and all(os.path.exists(p) for p in paths)
+    assert param_importances(trials[:3]) == {}  # too few trials → empty
+
+
 def test_hpo_cli_smoke(tmp_path):
     """Two real trials end-to-end on tiny synthetic data."""
     from hhrs_tpu.hpo.cli import main
