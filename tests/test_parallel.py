@@ -154,3 +154,36 @@ def test_parallel_step_matches_single_device(eight_devices):
         jax.tree_util.tree_leaves(jax.device_get(ref_g)),
     ):
         np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-6)
+
+
+def test_sharded_cosine_topk_exact(eight_devices):
+    """Row-sharded top-k == unsharded cosine_topk (scores exact, indices
+    equal where scores are untied)."""
+    from hhrs_tpu.retrieval.sharded import sharded_cosine_topk
+    from hhrs_tpu.retrieval.similarity import cosine_topk, normalize_rows
+
+    mesh = make_mesh(4, 2)
+    N, d, Q, k = 256, 32, 16, 10
+    table = normalize_rows(jax.random.normal(jax.random.PRNGKey(0), (N, d)))
+    queries = jax.random.normal(jax.random.PRNGKey(1), (Q, d))
+
+    ref_v, ref_i = cosine_topk(table, queries, k)
+    sh_v, sh_i = sharded_cosine_topk(mesh, table, queries, k)
+    np.testing.assert_allclose(np.asarray(sh_v), np.asarray(ref_v), rtol=1e-5, atol=1e-6)
+    # continuous random scores → ties have measure zero
+    np.testing.assert_array_equal(np.asarray(sh_i), np.asarray(ref_i))
+
+
+def test_make_sharded_topk_fn(eight_devices):
+    from hhrs_tpu.retrieval.sharded import make_sharded_topk_fn
+    from hhrs_tpu.retrieval.similarity import cosine_topk, normalize_rows
+
+    mesh = make_mesh(2, 4)
+    fn, table_sharding = make_sharded_topk_fn(mesh, k=5)
+    table = normalize_rows(jax.random.normal(jax.random.PRNGKey(2), (128, 16)))
+    table_sharded = jax.device_put(table, table_sharding)
+    queries = jax.random.normal(jax.random.PRNGKey(3), (8, 16))
+    v, i = fn(table_sharded, queries)
+    rv, ri = cosine_topk(table, queries, 5)
+    np.testing.assert_allclose(np.asarray(v), np.asarray(rv), rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(ri))
