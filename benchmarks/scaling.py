@@ -67,8 +67,8 @@ def main(argv=None) -> int:
         batch = batch_of(B)
         step = make_parallel_train_step(mesh, cfg, tx.update, state, donate=False)(batch)
         rng = jax.random.PRNGKey(1)
-        ps, bs, os_, loss = state.params, state.bn_state, state.opt_state, None
-        for _ in range(args.warmup):
+        ps, bs, os_ = state.params, state.bn_state, state.opt_state
+        for _ in range(max(args.warmup, 1)):  # ≥1 so compile is excluded
             rng, k = jax.random.split(rng)
             ps, bs, os_, loss = step(ps, bs, os_, batch, k)
         loss.block_until_ready()

@@ -67,7 +67,12 @@ def main(argv=None) -> int:
         t_all.append(time.perf_counter() - t0)
 
     t_all.sort()
-    q = lambda p_: t_all[min(int(len(t_all) * p_), len(t_all) - 1)] * 1e3
+
+    def q(p_):  # nearest-rank percentile: element ceil(n·p) (1-based)
+        import math
+
+        idx = max(math.ceil(len(t_all) * p_) - 1, 0)
+        return t_all[min(idx, len(t_all) - 1)] * 1e3
     print(json.dumps({
         "metric": "serve_recommend_latency",
         "p50_ms": round(q(0.50), 2),

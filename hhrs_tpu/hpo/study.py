@@ -230,8 +230,11 @@ class OptunaStudyAdapter:
 
     @property
     def trials(self):
+        # t.state.name (not str(t.state)) → 'COMPLETE', matching the
+        # built-in Study's 'complete'/'pruned'/'failed' vocabulary.
         return [
-            {"number": t.number, "params": t.params, "state": str(t.state).lower(), "value": t.value}
+            {"number": t.number, "params": t.params, "state": t.state.name.lower(),
+             "value": t.value}
             for t in self._study.trials
         ]
 

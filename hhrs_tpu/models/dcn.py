@@ -98,6 +98,20 @@ def init_dcn(rng, dims: ModelDims, cfg: ModelConfig) -> tuple[dict, dict]:
     return params, state
 
 
+def init_bn_state(cfg: ModelConfig) -> dict:
+    """BatchNorm state alone (deterministic zeros/ones) — avoids a full
+    init_dcn (which samples every embedding table) when only the state
+    skeleton is needed."""
+    from hhrs_tpu.ops.nn import batchnorm_init
+
+    return {
+        "res_blocks": [
+            {"bn1": batchnorm_init(cfg.hidden_dim)[1], "bn2": batchnorm_init(cfg.hidden_dim)[1]}
+            for _ in range(cfg.n_res_blocks)
+        ]
+    }
+
+
 def apply_dcn(
     params: dict,
     state: dict,

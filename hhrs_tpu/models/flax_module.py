@@ -12,11 +12,9 @@ one implementation, two faces.
 from __future__ import annotations
 
 import flax.linen as nn
-import jax
-import jax.numpy as jnp
 
 from hhrs_tpu.config import ModelConfig
-from hhrs_tpu.models.dcn import ModelDims, apply_dcn, init_dcn
+from hhrs_tpu.models.dcn import ModelDims, apply_dcn, init_bn_state, init_dcn
 
 
 class DCNR(nn.Module):
@@ -32,11 +30,7 @@ class DCNR(nn.Module):
             "dcn",
             lambda rng: init_dcn(rng, self.dims, self.cfg)[0],
         )
-        bn = self.variable(
-            "batch_stats",
-            "dcn",
-            lambda: init_dcn(jax.random.PRNGKey(0), self.dims, self.cfg)[1],
-        )
+        bn = self.variable("batch_stats", "dcn", lambda: init_bn_state(self.cfg))
         rng = self.make_rng("dropout") if train and self.cfg.dropout > 0 else None
         logits, new_state = apply_dcn(
             params, bn.value, user_ids, item_ids, cat_features, num_features,

@@ -96,15 +96,19 @@ class RecommendationEngine:
         self._reverse_item_map = {v: k for k, v in art.item_id_mapping.items()}
 
         # recommended_by source: positive review rows in frame order,
-        # pre-bucketed per item (deduped users, frame order preserved).
+        # pre-bucketed per item (deduped users, frame order preserved;
+        # set-based dedup keeps the build O(rows)).
         pos_rows = main_df[main_df["rating_overall"] >= 8]
-        self._pos_items = pos_rows[schema.ITEM_COL].to_numpy()
-        self._pos_users = pos_rows[schema.USER_COL].to_numpy()
         self._pos_users_by_item: dict = {}
-        for it, u in zip(self._pos_items.tolist(), self._pos_users.tolist()):
-            lst = self._pos_users_by_item.setdefault(it, [])
-            if u not in lst:
-                lst.append(u)
+        seen_by_item: dict = {}
+        for it, u in zip(
+            pos_rows[schema.ITEM_COL].to_numpy().tolist(),
+            pos_rows[schema.USER_COL].to_numpy().tolist(),
+        ):
+            seen = seen_by_item.setdefault(it, set())
+            if u not in seen:
+                seen.add(u)
+                self._pos_users_by_item.setdefault(it, []).append(u)
 
         # Columnar payload fields (avoids per-request pandas .iloc).
         self._payload_city = items_df["city"].to_numpy(object)

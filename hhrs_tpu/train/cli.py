@@ -88,10 +88,14 @@ def main(argv=None) -> int:
 
     mesh = None
     if args.mesh:
+        import re
+
         from hhrs_tpu.parallel.mesh import make_mesh
 
-        n_data, _, n_model = args.mesh.partition("x")
-        mesh = make_mesh(int(n_data), int(n_model or 1))
+        m = re.fullmatch(r"(\d+)(?:[xX](\d+))?", args.mesh)
+        if not m:
+            p.error(f"--mesh must be DATA or DATAxMODEL (e.g. 4x2), got {args.mesh!r}")
+        mesh = make_mesh(int(m.group(1)), int(m.group(2) or 1))
 
     try:
         splits, preproc = build_dataset(args, cfg)

@@ -57,6 +57,31 @@ def test_resume_matches_uninterrupted(small_splits, tmp_path):
     )
 
 
+def test_fused_epoch_matches_per_step(small_splits):
+    """fused_epoch=True (whole-epoch lax.scan) must reproduce the per-step
+    path's numerics when the rng stream is irrelevant (dropout=0)."""
+    splits, art = small_splits
+    dims = ModelDims.from_artifacts(art)
+    mcfg = dataclasses.replace(MCFG, dropout=0.0)
+    cfg3 = dataclasses.replace(TCFG, n_epochs=3)
+
+    per_step = train_dcn(splits, dims, mcfg, dataclasses.replace(cfg3, fused_epoch=False))
+    fused = train_dcn(splits, dims, mcfg, dataclasses.replace(cfg3, fused_epoch=True))
+    for a, b in zip(per_step.history, fused.history):
+        np.testing.assert_allclose(a["train_loss"], b["train_loss"], rtol=1e-5)
+        np.testing.assert_allclose(a["val_loss"], b["val_loss"], rtol=1e-5)
+
+
+def test_fused_epoch_with_dropout_trains(small_splits):
+    """Smoke: the fused path with dropout>0 (distinct rng stream) learns."""
+    splits, art = small_splits
+    dims = ModelDims.from_artifacts(art)
+    cfg3 = dataclasses.replace(TCFG, n_epochs=3, fused_epoch=True)
+    res = train_dcn(splits, dims, MCFG, cfg3)
+    assert np.isfinite(res.best_val_loss)
+    assert res.history[-1]["train_loss"] < res.history[0]["train_loss"]
+
+
 def test_resume_noop_when_complete(small_splits, tmp_path):
     """Resuming a finished run trains zero extra epochs, returns best state."""
     splits, art = small_splits
