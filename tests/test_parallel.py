@@ -187,3 +187,30 @@ def test_make_sharded_topk_fn(eight_devices):
     rv, ri = cosine_topk(table, queries, 5)
     np.testing.assert_allclose(np.asarray(v), np.asarray(rv), rtol=1e-5, atol=1e-6)
     np.testing.assert_array_equal(np.asarray(i), np.asarray(ri))
+
+
+def test_sharded_item_scorer_matches_unsharded(eight_devices):
+    """Sharded-catalog scoring == plain apply_dcn over all items (ragged M)."""
+    from hhrs_tpu.models.dcn import apply_dcn
+    from hhrs_tpu.serve.sharded_scoring import ShardedItemScorer
+
+    mcfg = ModelConfig(emb_dim=8, hidden_dim=16, n_res_blocks=1, n_cross_layers=1)
+    params, bn = init_dcn(jax.random.PRNGKey(0), DIMS, mcfg)
+    M = 45  # not divisible by 8 → padding path
+    ks = jax.random.split(jax.random.PRNGKey(1), 3)
+    item = jax.random.randint(ks[0], (M,), 0, DIMS.n_items)
+    cat = jnp.stack([jax.random.randint(ks[1], (M,), 0, 6),
+                     jax.random.randint(ks[1], (M,), 0, 5)], axis=1)
+    num = jax.random.normal(ks[2], (M, 11))
+
+    mesh = make_mesh(4, 2)
+    scorer = ShardedItemScorer(mesh, params, bn, mcfg, item, cat, num)
+    got = scorer.score_all(user_internal=3)
+
+    users = jnp.full((M,), 3, jnp.int32)
+    want, _ = apply_dcn(params, bn, users, item, cat, num, cfg=mcfg, train=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-6)
+
+    v, i = scorer.top_k(user_internal=3, k=7)
+    order = np.argsort(-np.asarray(want), kind="stable")[:7]
+    np.testing.assert_array_equal(np.asarray(i), order)
