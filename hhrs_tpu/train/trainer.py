@@ -76,10 +76,22 @@ def _device_put_splits(splits: DatasetSplits, sharding=None):
     return train, val
 
 
-def make_train_step(cfg: ModelConfig, batch_sharding=None):
-    """Build the jitted train step: (params, bn, opt_state, data, idx, rng, tx) closure."""
+def make_train_step(cfg: ModelConfig, batch_size: int, batch_sharding=None):
+    """Build the jitted train step.
 
-    def step(params, bn_state, opt_state, tx_update, data, idx, rng):
+    The step receives the WHOLE epoch permutation (device-resident, uploaded
+    once per epoch) plus a device-side step counter ``s`` that it increments
+    and returns — so steady-state training performs ZERO host→device
+    transfers per step (on the tunneled backend a per-step 16KB index upload
+    costed a full RTT ≈ 10× the step's compute). Dropout randomness is
+    ``fold_in(epoch_rng, s)``, identical between the per-step and
+    fused-epoch paths.
+    """
+    B = batch_size
+
+    def step(params, bn_state, opt_state, tx_update, data, perm, s, epoch_rng):
+        idx = jax.lax.dynamic_slice(perm, (s * B,), (B,))
+        rng = jax.random.fold_in(epoch_rng, s)
         batch = {
             "user": data["user"][idx],
             "item": data["item"][idx],
@@ -109,7 +121,7 @@ def make_train_step(cfg: ModelConfig, batch_sharding=None):
         (loss, new_bn), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
         updates, new_opt = tx_update(grads, opt_state, params)
         new_params = jax.tree.map(lambda p, u: p + u, params, updates)
-        return new_params, new_bn, new_opt, loss
+        return new_params, new_bn, new_opt, loss, s + 1
 
     return step
 
@@ -120,58 +132,75 @@ def make_epoch_fn(cfg: ModelConfig, tx_update, steps_per_epoch: int, batch_size:
 
     At this model family's sizes a single step is a few hundred µs of
     device time, so per-step Python dispatch is a material tax; scanning
-    the step over the epoch's [S, B] index matrix keeps the chip busy
-    back-to-back. Identical math to the per-step path given the same index
-    permutation and the same per-step rng stream.
+    the step over the epoch keeps the chip busy back-to-back. The rng
+    stream (``fold_in(epoch_rng, s)``) is identical to the per-step path,
+    so the two modes are interchangeable mid-training.
     """
-    raw_step = make_train_step(cfg, batch_sharding)
+    raw_step = make_train_step(cfg, batch_size, batch_sharding)
 
-    def epoch(params, bn_state, opt_state, data, perm, rng):
-        step_rngs = jax.random.split(rng, steps_per_epoch)
-        idx_mat = perm[: steps_per_epoch * batch_size].reshape(steps_per_epoch, batch_size)
-
-        def body(carry, xs):
+    def epoch(params, bn_state, opt_state, data, perm, epoch_rng):
+        def body(carry, s):
             p, bn, opt = carry
-            idx, r = xs
-            p, bn, opt, loss = raw_step(p, bn, opt, tx_update, data, idx, r)
+            p, bn, opt, loss, _ = raw_step(p, bn, opt, tx_update, data, perm, s, epoch_rng)
             return (p, bn, opt), loss
 
         (params, bn_state, opt_state), losses = jax.lax.scan(
-            body, (params, bn_state, opt_state), (idx_mat, step_rngs)
+            body, (params, bn_state, opt_state), jnp.arange(steps_per_epoch)
         )
         return params, bn_state, opt_state, jnp.mean(losses)
 
     return epoch
 
 
-def make_eval_fn(cfg: ModelConfig, eval_batch: int):
-    """Jitted full-val forward as a scan over padded batches → (logits, mask)."""
+def _eval_logits_body(cfg: ModelConfig, eval_batch: int, params, bn_state, val):
+    """Full-val forward as a scan over padded batches → [n] logits."""
+    n = val["user"].shape[0]
+    n_pad = (-n) % eval_batch
+    total = n + n_pad
 
-    @partial(jax.jit, static_argnames=())
-    def eval_fn(params, bn_state, val):
-        n = val["user"].shape[0]
-        n_pad = (-n) % eval_batch
-        total = n + n_pad
+    def pad(x):
+        widths = [(0, n_pad)] + [(0, 0)] * (x.ndim - 1)
+        return jnp.pad(x, widths)
 
-        def pad(x):
-            widths = [(0, n_pad)] + [(0, 0)] * (x.ndim - 1)
-            return jnp.pad(x, widths)
+    padded = jax.tree.map(pad, val)
+    n_batches = total // eval_batch
+    reshaped = jax.tree.map(
+        lambda x: x.reshape((n_batches, eval_batch) + x.shape[1:]), padded
+    )
 
-        padded = jax.tree.map(pad, val)
-        n_batches = total // eval_batch
-        reshaped = jax.tree.map(
-            lambda x: x.reshape((n_batches, eval_batch) + x.shape[1:]), padded
+    def body(carry, b):
+        logits, _ = apply_dcn(
+            params, bn_state, b["user"], b["item"], b["cat"], b["num"], cfg=cfg, train=False
         )
+        return carry, logits
 
-        def body(carry, b):
-            logits, _ = apply_dcn(
-                params, bn_state, b["user"], b["item"], b["cat"], b["num"], cfg=cfg, train=False
-            )
-            return carry, logits
+    _, all_logits = jax.lax.scan(body, None, reshaped)
+    return all_logits.reshape(total)[:n]
 
-        _, all_logits = jax.lax.scan(body, None, reshaped)
-        logits_flat = all_logits.reshape(total)[:n]
-        return logits_flat
+
+def make_eval_loss_fn(cfg: ModelConfig, eval_batch: int):
+    """Jitted full-val BCE → ONE device scalar per epoch.
+
+    The epoch loop must not move bulk data over the host link (measured on
+    the tunneled backend: host transfers are seconds-per-MB and erratic);
+    per-epoch validation therefore reduces on device and ships back only
+    the loss scalar. Full logits (final metrics) use make_eval_fn once.
+    """
+
+    @jax.jit
+    def loss_fn(params, bn_state, val):
+        logits = _eval_logits_body(cfg, eval_batch, params, bn_state, val)
+        return bce_with_logits(logits, val["y"])
+
+    return loss_fn
+
+
+def make_eval_fn(cfg: ModelConfig, eval_batch: int):
+    """Jitted full-val forward → [n] logits (final-metrics path)."""
+
+    @jax.jit
+    def eval_fn(params, bn_state, val):
+        return _eval_logits_body(cfg, eval_batch, params, bn_state, val)
 
     return eval_fn
 
@@ -219,13 +248,16 @@ def train_dcn(
 
     # tx.update is a function — close over it instead of passing it traced.
     # params/bn/opt donate: the step updates them in place in HBM.
-    raw_step = make_train_step(model_cfg, batch_sharding)
+    raw_step = make_train_step(model_cfg, train_cfg.batch_size, batch_sharding)
     step_fn = jax.jit(
-        lambda p, b, o, d, i, r: raw_step(p, b, o, tx.update, d, i, r),
+        lambda p, b, o, d, perm, s, r: raw_step(p, b, o, tx.update, d, perm, s, r),
         donate_argnums=(0, 1, 2),
     )
 
-    eval_fn = make_eval_fn(model_cfg, train_cfg.eval_batch_size)
+    eval_loss_fn = make_eval_loss_fn(model_cfg, train_cfg.eval_batch_size)
+    # On-device snapshot of the best checkpoint: device_get here would cost
+    # seconds per epoch on a tunneled chip (see RESULTS.md).
+    snapshot_fn = jax.jit(lambda t: jax.tree.map(jnp.copy, t))
 
     B = train_cfg.batch_size
     n_train = splits.n_train
@@ -288,32 +320,40 @@ def train_dcn(
 
     t_start = time.perf_counter()
     examples_seen = 0
+    # Steady-state throughput: the measurement window opens at the top of
+    # the SECOND epoch, so every one-time XLA compile (train step, eval
+    # loss, snapshot copy — ~40s total on the tunneled chip) stays outside.
+    epochs_run = 0
+    window_open = False
 
     for epoch in range(start_epoch, train_cfg.n_epochs):
-        perm = shuffle_rng.permutation(n_train)
+        if epochs_run >= 1 and not window_open:
+            window_open = True
+            t_start = time.perf_counter()
+        # ONE host→device upload per epoch (the shuffled index vector);
+        # steps then run with zero H2D traffic (device-carried counter).
+        perm_dev = jnp.asarray(shuffle_rng.permutation(n_train), jnp.int32)
+        rng, epoch_rng = jax.random.split(rng)
         if fused:
-            rng, epoch_rng = jax.random.split(rng)
             params, bn_state, opt_state, mean_loss = epoch_fn(
-                params, bn_state, opt_state, train_data,
-                jnp.asarray(perm, jnp.int32), epoch_rng,
+                params, bn_state, opt_state, train_data, perm_dev, epoch_rng
             )
         else:
             epoch_losses = []
-            for s in range(steps_per_epoch):
-                idx = jnp.asarray(perm[s * B : (s + 1) * B], jnp.int32)
-                rng, step_rng = jax.random.split(rng)
-                params, bn_state, opt_state, loss = step_fn(
-                    params, bn_state, opt_state, train_data, idx, step_rng
+            s = jnp.asarray(0, jnp.int32)
+            for _ in range(steps_per_epoch):
+                params, bn_state, opt_state, loss, s = step_fn(
+                    params, bn_state, opt_state, train_data, perm_dev, s, epoch_rng
                 )
                 epoch_losses.append(loss)
             mean_loss = jnp.mean(jnp.stack(epoch_losses))
-        examples_seen += steps_per_epoch * B
 
-        val_logits = np.asarray(eval_fn(params, bn_state, val_data))
-        val_loss = float(
-            np.asarray(bce_with_logits(jnp.asarray(val_logits), jnp.asarray(splits.val_y)))
-        )
+        val_loss = float(eval_loss_fn(params, bn_state, val_data))
         train_loss = float(np.asarray(mean_loss))
+
+        epochs_run += 1
+        if window_open:
+            examples_seen += steps_per_epoch * B
         lr = plateau.step(val_loss)
         if lr != get_learning_rate(opt_state):
             opt_state = set_learning_rate(opt_state, lr)
@@ -333,7 +373,7 @@ def train_dcn(
             result.best_val_loss = val_loss
             result.best_epoch = epoch
             epochs_no_improve = 0
-            best_snapshot = jax.device_get((params, bn_state))
+            best_snapshot = snapshot_fn((params, bn_state))  # stays on device
         else:
             epochs_no_improve += 1
 
@@ -375,14 +415,17 @@ def train_dcn(
         ckpt.close()
 
     elapsed = time.perf_counter() - t_start
-    result.examples_per_s = examples_seen / max(elapsed, 1e-9)
+    # 0.0 for single-epoch runs: there is no post-compile window to measure.
+    result.examples_per_s = examples_seen / max(elapsed, 1e-9) if examples_seen else 0.0
 
     if best_snapshot is not None:
+        # Already device arrays (on-device snapshot) or host arrays (resume).
         result.params, result.bn_state = jax.device_put(best_snapshot)
     else:
         result.params, result.bn_state = params, bn_state
 
     # Final eval with the best checkpoint (reference train.py:365-387).
+    eval_fn = make_eval_fn(model_cfg, train_cfg.eval_batch_size)
     val_logits = np.asarray(eval_fn(result.params, result.bn_state, val_data))
     y_val = splits.val_y
     result.final_metrics = {
