@@ -17,7 +17,7 @@ import sys
 from hhrs_tpu.config import Config, ModelConfig, TrainConfig
 from hhrs_tpu.hpo.space import reference_search_space
 from hhrs_tpu.hpo.study import TrialPruned, create_study
-from hhrs_tpu.utils.logging import setup_logging
+from hhrs_tpu.utils.logging import enable_compilation_cache, setup_logging
 
 log = logging.getLogger("hhrs_tpu.hpo")
 
@@ -53,6 +53,7 @@ def train_cfg_from_params(params: dict, base: TrainConfig | None = None) -> Trai
 
 def main(argv=None) -> int:
     setup_logging()
+    enable_compilation_cache()
     p = argparse.ArgumentParser(description="HPO sweep for the TPU-native DCN-R")
     p.add_argument("--trials", type=int, default=300)
     p.add_argument("--journal", default="artifacts/hpo_journal.jsonl")

@@ -12,13 +12,14 @@ import argparse
 import logging
 import sys
 
-from hhrs_tpu.utils.logging import setup_logging
+from hhrs_tpu.utils.logging import enable_compilation_cache, setup_logging
 
 log = logging.getLogger("hhrs_tpu.serve")
 
 
 def main(argv=None) -> int:
     setup_logging()
+    enable_compilation_cache()
     p = argparse.ArgumentParser(description="Serve the TPU-native hybrid recommender")
     p.add_argument("--artifacts", default="artifacts",
                    help="artifact dir, or 'registry:<db>' to use the active registered model")

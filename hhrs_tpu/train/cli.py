@@ -14,7 +14,7 @@ import os
 import sys
 
 from hhrs_tpu.config import Config
-from hhrs_tpu.utils.logging import MetricsLogger, setup_logging
+from hhrs_tpu.utils.logging import MetricsLogger, enable_compilation_cache, setup_logging
 
 log = logging.getLogger("hhrs_tpu.train")
 
@@ -54,6 +54,7 @@ def build_dataset(args, cfg: Config):
 
 def main(argv=None) -> int:
     setup_logging()
+    enable_compilation_cache()
     p = argparse.ArgumentParser(description="Train the TPU-native DCN-R ranker")
     p.add_argument("--data", default="data", help="data dir with the two CSVs")
     p.add_argument("--out", default="artifacts", help="artifact output dir")

@@ -20,6 +20,18 @@ def setup_logging(level=logging.INFO) -> None:
     )
 
 
+def enable_compilation_cache(path: str = "/tmp/hhrs_jax_cache") -> None:
+    """Persistent XLA compilation cache — compiles on this image's tunneled
+    chip cost 40s-300s, and an HPO sweep re-compiles per configuration;
+    the cache makes repeat configs (and repeat sweeps) near-free."""
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+    except Exception:  # noqa: BLE001 — older jax without the option
+        pass
+
+
 class MetricsLogger:
     """Append-only JSONL metrics sink; cheap enough for per-step use."""
 
