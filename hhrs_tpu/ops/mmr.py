@@ -9,9 +9,12 @@ Reference semantics (reference main.py:133-169), reproduced exactly:
     skipped by the reference loop);
   * selection stops at min(top_k, n_candidates).
 
-Implemented as a ``lax.fori_loop`` of top_k-1 steps; each step is one
-[M, d]·[d] matvec (VPU/MXU) plus masked argmax — no host round-trips
-(the reference does O(k·|C|) sklearn cosine_similarity calls per request).
+Implemented as top_k-1 UNROLLED steps (top_k is static and small); each
+step is one [M, d]·[d] matvec (VPU/MXU) plus masked argmax — no host
+round-trips (the reference does O(k·|C|) sklearn cosine_similarity calls
+per request). Unrolling matters: device-side loop iterations carry a
+multi-ms fixed cost on the tunneled TPU backend (RESULTS.md), which made
+the fori_loop version ~20× the compute cost of the straight-line program.
 """
 
 from __future__ import annotations
@@ -64,5 +67,7 @@ def mmr_rerank(
         max_sim = jnp.where(ok, jnp.maximum(max_sim, sim_j), max_sim)
         return out, selected, max_sim
 
-    out, _, _ = jax.lax.fori_loop(1, top_k, body, (out, selected, max_sim))
-    return out
+    carry = (out, selected, max_sim)
+    for t in range(1, top_k):  # static unroll (top_k ≤ ~20)
+        carry = body(t, carry)
+    return carry[0]

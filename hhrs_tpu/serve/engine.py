@@ -171,7 +171,13 @@ class RecommendationEngine:
         # Descending stable order computed on device so the host needs no
         # score transfer (parity with np.argsort(-scores, kind='stable')).
         order = jnp.argsort(-scores)
-        return order, mmr_idx, count
+        # ONE packed int32 vector → one device→host transfer per request
+        # (per-transfer overhead on the tunneled backend dwarfs the bytes).
+        return jnp.concatenate([
+            order.astype(jnp.int32),
+            mmr_idx.astype(jnp.int32),
+            count.astype(jnp.int32)[None],
+        ])
 
     # ------------------------------------------------------------------ #
 
@@ -184,10 +190,11 @@ class RecommendationEngine:
         city_idx = jnp.asarray(uni.city_index.get(city, len(uni.cities)), jnp.int32)
         user_internal = jnp.asarray(self._user_map.get(user_id, self._unknown_user), jnp.int32)
 
-        order, mmr_idx, count = jax.device_get(
+        packed = jax.device_get(
             self._recommend_jit(sources, city_idx, user_internal, jnp.float32(lambda_param))
         )  # ONE device→host transfer for the whole request
-        count = int(count)
+        M = self.gen._M
+        order, mmr_idx, count = packed[:M], packed[M:-1], int(packed[-1])
         if count == 0:
             return {"ranked_hotels": [], "message": "No suitable candidates found."}
 
