@@ -25,6 +25,11 @@ class ModelConfig:
     n_cross_layers: int = 2
     n_res_blocks: int = 1
     dropout: float = 0.6
+    # Architecture variant — reproduces the reference's ablation table
+    # (Documentation.md:200-212): 'dcnr' (full), 'cross_only' (no deep
+    # tower), 'deep_only' (no cross stack), 'dcn_mlp' (plain MLP deep
+    # tower: Linear→ReLU→Dropout blocks, no BN/residual).
+    arch: str = "dcnr"
     # 'code' reproduces the reference's implemented cross math
     # x_{l+1} = x_l + x_l*(w·x_l) + b  (reference train.py:96-99);
     # 'canonical' is the x0-anchored DCN variant its docs describe.

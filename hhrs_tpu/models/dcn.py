@@ -72,6 +72,8 @@ def input_dim_of(dims: ModelDims, cfg: ModelConfig) -> int:
 def init_dcn(rng, dims: ModelDims, cfg: ModelConfig) -> tuple[dict, dict]:
     keys = jax.random.split(rng, 6 + len(dims.cat_dims) + cfg.n_res_blocks)
     ki = iter(range(len(keys)))
+    has_deep = cfg.arch in ("dcnr", "deep_only", "dcn_mlp")
+    has_cross = cfg.arch in ("dcnr", "cross_only", "dcn_mlp")
 
     params: dict = {}
     params["user_embedding"] = embedding_init(keys[next(ki)], dims.n_users, cfg.emb_dim)
@@ -82,17 +84,25 @@ def init_dcn(rng, dims: ModelDims, cfg: ModelConfig) -> tuple[dict, dict]:
     ]
 
     d_in = input_dim_of(dims, cfg)
-    params["initial_deep"] = linear_init(keys[next(ki)], d_in, cfg.hidden_dim)
-
     res_params, res_state = [], []
-    for _ in range(cfg.n_res_blocks):
-        p, s = resblock_init(keys[next(ki)], cfg.hidden_dim)
-        res_params.append(p)
-        res_state.append(s)
-    params["res_blocks"] = res_params
+    if has_deep:
+        params["initial_deep"] = linear_init(keys[next(ki)], d_in, cfg.hidden_dim)
+        for _ in range(cfg.n_res_blocks):
+            if cfg.arch == "dcn_mlp":
+                # plain-MLP ablation: Linear only, no BN/residual
+                p = {"layer": linear_init(keys[next(ki)], cfg.hidden_dim, cfg.hidden_dim)}
+                s = {}
+            else:
+                p, s = resblock_init(keys[next(ki)], cfg.hidden_dim)
+            res_params.append(p)
+            res_state.append(s)
+        params["res_blocks"] = res_params
 
-    params["cross"] = cross_stack_init(keys[next(ki)], cfg.n_cross_layers, d_in)
-    params["final"] = linear_init(keys[next(ki)], cfg.hidden_dim + d_in, 1)
+    if has_cross:
+        params["cross"] = cross_stack_init(keys[next(ki)], cfg.n_cross_layers, d_in)
+
+    final_in = (cfg.hidden_dim if has_deep else 0) + (d_in if has_cross else 0)
+    params["final"] = linear_init(keys[next(ki)], final_in, 1)
 
     state = {"res_blocks": res_state}
     return params, state
@@ -133,29 +143,43 @@ def apply_dcn(
     cat_embs = [tab[cat_features[:, i]] for i, tab in enumerate(params["cat_embeddings"])]
     x0 = jnp.concatenate([user_emb, item_emb, *cat_embs, num_features], axis=1)
 
-    deep = linear_apply(params["initial_deep"], x0, compute_dtype)
+    towers = []
     new_res_state = []
-    if train and rng is not None:
-        block_rngs = jax.random.split(rng, max(len(params["res_blocks"]), 1))
-    else:
-        block_rngs = [None] * max(len(params["res_blocks"]), 1)
-    for i, (bp, bs) in enumerate(zip(params["res_blocks"], state["res_blocks"])):
-        deep, ns = resblock_apply(
-            bp,
-            bs,
-            deep,
-            train=train,
-            dropout_rate=cfg.dropout,
-            rng=block_rngs[i],
-            momentum=cfg.bn_momentum,
-            eps=cfg.bn_eps,
-            axis_name=axis_name,
-            compute_dtype=compute_dtype,
-        )
-        new_res_state.append(ns)
+    if "initial_deep" in params:
+        deep = linear_apply(params["initial_deep"], x0, compute_dtype)
+        blocks = params["res_blocks"]
+        if train and rng is not None:
+            block_rngs = jax.random.split(rng, max(len(blocks), 1))
+        else:
+            block_rngs = [None] * max(len(blocks), 1)
+        for i, (bp, bs) in enumerate(zip(blocks, state["res_blocks"])):
+            if cfg.arch == "dcn_mlp":
+                # plain-MLP ablation block: Linear → ReLU → Dropout
+                deep = jax.nn.relu(linear_apply(bp["layer"], deep, compute_dtype))
+                if train and cfg.dropout > 0.0 and block_rngs[i] is not None:
+                    from hhrs_tpu.ops.nn import dropout as _dropout
 
-    cross = cross_stack_apply(params["cross"], x0, variant=cfg.cross_variant)
+                    deep = _dropout(deep, cfg.dropout, block_rngs[i])
+                ns = {}
+            else:
+                deep, ns = resblock_apply(
+                    bp,
+                    bs,
+                    deep,
+                    train=train,
+                    dropout_rate=cfg.dropout,
+                    rng=block_rngs[i],
+                    momentum=cfg.bn_momentum,
+                    eps=cfg.bn_eps,
+                    axis_name=axis_name,
+                    compute_dtype=compute_dtype,
+                )
+            new_res_state.append(ns)
+        towers.append(deep)
 
-    final_in = jnp.concatenate([deep, cross], axis=1)
+    if "cross" in params:
+        towers.append(cross_stack_apply(params["cross"], x0, variant=cfg.cross_variant))
+
+    final_in = jnp.concatenate(towers, axis=1)
     logits = linear_apply(params["final"], final_in, compute_dtype)[:, 0]
     return logits, {"res_blocks": new_res_state}

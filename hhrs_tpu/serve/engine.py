@@ -121,6 +121,12 @@ class RecommendationEngine:
         self._unknown_user = art.unknown_user_id
         self._user_map = art.user_id_mapping
         self._folded = None
+        if self.use_pallas and bundle.model_cfg.arch != "dcnr":
+            log.warning(
+                "fused Pallas tower supports arch='dcnr' only (got %r); using jnp path",
+                bundle.model_cfg.arch,
+            )
+            self.use_pallas = False
         if self.use_pallas:
             # Fused eval tower (ops/pallas/tower_kernel.py): BN folded into
             # the matmuls, whole tower one kernel. Interpret off-TPU so the
