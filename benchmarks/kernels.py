@@ -19,11 +19,16 @@ import jax.numpy as jnp
 
 
 def timeit(f, *a, n=50):
-    jax.block_until_ready(f(*a))
+    """Times n calls; syncs by fetching a VALUE (block_until_ready can
+    return early on the tunneled backend — see RESULTS.md). The single D2H
+    (~30ms) is amortized across n and reported cost is thus conservative."""
+    import numpy as np
+
+    float(np.asarray(f(*a)).ravel()[0])
     t0 = time.perf_counter()
     for _ in range(n):
         y = f(*a)
-    jax.block_until_ready(y)
+    float(np.asarray(y).ravel()[0])
     return (time.perf_counter() - t0) / n
 
 
