@@ -100,17 +100,16 @@ def generate_synthetic_dataset(
     # Friendships: prefer same-cluster pairs (homophily), undirected, deduped.
     f1 = rng.integers(0, n_users, size=n_friendships * 2)
     same = rng.uniform(size=n_friendships * 2) < 0.7
+    # same-cluster partner: random position inside f1's cluster block of the
+    # cluster-sorted user ordering
+    order = np.argsort(user_cluster, kind="stable")
+    cluster_sorted = user_cluster[order]
+    starts = np.searchsorted(cluster_sorted, user_cluster[f1], side="left")
+    ends = np.searchsorted(cluster_sorted, user_cluster[f1], side="right")
+    within = starts + rng.integers(0, np.maximum(ends - starts, 1))
     f2 = np.where(
         same,
-        # same-cluster partner: random user from the same cluster
-        rng.permutation(n_users)[
-            np.clip(
-                np.searchsorted(np.sort(user_cluster), user_cluster[f1], side="left")
-                + rng.integers(0, 5, size=n_friendships * 2),
-                0,
-                n_users - 1,
-            )
-        ],
+        order[np.clip(within, 0, n_users - 1)],
         rng.integers(0, n_users, size=n_friendships * 2),
     )
     mask = f1 != f2

@@ -23,31 +23,34 @@ log = logging.getLogger("hhrs_tpu.hpo")
 
 
 def model_cfg_from_params(params: dict, base: ModelConfig | None = None) -> ModelConfig:
+    """Sampled hyperparams overlaid on the base config — every non-swept
+    field (arch, cross_variant, bn_*, compute_dtype, …) passes through, so
+    CLI overrides apply inside trials too."""
+    import dataclasses
+
     base = base or ModelConfig()
-    return ModelConfig(
+    return dataclasses.replace(
+        base,
         emb_dim=int(params["emb_dim"]),
         hidden_dim=int(params["hidden_dim"]),
         n_cross_layers=int(params["n_cross_layers"]),
         n_res_blocks=int(params["n_res_blocks"]),
         dropout=float(params["dropout"]),
-        cross_variant=base.cross_variant,
-        compute_dtype=base.compute_dtype,
     )
 
 
 def train_cfg_from_params(params: dict, base: TrainConfig | None = None) -> TrainConfig:
+    import dataclasses
+
     base = base or TrainConfig()
-    return TrainConfig(
+    return dataclasses.replace(
+        base,
         lr=float(params["lr"]),
         batch_size=int(params["batch_size"]),
         weight_decay=float(params["weight_decay"]),
         optimizer=str(params["optimizer"]),
-        n_epochs=base.n_epochs,
-        early_stop_patience=base.early_stop_patience,
         lr_plateau_patience=int(params["lr_plateau_patience"]),
         lr_plateau_factor=float(params["lr_plateau_factor"]),
-        seed=base.seed,
-        eval_batch_size=base.eval_batch_size,
     )
 
 

@@ -18,18 +18,25 @@ class Dim:
     choices: tuple = ()
     low: float = 0.0
     high: float = 1.0
-    step: int = 1
+    step: float = 1  # int step, or float-grid step (0 = continuous)
     log: bool = False
+
+    def _quantize(self, v: float) -> float:
+        if self.kind == "float" and self.step and not self.log:
+            # optuna suggest_float(step=...) semantics: snap to the grid
+            v = self.low + round((v - self.low) / self.step) * self.step
+            return float(min(max(v, self.low), self.high))
+        return float(v)
 
     def sample(self, rng) -> object:
         if self.kind == "categorical":
             return self.choices[rng.integers(0, len(self.choices))]
         if self.kind == "int":
-            n = (int(self.high) - int(self.low)) // self.step + 1
-            return int(self.low) + self.step * int(rng.integers(0, n))
+            n = (int(self.high) - int(self.low)) // int(self.step) + 1
+            return int(self.low) + int(self.step) * int(rng.integers(0, n))
         if self.log:
             return float(math.exp(rng.uniform(math.log(self.low), math.log(self.high))))
-        return float(rng.uniform(self.low, self.high))
+        return self._quantize(rng.uniform(self.low, self.high))
 
     def to_unit(self, v) -> float:
         """Map a value into [0,1] for the TPE kernel density."""
@@ -53,7 +60,7 @@ class Dim:
             return float(
                 math.exp(math.log(self.low) + u * (math.log(self.high) - math.log(self.low)))
             )
-        return float(self.low + u * (self.high - self.low))
+        return self._quantize(self.low + u * (self.high - self.low))
 
 
 def categorical(*choices) -> Dim:
@@ -64,8 +71,8 @@ def int_range(low: int, high: int, step: int = 1) -> Dim:
     return Dim(kind="int", low=low, high=high, step=step)
 
 
-def float_range(low: float, high: float, log: bool = False) -> Dim:
-    return Dim(kind="float", low=low, high=high, log=log)
+def float_range(low: float, high: float, log: bool = False, step: float = 0) -> Dim:
+    return Dim(kind="float", low=low, high=high, log=log, step=step)
 
 
 def reference_search_space() -> dict:
@@ -75,11 +82,11 @@ def reference_search_space() -> dict:
         "hidden_dim": int_range(32, 512, step=32),
         "n_cross_layers": int_range(1, 6),
         "n_res_blocks": int_range(1, 4),
-        "dropout": float_range(0.1, 0.7),
+        "dropout": float_range(0.1, 0.7, step=0.05),  # reference step=0.05
         "lr": float_range(1e-5, 1e-2, log=True),
         "batch_size": categorical(512, 1024, 2048, 4096),
         "weight_decay": float_range(1e-6, 1e-1, log=True),
         "optimizer": categorical("adam", "adamw"),
         "lr_plateau_patience": int_range(1, 3),
-        "lr_plateau_factor": float_range(0.1, 0.5),
+        "lr_plateau_factor": float_range(0.1, 0.5, step=0.1),  # reference step=0.1
     }

@@ -210,8 +210,12 @@ class OptunaStudyAdapter:
                     params[name] = otrial.suggest_categorical(name, list(dim.choices))
                 elif dim.kind == "int":
                     params[name] = otrial.suggest_int(name, int(dim.low), int(dim.high), step=dim.step)
+                elif dim.log:
+                    params[name] = otrial.suggest_float(name, dim.low, dim.high, log=True)
                 else:
-                    params[name] = otrial.suggest_float(name, dim.low, dim.high, log=dim.log)
+                    params[name] = otrial.suggest_float(
+                        name, dim.low, dim.high, step=dim.step or None
+                    )
             shim = Trial(otrial.number, space, params, _OptunaShimStudy(otrial))
             try:
                 return objective(shim)

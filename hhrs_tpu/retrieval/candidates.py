@@ -79,9 +79,10 @@ class CandidateGenerator:
         item_embeddings: np.ndarray,  # [n_train, emb]
         cfg: RetrievalConfig | None = None,
         max_sources: int = 256,
+        universe: ServeUniverse | None = None,
     ):
         self.cfg = cfg or RetrievalConfig()
-        self.universe = ServeUniverse.from_df(main_df)
+        self.universe = universe if universe is not None else ServeUniverse.from_df(main_df)
         uni = self.universe
         M, U, C = uni.n_items, uni.n_users, len(uni.cities)
         self.max_sources = max_sources

@@ -133,14 +133,29 @@ CsvResult* csv_load(const char* path, int n_threads) {
 
   const char* data_start = hdr_eol < end ? hdr_eol + 1 : end;
 
-  // Decide column kinds from the first data row.
-  if (data_start < end) {
-    const char* eol = find_eol(data_start, end);
-    split_fields(data_start, eol, fields);
-    for (size_t i = 0; i < n_cols && i < fields.size(); ++i) {
-      double v;
-      res->cols[i].kind = parse_f64(fields[i].first, fields[i].second, &v) ? 0 : 1;
+  // Decide column kinds from a sample of up to 1000 data rows: a column is
+  // numeric only if EVERY sampled non-empty token parses as a number (a
+  // single empty/ambiguous first row must not misclassify a string column
+  // — pandas infers over the whole column; 1000 rows is the pragmatic
+  // approximation, documented in runtime/__init__.py).
+  {
+    std::vector<uint8_t> numeric(n_cols, 1), saw_value(n_cols, 0);
+    const char* p = data_start;
+    for (int row = 0; row < 1000 && p < end; ++row) {
+      const char* eol = find_eol(p, end);
+      split_fields(p, eol, fields);
+      if (fields.size() == n_cols) {
+        for (size_t i = 0; i < n_cols; ++i) {
+          if (fields[i].second == 0) continue;  // empty: uninformative
+          saw_value[i] = 1;
+          double v;
+          if (!parse_f64(fields[i].first, fields[i].second, &v)) numeric[i] = 0;
+        }
+      }
+      p = eol < end ? eol + 1 : end;
     }
+    for (size_t i = 0; i < n_cols; ++i)
+      res->cols[i].kind = (numeric[i] && saw_value[i]) ? 0 : 1;
   }
 
   // Chunk the data region at newline boundaries.

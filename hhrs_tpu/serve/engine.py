@@ -58,11 +58,19 @@ class RecommendationEngine:
         self.use_pallas = use_pallas
 
         art = bundle.preproc
-        self.gen = CandidateGenerator(
-            main_df, art.item_id_mapping, bundle.item_embeddings, self.retrieval_cfg
-        )
-        uni = self.gen.universe
+        # Graph first: the source-vector width must cover the largest friend
+        # list (the reference uses ALL friends, main.py:172-178 — truncation
+        # would silently drop their positives AND negatives). Rounded up for
+        # compile-shape stability across restarts with similar graphs.
+        from hhrs_tpu.retrieval.candidates import ServeUniverse
+
+        uni = ServeUniverse.from_df(main_df)
         self.graph = FriendGraph.from_pairs(friendships, uni.user_index)
+        max_sources = max(256, -(-self.graph.max_degree // 64) * 64)
+        self.gen = CandidateGenerator(
+            main_df, art.item_id_mapping, bundle.item_embeddings, self.retrieval_cfg,
+            max_sources=max_sources, universe=uni,
+        )
         M = uni.n_items
 
         # --- serve-item feature matrix (first-occurrence row per item,
@@ -262,8 +270,11 @@ class RecommendationEngine:
         return cls(bundle, main_df, friendships, retrieval_cfg, use_pallas=use_pallas)
 
     def warmup(self) -> None:
-        """Compile the request program before accepting traffic."""
+        """Compile the request program before accepting traffic. Warmup
+        samples (dominated by XLA compile) must not pollute the latency
+        histogram the /metrics endpoint reports."""
         uni = self.gen.universe
         if uni.n_users and len(uni.cities):
             self.recommend(int(uni.user_ids[0]), uni.cities[0], "friends", 0.7)
             self.recommend(int(uni.user_ids[0]), uni.cities[0], "personal", 1.0)
+        self.latency = LatencyHistogram()

@@ -87,11 +87,16 @@ def load_artifact_bundle(out_dir: str) -> ArtifactBundle:
     dims = ModelDims.from_dict(manifest["model_dims"])
     preproc = PreprocessArtifacts.load(os.path.join(out_dir, PREPROC))
 
-    # Rebuild the pytree skeleton, then overlay saved leaves.
+    # Pytree skeleton via eval_shape (structure + shapes only — a real
+    # init_dcn would sample every embedding table just to be overwritten,
+    # seconds of waste at production table sizes).
     from hhrs_tpu.models.dcn import init_dcn
 
-    skeleton_params, skeleton_bn = init_dcn(jax.random.PRNGKey(0), dims, model_cfg)
-    skeleton = jax.device_get({"params": skeleton_params, "bn_state": skeleton_bn})
+    shapes = jax.eval_shape(lambda: init_dcn(jax.random.PRNGKey(0), dims, model_cfg))
+    skeleton = jax.tree.map(
+        lambda s: np.zeros(s.shape, s.dtype),
+        {"params": shapes[0], "bn_state": shapes[1]},
+    )
     with open(os.path.join(out_dir, PARAMS), "rb") as f:
         restored = serialization.from_bytes(skeleton, f.read())
 

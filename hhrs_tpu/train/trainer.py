@@ -263,10 +263,16 @@ def train_dcn(
     n_train = splits.n_train
     steps_per_epoch = n_train // B if train_cfg.drop_remainder else -(-n_train // B)
     if steps_per_epoch == 0:
-        raise ValueError(f"batch_size {B} > n_train {n_train}")
+        raise ValueError(f"batch_size {B} > n_train {n_train} (set drop_remainder=False)")
+    # Static shapes require full batches; without drop_remainder the ragged
+    # tail batch is topped up by wrapping the shuffled permutation (those
+    # extra examples train twice that epoch — the standard static-shape
+    # trade; the reference's torch DataLoader instead emits a smaller
+    # final batch).
+    perm_len = steps_per_epoch * B
 
-    # Whole-epoch scan needs uniform batch shapes (ragged tail excluded).
-    fused = train_cfg.fused_epoch and train_cfg.drop_remainder
+    # Uniform batch shapes hold in both modes (wrap-padded permutation).
+    fused = train_cfg.fused_epoch
     epoch_fn = None
     if fused:
         epoch_fn = jax.jit(
@@ -332,7 +338,10 @@ def train_dcn(
             t_start = time.perf_counter()
         # ONE host→device upload per epoch (the shuffled index vector);
         # steps then run with zero H2D traffic (device-carried counter).
-        perm_dev = jnp.asarray(shuffle_rng.permutation(n_train), jnp.int32)
+        perm_host = shuffle_rng.permutation(n_train)
+        if perm_len > n_train:
+            perm_host = np.resize(perm_host, perm_len)  # wrap-pad ragged tail
+        perm_dev = jnp.asarray(perm_host, jnp.int32)
         rng, epoch_rng = jax.random.split(rng)
         if fused:
             params, bn_state, opt_state, mean_loss = epoch_fn(

@@ -52,25 +52,27 @@ class MetricsLogger:
 
 
 class LatencyHistogram:
-    """Fixed-bucket latency histogram with p50/p99 estimates (serve path)."""
+    """Rolling-window latency quantiles (serve path): bounded memory
+    (last `window` samples), lifetime request counter, one sort per
+    summary."""
 
-    def __init__(self):
-        self.samples: list[float] = []
+    def __init__(self, window: int = 10_000):
+        from collections import deque
+
+        self.samples = deque(maxlen=window)
+        self.total = 0
 
     def observe(self, seconds: float) -> None:
         self.samples.append(seconds)
-
-    def percentile(self, p: float) -> float:
-        if not self.samples:
-            return float("nan")
-        s = sorted(self.samples)
-        idx = min(int(len(s) * p / 100.0), len(s) - 1)
-        return s[idx]
+        self.total += 1
 
     def summary(self) -> dict:
-        return {
-            "count": len(self.samples),
-            "p50_ms": self.percentile(50) * 1e3,
-            "p90_ms": self.percentile(90) * 1e3,
-            "p99_ms": self.percentile(99) * 1e3,
-        }
+        if not self.samples:
+            return {"count": 0, "p50_ms": float("nan"), "p90_ms": float("nan"),
+                    "p99_ms": float("nan")}
+        s = sorted(self.samples)
+
+        def q(p):
+            return s[min(int(len(s) * p / 100.0), len(s) - 1)] * 1e3
+
+        return {"count": self.total, "p50_ms": q(50), "p90_ms": q(90), "p99_ms": q(99)}
