@@ -201,3 +201,29 @@ def test_http_healthz_and_docs(http_server):
     assert status == 200 and body["status"] == "ok"
     with urllib.request.urlopen(http_server + "/docs") as r:
         assert r.status == 200 and b"Hybrid Recommendation API" in r.read()
+
+
+def test_http_concurrent_requests(http_server, engine_setup):
+    """16 concurrent clients over the threaded server: all succeed, and
+    identical requests return identical rankings (the shared jitted engine
+    is safe under concurrent dispatch)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    engine, *_ = engine_setup
+    uni = engine.gen.universe
+    payload = {"user_id": int(uni.user_ids[0]), "city": uni.cities[0],
+               "type": "friends", "lambda_param": 0.7}
+
+    def hit(i):
+        if i % 4 == 3:
+            return _get(http_server + f"/similar_items?item_id={int(uni.item_ids[0])}&n=5")
+        return _post(http_server + "/recommendations", payload)
+
+    with ThreadPoolExecutor(max_workers=16) as ex:
+        results = list(ex.map(hit, range(32)))
+
+    assert all(status == 200 for status, _ in results)
+    rec_bodies = [b for i, (s, b) in enumerate(results) if i % 4 != 3]
+    first = [h["hotel_id"] for h in rec_bodies[0]["ranked_hotels"]]
+    for b in rec_bodies[1:]:
+        assert [h["hotel_id"] for h in b["ranked_hotels"]] == first
