@@ -20,6 +20,9 @@ def main(argv=None) -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--pallas", action="store_true")
     p.add_argument("--requests", type=int, default=100)
+    p.add_argument("--concurrency", type=int, default=1,
+                   help=">1: concurrent clients through the dynamic batcher")
+    p.add_argument("--batch-window-ms", type=float, default=3.0)
     p.add_argument("--users", type=int, default=2000)
     p.add_argument("--items", type=int, default=600)
     p.add_argument("--reviews", type=int, default=40000)
@@ -58,13 +61,40 @@ def main(argv=None) -> int:
     uni = engine.gen.universe
     users = uni.user_ids
     cities = uni.cities
+
+    def req_args(i):
+        return int(users[i % len(users)]), cities[i % len(cities)], "friends", 0.7
+
     t_all = []
-    for i in range(args.requests):
-        u = int(users[i % len(users)])
-        c = cities[i % len(cities)]
-        t0 = time.perf_counter()
-        engine.recommend(u, c, "friends", 0.7)
-        t_all.append(time.perf_counter() - t0)
+    wall = None
+    if args.concurrency > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        from hhrs_tpu.serve.batcher import BatchingEngine
+
+        front = BatchingEngine(engine, max_batch=args.concurrency,
+                               window_ms=args.batch_window_ms)
+        # compile the single batched shape the batcher uses
+        engine.recommend_many([req_args(0)], pad_to=args.concurrency)
+
+        def hit(i):
+            t0 = time.perf_counter()
+            front.recommend(*req_args(i))
+            return time.perf_counter() - t0
+
+        t_wall = time.perf_counter()
+        with ThreadPoolExecutor(max_workers=args.concurrency) as ex:
+            t_all = list(ex.map(hit, range(args.requests)))
+        wall = time.perf_counter() - t_wall
+        front.close()
+    else:
+        t_wall = time.perf_counter()
+        for i in range(args.requests):
+            u, c, m, l = req_args(i)
+            t0 = time.perf_counter()
+            engine.recommend(u, c, m, l)
+            t_all.append(time.perf_counter() - t0)
+        wall = time.perf_counter() - t_wall
 
     t_all.sort()
 
@@ -79,6 +109,8 @@ def main(argv=None) -> int:
         "p90_ms": round(q(0.90), 2),
         "p99_ms": round(q(0.99), 2),
         "requests": args.requests,
+        "throughput_rps": round(args.requests / wall, 1),
+        "concurrency": args.concurrency,
         "pallas": args.pallas,
         "unit": "ms",
     }))

@@ -29,6 +29,10 @@ def main(argv=None) -> int:
     p.add_argument("--no-warmup", action="store_true")
     p.add_argument("--pallas", action="store_true",
                    help="score with the fused Pallas eval tower (BN folded)")
+    p.add_argument("--batch-window-ms", type=float, default=0.0,
+                   help=">0: coalesce concurrent requests into batched device "
+                        "programs within this window (dynamic batching)")
+    p.add_argument("--max-batch", type=int, default=8)
     args = p.parse_args(argv)
 
     try:
@@ -41,6 +45,13 @@ def main(argv=None) -> int:
         if not args.no_warmup:
             log.info("warming up compiled request program...")
             engine.warmup()
+        if args.batch_window_ms > 0:
+            from hhrs_tpu.serve.batcher import BatchingEngine
+
+            engine = BatchingEngine(engine, max_batch=args.max_batch,
+                                    window_ms=args.batch_window_ms)
+            log.info("dynamic batching on: window %.1fms, max %d",
+                     args.batch_window_ms, args.max_batch)
         log.info("Artifacts loaded successfully. Server is ready.")
     except Exception as e:
         log.critical("CRITICAL ERROR during startup: %s", e)

@@ -147,6 +147,10 @@ class RecommendationEngine:
             )
             self._pallas_interpret = not pallas_supported()
         self._recommend_jit = jax.jit(self._recommend_impl)
+        # Batched request program: vmap of the single-request impl — one
+        # dispatch + ONE device→host transfer for K coalesced requests
+        # (serve/batcher.py; the D2H latency floor amortizes K-fold).
+        self._recommend_batch_jit = jax.jit(jax.vmap(self._recommend_impl))
 
     # ------------------------------------------------------------------ #
 
@@ -195,18 +199,16 @@ class RecommendationEngine:
 
     # ------------------------------------------------------------------ #
 
-    def recommend(self, user_id: int, city: str, mode: str = "friends", lambda_param: float = 0.7) -> dict:
-        import time
-
-        t0 = time.perf_counter()
+    def _host_inputs(self, user_id: int, city: str, mode: str):
         uni = self.gen.universe
-        sources = jnp.asarray(self.gen.sources_for(user_id, mode, self.graph))
-        city_idx = jnp.asarray(uni.city_index.get(city, len(uni.cities)), jnp.int32)
-        user_internal = jnp.asarray(self._user_map.get(user_id, self._unknown_user), jnp.int32)
+        return (
+            self.gen.sources_for(user_id, mode, self.graph),
+            uni.city_index.get(city, len(uni.cities)),
+            self._user_map.get(user_id, self._unknown_user),
+        )
 
-        packed = jax.device_get(
-            self._recommend_jit(sources, city_idx, user_internal, jnp.float32(lambda_param))
-        )  # ONE device→host transfer for the whole request
+    def _assemble(self, user_id: int, lambda_param: float, packed: np.ndarray) -> dict:
+        """Host-side response assembly from one packed program output."""
         M = self.gen._M
         order, mmr_idx, count = packed[:M], packed[M:-1], int(packed[-1])
         if count == 0:
@@ -217,11 +219,75 @@ class RecommendationEngine:
         else:
             ranked_serve_idx = order[:count]
 
-        ranked_ext = uni.item_ids[ranked_serve_idx]
+        ranked_ext = self.gen.universe.item_ids[ranked_serve_idx]
         friends = set(self.graph.friends_of(user_id).tolist())
-        response = [self._hotel_payload(int(si), int(ext), friends) for si, ext in zip(ranked_serve_idx, ranked_ext)]
-        self.latency.observe(time.perf_counter() - t0)
+        response = [
+            self._hotel_payload(int(si), int(ext), friends)
+            for si, ext in zip(ranked_serve_idx, ranked_ext)
+        ]
         return {"ranked_hotels": response}
+
+    def recommend(self, user_id: int, city: str, mode: str = "friends",
+                  lambda_param: float = 0.7) -> dict:
+        import time
+
+        t0 = time.perf_counter()
+        sources, city_i, user_i = self._host_inputs(user_id, city, mode)
+        packed = jax.device_get(
+            self._recommend_jit(
+                jnp.asarray(sources), jnp.asarray(city_i, jnp.int32),
+                jnp.asarray(user_i, jnp.int32), jnp.float32(lambda_param),
+            )
+        )  # ONE device→host transfer for the whole request
+        out = self._assemble(user_id, lambda_param, packed)
+        self.latency.observe(time.perf_counter() - t0)
+        return out
+
+    def recommend_many(self, requests: list, pad_to: int | None = None) -> list:
+        """Batched requests: [(user_id, city, mode, lambda_param), …] →
+        list of responses. One vmapped program dispatch + one D2H for the
+        whole batch. ``pad_to`` fixes the program shape (the dynamic
+        batcher always pads to its max_batch, so exactly ONE batched
+        program ever compiles — XLA compiles cost minutes on the tunneled
+        chip); otherwise the batch pads to a power-of-two bucket."""
+        import time
+
+        t0 = time.perf_counter()
+        K = len(requests)
+        if K == 0:
+            return []
+        if self._folded is not None:
+            # Pallas tower has no vmap batching rule — serve sequentially.
+            return [self.recommend(u, c, m, l) for u, c, m, l in requests]
+        if pad_to is not None and pad_to >= K:
+            Kp = pad_to
+        else:
+            Kp = 1
+            while Kp < K:
+                Kp *= 2
+
+        S = self.gen.max_sources
+        sources = np.empty((Kp, S), np.int32)
+        city_i = np.empty(Kp, np.int32)
+        user_i = np.empty(Kp, np.int32)
+        lam = np.empty(Kp, np.float32)
+        for k in range(Kp):
+            u, c, mode, l = requests[min(k, K - 1)]  # pad rows repeat the last
+            sources[k], city_i[k], user_i[k] = self._host_inputs(u, c, mode)
+            lam[k] = l
+
+        packed = jax.device_get(
+            self._recommend_batch_jit(
+                jnp.asarray(sources), jnp.asarray(city_i),
+                jnp.asarray(user_i), jnp.asarray(lam),
+            )
+        )
+        dt = time.perf_counter() - t0
+        out = []
+        for k, (u, _c, _m, l) in enumerate(requests):
+            out.append(self._assemble(u, l, packed[k]))
+            self.latency.observe(dt)  # whole-batch wall time per request
+        return out
 
     def _hotel_payload(self, serve_idx: int, ext_id: int, friends: set) -> dict:
         recommended_by = []

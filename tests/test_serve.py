@@ -4,6 +4,7 @@ the REST contract driven over a real HTTP socket.
 
 import json
 import threading
+import time
 import urllib.request
 import urllib.error
 from http.server import ThreadingHTTPServer
@@ -215,9 +216,15 @@ def test_http_concurrent_requests(http_server, engine_setup):
                "type": "friends", "lambda_param": 0.7}
 
     def hit(i):
-        if i % 4 == 3:
-            return _get(http_server + f"/similar_items?item_id={int(uni.item_ids[0])}&n=5")
-        return _post(http_server + "/recommendations", payload)
+        for attempt in range(3):  # transient socket resets under load
+            try:
+                if i % 4 == 3:
+                    return _get(http_server + f"/similar_items?item_id={int(uni.item_ids[0])}&n=5")
+                return _post(http_server + "/recommendations", payload)
+            except (ConnectionResetError, ConnectionRefusedError):
+                if attempt == 2:
+                    raise
+                time.sleep(0.1)
 
     with ThreadPoolExecutor(max_workers=16) as ex:
         results = list(ex.map(hit, range(32)))
