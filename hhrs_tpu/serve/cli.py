@@ -48,6 +48,15 @@ def main(argv=None) -> int:
         if args.batch_window_ms > 0:
             from hhrs_tpu.serve.batcher import BatchingEngine
 
+            if not args.no_warmup:
+                uni = engine.gen.universe
+                if uni.n_users and len(uni.cities):
+                    # compile the fixed batched shape before traffic
+                    engine.recommend_many(
+                        [(int(uni.user_ids[0]), uni.cities[0], "friends", 0.7)],
+                        pad_to=args.max_batch,
+                    )
+                engine.latency = type(engine.latency)()
             engine = BatchingEngine(engine, max_batch=args.max_batch,
                                     window_ms=args.batch_window_ms)
             log.info("dynamic batching on: window %.1fms, max %d",
