@@ -40,8 +40,16 @@ def make_mesh(
     n_model: int = 1,
     axis_names: tuple = ("data", "model"),
     devices=None,
+    hardware_order: bool = False,
 ) -> Mesh:
-    """Build a 2-D mesh. ``n_data=-1`` → use every device not on model."""
+    """Build a 2-D mesh. ``n_data=-1`` → use every device not on model.
+
+    ``hardware_order=True`` lays the grid out with
+    ``mesh_utils.create_device_mesh`` so neighboring mesh coordinates map
+    to ICI-adjacent chips (the right choice on a real slice — the model
+    axis's all-to-all/psum then rides nearest-neighbor links); the default
+    plain reshape is deterministic and is what the virtual CPU tests use.
+    """
     if devices is None:
         devices = jax.devices()
     n = len(devices)
@@ -51,5 +59,12 @@ def make_mesh(
         n_data = n // n_model
     if n_data * n_model > n:
         raise ValueError(f"mesh {n_data}x{n_model} needs {n_data * n_model} devices, have {n}")
-    grid = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
+    if hardware_order:
+        from jax.experimental import mesh_utils
+
+        grid = mesh_utils.create_device_mesh(
+            (n_data, n_model), devices=devices[: n_data * n_model]
+        )
+    else:
+        grid = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
     return Mesh(grid, axis_names)

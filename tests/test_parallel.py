@@ -246,3 +246,13 @@ def test_parallel_training_converges_on_mesh(eight_devices):
         ps, bs, os_, loss = step(ps, bs, os_, batch, jax.random.PRNGKey(i))
         losses.append(float(loss))
     assert losses[-1] < losses[0] * 0.9
+
+
+def test_hardware_order_mesh(eight_devices):
+    mesh = make_mesh(4, 2, hardware_order=True)
+    assert mesh.shape == {"data": 4, "model": 2}
+    # still computes correctly
+    table = jax.random.normal(jax.random.PRNGKey(0), (32, 8))
+    ids = jax.random.randint(jax.random.PRNGKey(1), (16,), 0, 32)
+    out = psum_lookup(mesh, table, ids)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(table[ids]), rtol=1e-6)
