@@ -11,6 +11,7 @@ best-so-far model on disk — the reference only exports at the very end).
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import logging
 import sys
 
@@ -26,8 +27,6 @@ def model_cfg_from_params(params: dict, base: ModelConfig | None = None) -> Mode
     """Sampled hyperparams overlaid on the base config — every non-swept
     field (arch, cross_variant, bn_*, compute_dtype, …) passes through, so
     CLI overrides apply inside trials too."""
-    import dataclasses
-
     base = base or ModelConfig()
     return dataclasses.replace(
         base,
@@ -40,8 +39,6 @@ def model_cfg_from_params(params: dict, base: ModelConfig | None = None) -> Mode
 
 
 def train_cfg_from_params(params: dict, base: TrainConfig | None = None) -> TrainConfig:
-    import dataclasses
-
     base = base or TrainConfig()
     return dataclasses.replace(
         base,

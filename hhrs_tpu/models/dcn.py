@@ -26,7 +26,7 @@ import jax.numpy as jnp
 
 from hhrs_tpu.config import ModelConfig
 from hhrs_tpu.ops.cross import cross_stack_apply, cross_stack_init
-from hhrs_tpu.ops.nn import embedding_init, linear_apply, linear_init
+from hhrs_tpu.ops.nn import dropout, embedding_init, linear_apply, linear_init
 from hhrs_tpu.ops.resblock import resblock_apply, resblock_init
 
 
@@ -157,9 +157,7 @@ def apply_dcn(
                 # plain-MLP ablation block: Linear → ReLU → Dropout
                 deep = jax.nn.relu(linear_apply(bp["layer"], deep, compute_dtype))
                 if train and cfg.dropout > 0.0 and block_rngs[i] is not None:
-                    from hhrs_tpu.ops.nn import dropout as _dropout
-
-                    deep = _dropout(deep, cfg.dropout, block_rngs[i])
+                    deep = dropout(deep, cfg.dropout, block_rngs[i])
                 ns = {}
             else:
                 deep, ns = resblock_apply(

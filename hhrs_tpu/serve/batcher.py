@@ -20,6 +20,7 @@ from __future__ import annotations
 import logging
 import queue
 import threading
+import time
 
 log = logging.getLogger(__name__)
 
@@ -69,8 +70,6 @@ class BatchingEngine:
                 continue
             batch = [first]
             deadline = self.window_s
-            import time
-
             t0 = time.perf_counter()
             while len(batch) < self.max_batch:
                 remaining = deadline - (time.perf_counter() - t0)

@@ -44,19 +44,10 @@ def main(argv=None) -> int:
         engine = RecommendationEngine.from_dirs(artifacts_dir, args.data, use_pallas=args.pallas)
         if not args.no_warmup:
             log.info("warming up compiled request program...")
-            engine.warmup()
+            engine.warmup(batch_pad=args.max_batch if args.batch_window_ms > 0 else None)
         if args.batch_window_ms > 0:
             from hhrs_tpu.serve.batcher import BatchingEngine
 
-            if not args.no_warmup:
-                uni = engine.gen.universe
-                if uni.n_users and len(uni.cities):
-                    # compile the fixed batched shape before traffic
-                    engine.recommend_many(
-                        [(int(uni.user_ids[0]), uni.cities[0], "friends", 0.7)],
-                        pad_to=args.max_batch,
-                    )
-                engine.latency = type(engine.latency)()
             engine = BatchingEngine(engine, max_batch=args.max_batch,
                                     window_ms=args.batch_window_ms)
             log.info("dynamic batching on: window %.1fms, max %d",

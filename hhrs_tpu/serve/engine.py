@@ -20,6 +20,7 @@ unknown user → n_users//2 model id; empty candidates → message response;
 from __future__ import annotations
 
 import logging
+import time
 from functools import partial
 
 import jax
@@ -33,7 +34,7 @@ from hhrs_tpu.data.features import add_engineered_features
 from hhrs_tpu.data.ingest import load_friendships_csv, load_reviews_csv
 from hhrs_tpu.models.dcn import apply_dcn
 from hhrs_tpu.ops.mmr import NEG_INF, mmr_rerank
-from hhrs_tpu.retrieval.candidates import CandidateGenerator
+from hhrs_tpu.retrieval.candidates import CandidateGenerator, ServeUniverse
 from hhrs_tpu.retrieval.graph import FriendGraph
 from hhrs_tpu.retrieval.similarity import cosine_topk, normalize_rows
 from hhrs_tpu.train.artifacts import ArtifactBundle, load_artifact_bundle
@@ -62,8 +63,6 @@ class RecommendationEngine:
         # list (the reference uses ALL friends, main.py:172-178 — truncation
         # would silently drop their positives AND negatives). Rounded up for
         # compile-shape stability across restarts with similar graphs.
-        from hhrs_tpu.retrieval.candidates import ServeUniverse
-
         uni = ServeUniverse.from_df(main_df)
         self.graph = FriendGraph.from_pairs(friendships, uni.user_index)
         max_sources = max(256, -(-self.graph.max_degree // 64) * 64)
@@ -229,8 +228,6 @@ class RecommendationEngine:
 
     def recommend(self, user_id: int, city: str, mode: str = "friends",
                   lambda_param: float = 0.7) -> dict:
-        import time
-
         t0 = time.perf_counter()
         sources, city_i, user_i = self._host_inputs(user_id, city, mode)
         packed = jax.device_get(
@@ -335,12 +332,18 @@ class RecommendationEngine:
         friendships = load_friendships_csv(os.path.join(data_dir, "friendships.csv"))
         return cls(bundle, main_df, friendships, retrieval_cfg, use_pallas=use_pallas)
 
-    def warmup(self) -> None:
-        """Compile the request program before accepting traffic. Warmup
-        samples (dominated by XLA compile) must not pollute the latency
-        histogram the /metrics endpoint reports."""
+    def warmup(self, batch_pad: int | None = None) -> None:
+        """Compile the request program(s) before accepting traffic —
+        ``batch_pad`` also warms the batched shape the dynamic batcher
+        uses. Warmup samples (dominated by XLA compile) must not pollute
+        the latency histogram the /metrics endpoint reports."""
         uni = self.gen.universe
         if uni.n_users and len(uni.cities):
             self.recommend(int(uni.user_ids[0]), uni.cities[0], "friends", 0.7)
             self.recommend(int(uni.user_ids[0]), uni.cities[0], "personal", 1.0)
+            if batch_pad:
+                self.recommend_many(
+                    [(int(uni.user_ids[0]), uni.cities[0], "friends", 0.7)],
+                    pad_to=batch_pad,
+                )
         self.latency = LatencyHistogram()

@@ -17,6 +17,7 @@ from __future__ import annotations
 from functools import partial
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -46,8 +47,6 @@ class ShardedItemScorer:
         X_cat,
         X_num,
     ):
-        import numpy as np
-
         self.mesh = mesh
         self.cfg = model_cfg
         n_shards = mesh.devices.size

@@ -12,6 +12,7 @@ from __future__ import annotations
 import json
 import logging
 import time
+from collections import deque
 
 
 def setup_logging(level=logging.INFO) -> None:
@@ -57,8 +58,6 @@ class LatencyHistogram:
     summary."""
 
     def __init__(self, window: int = 10_000):
-        from collections import deque
-
         self.samples = deque(maxlen=window)
         self.total = 0
 
