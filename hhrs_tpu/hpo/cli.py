@@ -65,6 +65,8 @@ def main(argv=None) -> int:
     p.add_argument("--synth-reviews", type=int, default=40000)
     p.add_argument("--epochs", type=int, default=None, help="cap epochs per trial")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--cache-dir", default=None,
+                   help="preprocessed-dataset cache (skips ingest on repeat runs)")
     p.add_argument("overrides", nargs="*")
     args = p.parse_args(argv)
 

@@ -39,6 +39,22 @@ def build_dataset(args, cfg: Config):
                 seed=cfg.train.seed,
             )
     csv_path = os.path.join(args.data, "hackathon_augmented_data.csv")
+
+    cache_dir = getattr(args, "cache_dir", None)
+    key = None
+    if cache_dir:
+        from hhrs_tpu.data import cache
+
+        key = cache.cache_key(csv_path, {
+            "pos": cfg.data.positive_rating, "neg": cfg.data.negative_rating,
+            "cat": list(cfg.data.categorical_cols), "num": list(cfg.data.numerical_cols),
+            "test_size": cfg.data.test_size, "seed": cfg.data.split_seed,
+            "leakage": cfg.data.leakage_compat,
+        })
+        hit = cache.load(cache_dir, key)
+        if hit is not None:
+            return hit
+
     df = load_reviews_csv(csv_path)
     df = noise_filter(df, cfg.data.positive_rating, cfg.data.negative_rating)
     df = add_engineered_features(df)
@@ -49,7 +65,12 @@ def build_dataset(args, cfg: Config):
         split_seed=cfg.data.split_seed,
         leakage_compat=cfg.data.leakage_compat,
     )
-    return pre.fit_transform(df)
+    splits, artifacts = pre.fit_transform(df)
+    if cache_dir:
+        from hhrs_tpu.data import cache
+
+        cache.save(cache_dir, key, splits, artifacts)
+    return splits, artifacts
 
 
 def main(argv=None) -> int:
@@ -65,6 +86,8 @@ def main(argv=None) -> int:
     p.add_argument("--synth-reviews", type=int, default=40000)
     p.add_argument("--epochs", type=int, default=None)
     p.add_argument("--metrics-log", default=None, help="JSONL per-epoch metrics sink")
+    p.add_argument("--cache-dir", default=None,
+                   help="preprocessed-dataset cache (skips ingest on repeat runs)")
     p.add_argument("--checkpoint-dir", default=None, help="orbax checkpoint dir (resume-from-latest)")
     p.add_argument("--register-db", default=None,
                    help="register exported artifacts as the active model in this sqlite registry")
