@@ -60,6 +60,7 @@ def main(argv=None) -> int:
     p.add_argument("--data", default="data")
     p.add_argument("--out", default="artifacts")
     p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--regen", action="store_true", help="force-regenerate synthetic data")
     p.add_argument("--synth-users", type=int, default=2000)
     p.add_argument("--synth-items", type=int, default=600)
     p.add_argument("--synth-reviews", type=int, default=40000)
@@ -93,6 +94,9 @@ def main(argv=None) -> int:
     def objective(trial):
         mcfg = model_cfg_from_params(trial.params, cfg.model)
         tcfg = train_cfg_from_params(trial.params, cfg.train)
+        if tcfg.batch_size > splits.n_train:
+            # small dataset + large sampled batch: wrap-pad instead of failing
+            tcfg = dataclasses.replace(tcfg, drop_remainder=False)
 
         def report_fn(epoch: int, val_loss: float) -> bool:
             trial.report(val_loss, epoch)
@@ -114,8 +118,11 @@ def main(argv=None) -> int:
 
     study.optimize(objective, space, n_trials=args.trials)
 
-    log.info("best value: %.5f", study.best_value)
-    log.info("best params: %s", study.best_params)
+    try:
+        log.info("best value: %.5f", study.best_value)
+        log.info("best params: %s", study.best_params)
+    except ValueError:
+        log.warning("no completed trials (all pruned/failed)")
 
     # Study plots (reference train.py:337-350 equivalent).
     try:

@@ -139,7 +139,7 @@ CsvResult* csv_load(const char* path, int n_threads) {
   // — pandas infers over the whole column; 1000 rows is the pragmatic
   // approximation, documented in runtime/__init__.py).
   {
-    std::vector<uint8_t> numeric(n_cols, 1), saw_value(n_cols, 0);
+    std::vector<uint8_t> numeric(n_cols, 1);
     const char* p = data_start;
     for (int row = 0; row < 1000 && p < end; ++row) {
       const char* eol = find_eol(p, end);
@@ -147,15 +147,18 @@ CsvResult* csv_load(const char* path, int n_threads) {
       if (fields.size() == n_cols) {
         for (size_t i = 0; i < n_cols; ++i) {
           if (fields[i].second == 0) continue;  // empty: uninformative
-          saw_value[i] = 1;
           double v;
           if (!parse_f64(fields[i].first, fields[i].second, &v)) numeric[i] = 0;
         }
       }
       p = eol < end ? eol + 1 : end;
     }
+    // All-empty sample → numeric (pandas reads a fully-empty column as
+    // float64 NaN; a numeric column with an empty 1000-row prefix also
+    // lands here — the rare opposite case, a string column with an empty
+    // 1000-row prefix, is a documented limitation of sampling).
     for (size_t i = 0; i < n_cols; ++i)
-      res->cols[i].kind = (numeric[i] && saw_value[i]) ? 0 : 1;
+      res->cols[i].kind = numeric[i] ? 0 : 1;
   }
 
   // Chunk the data region at newline boundaries.

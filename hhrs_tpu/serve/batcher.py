@@ -48,9 +48,17 @@ class BatchingEngine:
     # -- public surface (handler-compatible) ------------------------------
     def recommend(self, user_id: int, city: str, mode: str = "friends",
                   lambda_param: float = 0.7) -> dict:
+        if self._stop.is_set():
+            raise RuntimeError("BatchingEngine is closed")
         p = _Pending((user_id, city, mode, lambda_param))
         self._q.put(p)
-        p.event.wait()
+        # Bounded waits so a dead worker or a close() race surfaces as an
+        # error instead of hanging the caller forever.
+        while not p.event.wait(timeout=1.0):
+            if not self._worker.is_alive() or self._stop.is_set():
+                if p.event.is_set():
+                    break
+                raise RuntimeError("BatchingEngine worker is gone")
         if p.error is not None:
             raise p.error
         return p.result
@@ -61,6 +69,16 @@ class BatchingEngine:
     def close(self) -> None:
         self._stop.set()
         self._q.put(None)  # wake the worker
+        self._worker.join(timeout=30)
+        # Error out anything still queued so no caller hangs.
+        while True:
+            try:
+                p = self._q.get_nowait()
+            except queue.Empty:
+                break
+            if p is not None:
+                p.error = RuntimeError("BatchingEngine closed")
+                p.event.set()
 
     # -- worker ------------------------------------------------------------
     def _run(self) -> None:

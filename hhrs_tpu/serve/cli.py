@@ -44,8 +44,15 @@ def main(argv=None) -> int:
         engine = RecommendationEngine.from_dirs(artifacts_dir, args.data, use_pallas=args.pallas)
         if not args.no_warmup:
             log.info("warming up compiled request program...")
-            engine.warmup(batch_pad=args.max_batch if args.batch_window_ms > 0 else None)
-        if args.batch_window_ms > 0:
+            want_batching = args.batch_window_ms > 0 and not args.pallas
+            engine.warmup(batch_pad=args.max_batch if want_batching else None)
+        if args.batch_window_ms > 0 and args.pallas:
+            # recommend_many falls back to sequential under the Pallas
+            # tower (no vmap rule) — a batcher would only serialize traffic
+            # through one worker and add window latency.
+            log.warning("--batch-window-ms ignored with --pallas "
+                        "(batched program requires the jnp scoring path)")
+        elif args.batch_window_ms > 0:
             from hhrs_tpu.serve.batcher import BatchingEngine
 
             engine = BatchingEngine(engine, max_batch=args.max_batch,

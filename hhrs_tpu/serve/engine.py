@@ -247,8 +247,6 @@ class RecommendationEngine:
         batcher always pads to its max_batch, so exactly ONE batched
         program ever compiles — XLA compiles cost minutes on the tunneled
         chip); otherwise the batch pads to a power-of-two bucket."""
-        import time
-
         t0 = time.perf_counter()
         K = len(requests)
         if K == 0:
@@ -268,10 +266,14 @@ class RecommendationEngine:
         city_i = np.empty(Kp, np.int32)
         user_i = np.empty(Kp, np.int32)
         lam = np.empty(Kp, np.float32)
-        for k in range(Kp):
-            u, c, mode, l = requests[min(k, K - 1)]  # pad rows repeat the last
+        for k, (u, c, mode, l) in enumerate(requests):
             sources[k], city_i[k], user_i[k] = self._host_inputs(u, c, mode)
             lam[k] = l
+        if Kp > K:  # pad rows copy the last real row (no recompute)
+            sources[K:] = sources[K - 1]
+            city_i[K:] = city_i[K - 1]
+            user_i[K:] = user_i[K - 1]
+            lam[K:] = lam[K - 1]
 
         packed = jax.device_get(
             self._recommend_batch_jit(

@@ -29,7 +29,7 @@ def build_dataset(args, cfg: Config):
 
         os.makedirs(args.data, exist_ok=True)
         csv_path = os.path.join(args.data, "hackathon_augmented_data.csv")
-        if not os.path.exists(csv_path) or args.regen:
+        if not os.path.exists(csv_path) or getattr(args, "regen", False):
             log.info("generating synthetic dataset in %s", args.data)
             write_synthetic_dataset(
                 args.data,

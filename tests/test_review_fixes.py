@@ -136,3 +136,68 @@ def test_latency_histogram_bounded_and_counts():
     s = h.summary()
     assert s["count"] == 250  # lifetime counter
     assert len(h.samples) == 100  # bounded window
+
+
+def test_hpo_cli_synthetic_rerun_no_regen_attr(tmp_path):
+    """hhrs-hpo --synthetic must survive a second run (args.regen absent)."""
+    from hhrs_tpu.hpo.cli import main
+
+    common = ["--trials", "1", "--journal", str(tmp_path / "j.jsonl"),
+              "--data", str(tmp_path / "d"), "--out", str(tmp_path / "a"),
+              "--synthetic", "--synth-users", "80", "--synth-items", "40",
+              "--synth-reviews", "900", "--epochs", "1",
+              "train.eval_batch_size=512"]
+    assert main(common) == 0
+    assert main([*common[:3], str(tmp_path / "j2.jsonl"), *common[4:]]) == 0  # CSV exists now
+
+
+def test_native_csv_all_empty_column_numeric(tmp_path):
+    from hhrs_tpu.runtime import native_available
+
+    if not native_available():
+        import pytest as _pytest
+
+        _pytest.skip("native runtime not built")
+    from hhrs_tpu.runtime.csv import read_csv_native
+
+    p = tmp_path / "e.csv"
+    p.write_text("id,gap\n1,\n2,\n3,\n")
+    df = read_csv_native(str(p))
+    assert df["gap"].dtype == np.float64  # pandas parity: empty column → float NaN
+    assert df["gap"].isna().all()
+
+
+def test_batcher_close_unblocks_waiters():
+    import threading
+    import time as _time
+
+    from hhrs_tpu.serve.batcher import BatchingEngine
+
+    class Slow:
+        def recommend_many(self, reqs, pad_to=None):
+            _time.sleep(0.3)
+            return [{"ok": True} for _ in reqs]
+
+    front = BatchingEngine(Slow(), max_batch=2, window_ms=1.0)
+    results = {}
+
+    def call(i):
+        try:
+            results[i] = front.recommend(i, "X", "friends", 0.7)
+        except RuntimeError as e:
+            results[i] = e
+
+    threads = [threading.Thread(target=call, args=(i,)) for i in range(3)]
+    for t in threads:
+        t.start()
+    _time.sleep(0.05)
+    front.close()
+    for t in threads:
+        t.join(timeout=10)
+        assert not t.is_alive()  # nobody hangs
+    assert len(results) == 3
+    # post-close calls error immediately
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError):
+        front.recommend(9, "X", "friends", 0.7)
