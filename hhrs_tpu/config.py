@@ -133,11 +133,12 @@ class RetrievalConfig:
 class ServeConfig:
     host: str = "0.0.0.0"
     port: int = 8000
-    # Candidate batches are padded to this static size so the scoring
-    # computation compiles once (XLA static shapes).
-    max_candidates: int = 1024
     artifacts_dir: str = "artifacts"
     data_dir: str = "data"
+    # Dynamic batching (serve/batcher.py): 0 disables.
+    batch_window_ms: float = 0.0
+    max_batch: int = 8
+    use_pallas: bool = False
 
 
 @dataclass

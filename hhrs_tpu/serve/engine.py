@@ -28,7 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 import pandas as pd
 
-from hhrs_tpu.config import RetrievalConfig, ServeConfig
+from hhrs_tpu.config import RetrievalConfig
 from hhrs_tpu.data import schema
 from hhrs_tpu.data.features import add_engineered_features
 from hhrs_tpu.data.ingest import load_friendships_csv, load_reviews_csv
