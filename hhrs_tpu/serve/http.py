@@ -31,6 +31,8 @@ DOCS_HTML = """<!doctype html><html><head><title>Hybrid Recommendation API</titl
 <h2>POST /recommendations</h2>
 <pre>{"user_id": 15, "city": "Sochi", "type": "friends"|"personal", "lambda_param": 0.7}</pre>
 <p>Returns ranked hotels with recommended_by friend ids. lambda_param&lt;1.0 applies MMR top-20.</p>
+<h2>POST /recommendations/batch</h2>
+<pre>{"requests": [{...RecommendationRequest...}, ...]}  (1..64 items, one device program)</pre>
 <h2>GET /similar_items?item_id=123&amp;n=10</h2>
 <p>n in [1, 50]. 404 if the item is unknown.</p>
 <h2>GET /healthz</h2></body></html>"""
@@ -90,9 +92,9 @@ def make_handler(engine):
         def do_POST(self):
             url = urlparse(self.path)
             try:
+                length = int(self.headers.get("Content-Length", 0))
+                raw = self.rfile.read(length) if length else b"{}"
                 if url.path == "/recommendations":
-                    length = int(self.headers.get("Content-Length", 0))
-                    raw = self.rfile.read(length) if length else b"{}"
                     try:
                         req = RecommendationRequest.model_validate_json(raw)
                     except ValidationError as ve:
@@ -101,9 +103,25 @@ def make_handler(engine):
                         req.user_id, req.city, req.type, req.lambda_param
                     )
                     return self._send(200, result)
+                if url.path == "/recommendations/batch":
+                    # one vmapped device program for the whole list
+                    try:
+                        body = json.loads(raw)
+                        reqs = [
+                            RecommendationRequest.model_validate(r)
+                            for r in body.get("requests", [])
+                        ]
+                    except (ValidationError, json.JSONDecodeError) as ve:
+                        return self._send(422, {"detail": str(ve)})
+                    if not reqs or len(reqs) > 64:
+                        return self._send(422, {"detail": "requests must have 1..64 items"})
+                    results = engine.recommend_many(
+                        [(r.user_id, r.city, r.type, r.lambda_param) for r in reqs]
+                    )
+                    return self._send(200, {"responses": results})
                 return self._send(404, {"detail": "Not Found"})
             except Exception as e:
-                log.error("CRITICAL ERROR during /recommendations request: %s", e)
+                log.error("CRITICAL ERROR during %s request: %s", url.path, e)
                 traceback.print_exc()
                 return self._send(500, {"detail": "Internal server error."})
 

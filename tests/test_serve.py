@@ -234,3 +234,25 @@ def test_http_concurrent_requests(http_server, engine_setup):
     first = [h["hotel_id"] for h in rec_bodies[0]["ranked_hotels"]]
     for b in rec_bodies[1:]:
         assert [h["hotel_id"] for h in b["ranked_hotels"]] == first
+
+
+def test_http_batch_endpoint(http_server, engine_setup):
+    engine, *_ = engine_setup
+    uni = engine.gen.universe
+    reqs = [
+        {"user_id": int(uni.user_ids[i]), "city": uni.cities[i % len(uni.cities)],
+         "type": "friends", "lambda_param": 0.7}
+        for i in range(3)
+    ]
+    status, body = _post(http_server + "/recommendations/batch", {"requests": reqs})
+    assert status == 200
+    assert len(body["responses"]) == 3
+    # identical to the single-request endpoint
+    for r, got in zip(reqs, body["responses"]):
+        s2, single = _post(http_server + "/recommendations", r)
+        assert s2 == 200 and got == single
+
+    status, _ = _post(http_server + "/recommendations/batch", {"requests": []})
+    assert status == 422
+    status, _ = _post(http_server + "/recommendations/batch", {"requests": [{"user_id": "x"}]})
+    assert status == 422
