@@ -357,8 +357,13 @@ def train_dcn(
                 epoch_losses.append(loss)
             mean_loss = jnp.mean(jnp.stack(epoch_losses))
 
-        val_loss = float(eval_loss_fn(params, bn_state, val_data))
-        train_loss = float(np.asarray(mean_loss))
+        # One D2H for both epoch scalars (each transfer pays the tunnel's
+        # fixed latency).
+        val_loss, train_loss = (
+            float(x) for x in jax.device_get(
+                (eval_loss_fn(params, bn_state, val_data), mean_loss)
+            )
+        )
 
         epochs_run += 1
         if window_open:
