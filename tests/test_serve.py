@@ -256,3 +256,20 @@ def test_http_batch_endpoint(http_server, engine_setup):
     assert status == 422
     status, _ = _post(http_server + "/recommendations/batch", {"requests": [{"user_id": "x"}]})
     assert status == 422
+
+
+def test_engine_with_empty_friendships(engine_setup):
+    """No friendship rows at all: 'personal' mode works, and 'friends'
+    mode serves the city popularity fallback (reference main.py:204-207 —
+    zero candidates triggers the top-100 pool) with empty recommended_by."""
+    engine, main_df, _friendships, bundle = engine_setup
+    empty = pd.DataFrame({"user_id_1": [], "user_id_2": []})
+    eng = RecommendationEngine(bundle, main_df, empty)
+    uni = eng.gen.universe
+    user, city = int(uni.user_ids[0]), uni.cities[0]
+    res_p = eng.recommend(user, city, "personal", 1.0)
+    assert "ranked_hotels" in res_p
+    res_f = eng.recommend(user, city, "friends", 0.7)
+    assert len(res_f["ranked_hotels"]) > 0  # popularity fallback
+    assert all(h["recommended_by"] == [] for h in res_f["ranked_hotels"])
+    assert all(h["city"] == city for h in res_f["ranked_hotels"])
