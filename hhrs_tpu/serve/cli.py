@@ -4,6 +4,9 @@ Equivalent of ``uvicorn main:app`` in the reference: load artifacts + CSVs,
 build the device-resident engine, warm up the compiled request program, and
 serve the REST contract. Exits non-zero on any startup failure (the
 reference's fail-fast lifespan, main.py:274-277).
+
+Configuration layers like the other CLIs: ``ServeConfig`` defaults ←
+``serve.field=value`` positional overrides ← explicit flags.
 """
 
 from __future__ import annotations
@@ -12,6 +15,7 @@ import argparse
 import logging
 import sys
 
+from hhrs_tpu.config import Config
 from hhrs_tpu.utils.logging import enable_compilation_cache, setup_logging
 
 log = logging.getLogger("hhrs_tpu.serve")
@@ -21,44 +25,62 @@ def main(argv=None) -> int:
     setup_logging()
     enable_compilation_cache()
     p = argparse.ArgumentParser(description="Serve the TPU-native hybrid recommender")
-    p.add_argument("--artifacts", default="artifacts",
+    p.add_argument("--artifacts", default=None,
                    help="artifact dir, or 'registry:<db>' to use the active registered model")
-    p.add_argument("--data", default="data")
-    p.add_argument("--host", default="0.0.0.0")
-    p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--data", default=None)
+    p.add_argument("--host", default=None)
+    p.add_argument("--port", type=int, default=None)
     p.add_argument("--no-warmup", action="store_true")
     p.add_argument("--pallas", action="store_true",
                    help="score with the fused Pallas eval tower (BN folded)")
-    p.add_argument("--batch-window-ms", type=float, default=0.0,
+    p.add_argument("--batch-window-ms", type=float, default=None,
                    help=">0: coalesce concurrent requests into batched device "
                         "programs within this window (dynamic batching)")
-    p.add_argument("--max-batch", type=int, default=8)
+    p.add_argument("--max-batch", type=int, default=None)
+    p.add_argument("--warm-http-batch", action="store_true",
+                   help="pre-compile the POST /recommendations/batch program shape")
+    p.add_argument("overrides", nargs="*", help="section.field=value config overrides")
     args = p.parse_args(argv)
+
+    cfg = Config().apply_overrides([a for a in args.overrides if "=" in a]).serve
+    artifacts = args.artifacts if args.artifacts is not None else cfg.artifacts_dir
+    data_dir = args.data if args.data is not None else cfg.data_dir
+    host = args.host if args.host is not None else cfg.host
+    port = args.port if args.port is not None else cfg.port
+    window_ms = args.batch_window_ms if args.batch_window_ms is not None else cfg.batch_window_ms
+    max_batch = args.max_batch if args.max_batch is not None else cfg.max_batch
+    use_pallas = args.pallas or cfg.use_pallas
 
     try:
         from hhrs_tpu.db.registry import resolve_artifacts_dir
         from hhrs_tpu.serve.engine import RecommendationEngine
-        from hhrs_tpu.serve.http import serve_forever
+        from hhrs_tpu.serve.http import HTTP_BATCH_PAD, serve_forever
 
-        artifacts_dir = resolve_artifacts_dir(args.artifacts)
-        engine = RecommendationEngine.from_dirs(artifacts_dir, args.data, use_pallas=args.pallas)
+        artifacts_dir = resolve_artifacts_dir(artifacts)
+        engine = RecommendationEngine.from_dirs(artifacts_dir, data_dir, use_pallas=use_pallas)
+        want_batching = window_ms > 0 and not use_pallas
         if not args.no_warmup:
             log.info("warming up compiled request program...")
-            want_batching = args.batch_window_ms > 0 and not args.pallas
-            engine.warmup(batch_pad=args.max_batch if want_batching else None)
-        if args.batch_window_ms > 0 and args.pallas:
+            engine.warmup(batch_pad=max_batch if want_batching else None)
+            if args.warm_http_batch and not use_pallas:
+                uni = engine.gen.universe
+                if uni.n_users and len(uni.cities):
+                    engine.recommend_many(
+                        [(int(uni.user_ids[0]), uni.cities[0], "friends", 0.7)],
+                        pad_to=HTTP_BATCH_PAD,
+                    )
+                engine.latency = type(engine.latency)()
+        if window_ms > 0 and use_pallas:
             # recommend_many falls back to sequential under the Pallas
             # tower (no vmap rule) — a batcher would only serialize traffic
             # through one worker and add window latency.
-            log.warning("--batch-window-ms ignored with --pallas "
+            log.warning("batch window ignored with the Pallas tower "
                         "(batched program requires the jnp scoring path)")
-        elif args.batch_window_ms > 0:
+        elif want_batching:
             from hhrs_tpu.serve.batcher import BatchingEngine
 
-            engine = BatchingEngine(engine, max_batch=args.max_batch,
-                                    window_ms=args.batch_window_ms)
-            log.info("dynamic batching on: window %.1fms, max %d",
-                     args.batch_window_ms, args.max_batch)
+            engine = BatchingEngine(engine, max_batch=max_batch, window_ms=window_ms)
+            log.info("dynamic batching on: window %.1fms, max %d", window_ms, max_batch)
         log.info("Artifacts loaded successfully. Server is ready.")
     except Exception as e:
         log.critical("CRITICAL ERROR during startup: %s", e)
@@ -67,7 +89,7 @@ def main(argv=None) -> int:
         traceback.print_exc()
         return 1
 
-    serve_forever(engine, args.host, args.port)
+    serve_forever(engine, host, port)
     return 0
 
 

@@ -26,6 +26,10 @@ from hhrs_tpu.serve.schemas import RecommendationRequest
 
 log = logging.getLogger(__name__)
 
+# The batch endpoint's single padded program shape (and request cap): every
+# call compiles/reuses exactly one vmapped program.
+HTTP_BATCH_PAD = 64
+
 DOCS_HTML = """<!doctype html><html><head><title>Hybrid Recommendation API</title></head>
 <body><h1>Hybrid Recommendation API (TPU-native)</h1>
 <h2>POST /recommendations</h2>
@@ -92,7 +96,10 @@ def make_handler(engine):
         def do_POST(self):
             url = urlparse(self.path)
             try:
-                length = int(self.headers.get("Content-Length", 0))
+                try:
+                    length = max(0, int(self.headers.get("Content-Length", 0)))
+                except ValueError:
+                    return self._send(400, {"detail": "invalid Content-Length"})
                 raw = self.rfile.read(length) if length else b"{}"
                 if url.path == "/recommendations":
                     try:
@@ -104,19 +111,32 @@ def make_handler(engine):
                     )
                     return self._send(200, result)
                 if url.path == "/recommendations/batch":
-                    # one vmapped device program for the whole list
+                    # one vmapped device program for the whole list; padded
+                    # to the single HTTP_BATCH_PAD shape so only one batched
+                    # program ever compiles for this endpoint.
                     try:
                         body = json.loads(raw)
+                        if not isinstance(body, dict) or not isinstance(
+                            body.get("requests"), list
+                        ):
+                            return self._send(
+                                422, {"detail": "body must be {'requests': [...]}"}
+                            )
                         reqs = [
                             RecommendationRequest.model_validate(r)
-                            for r in body.get("requests", [])
+                            for r in body["requests"]
                         ]
-                    except (ValidationError, json.JSONDecodeError) as ve:
+                    except (ValidationError, json.JSONDecodeError,
+                            UnicodeDecodeError, TypeError) as ve:
                         return self._send(422, {"detail": str(ve)})
-                    if not reqs or len(reqs) > 64:
-                        return self._send(422, {"detail": "requests must have 1..64 items"})
+                    if not reqs or len(reqs) > HTTP_BATCH_PAD:
+                        return self._send(
+                            422,
+                            {"detail": f"requests must have 1..{HTTP_BATCH_PAD} items"},
+                        )
                     results = engine.recommend_many(
-                        [(r.user_id, r.city, r.type, r.lambda_param) for r in reqs]
+                        [(r.user_id, r.city, r.type, r.lambda_param) for r in reqs],
+                        pad_to=HTTP_BATCH_PAD,
                     )
                     return self._send(200, {"responses": results})
                 return self._send(404, {"detail": "Not Found"})

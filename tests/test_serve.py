@@ -273,3 +273,10 @@ def test_engine_with_empty_friendships(engine_setup):
     assert len(res_f["ranked_hotels"]) > 0  # popularity fallback
     assert all(h["recommended_by"] == [] for h in res_f["ranked_hotels"])
     assert all(h["city"] == city for h in res_f["ranked_hotels"])
+
+
+def test_http_batch_endpoint_malformed_bodies(http_server):
+    """Malformed-but-valid-JSON bodies → 422, never 500."""
+    for body in ([], None, "hi", {"requests": 5}, {"requests": "x"}):
+        status, _ = _post(http_server + "/recommendations/batch", body)
+        assert status == 422, body
