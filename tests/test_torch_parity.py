@@ -79,7 +79,8 @@ class TorchDCN(nn.Module):
 
 def copy_params_to_torch(params, tmodel):
     def t(x):
-        return torch.from_numpy(np.asarray(x, dtype=np.float32))
+        # np.array (copy) — torch warns on non-writable zero-copy views
+        return torch.from_numpy(np.array(x, dtype=np.float32))
 
     with torch.no_grad():
         tmodel.ue.weight.copy_(t(params["user_embedding"]))
@@ -121,11 +122,11 @@ def setup():
         y=jax.random.bernoulli(jax.random.PRNGKey(5), 0.5, (B,)).astype(jnp.float32),
     )
     tb = dict(
-        u=torch.from_numpy(np.asarray(batch["user"])).long(),
-        i=torch.from_numpy(np.asarray(batch["item"])).long(),
-        c=torch.from_numpy(np.asarray(batch["cat"])).long(),
-        n=torch.from_numpy(np.asarray(batch["num"], dtype=np.float32)),
-        y=torch.from_numpy(np.asarray(batch["y"], dtype=np.float32)),
+        u=torch.from_numpy(np.array(batch["user"])).long(),
+        i=torch.from_numpy(np.array(batch["item"])).long(),
+        c=torch.from_numpy(np.array(batch["cat"])).long(),
+        n=torch.from_numpy(np.array(batch["num"], dtype=np.float32)),
+        y=torch.from_numpy(np.array(batch["y"], dtype=np.float32)),
     )
     return params, state, tmodel, batch, tb
 
@@ -225,7 +226,7 @@ def test_ablation_arch_matches_torch(arch):
             return self.final(xc).squeeze(-1)
 
     tmodel = TorchVariant()
-    t = lambda x: torch.from_numpy(np.asarray(x, dtype=np.float32))
+    t = lambda x: torch.from_numpy(np.array(x, dtype=np.float32))
     with torch.no_grad():
         tmodel.ue.weight.copy_(t(params["user_embedding"]))
         tmodel.ie.weight.copy_(t(params["item_embedding"]))
@@ -259,8 +260,8 @@ def test_ablation_arch_matches_torch(arch):
     tmodel.eval()
     with torch.no_grad():
         theirs = tmodel(
-            torch.from_numpy(np.asarray(u)).long(), torch.from_numpy(np.asarray(i)).long(),
-            torch.from_numpy(np.asarray(c)).long(),
-            torch.from_numpy(np.asarray(n, dtype=np.float32)),
+            torch.from_numpy(np.array(u)).long(), torch.from_numpy(np.array(i)).long(),
+            torch.from_numpy(np.array(c)).long(),
+            torch.from_numpy(np.array(n, dtype=np.float32)),
         ).numpy()
     np.testing.assert_allclose(np.asarray(ours), theirs, rtol=2e-4, atol=2e-5)
