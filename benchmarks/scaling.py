@@ -7,8 +7,9 @@ exists, so `--cpu` runs the harness on a virtual 8-device CPU mesh — the
 numbers then validate the *harness and shardings*, not silicon; on a real
 pod slice the same script produces the BASELINE scaling metric.
 
-Usage: [PYTHONPATH= JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8]
-       python benchmarks/scaling.py [--per-device-batch 2048] [--steps 30]
+Usage: python benchmarks/scaling.py --cpu [--per-device-batch 2048] [--steps 30]
+       (or set JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8
+        with PYTHONPATH= to bypass the image's TPU sitecustomize)
 """
 
 from __future__ import annotations
@@ -27,9 +28,22 @@ def main(argv=None) -> int:
     p.add_argument("--per-device-batch", type=int, default=2048)
     p.add_argument("--steps", type=int, default=30)
     p.add_argument("--warmup", type=int, default=5)
+    p.add_argument("--cpu", action="store_true",
+                   help="run on a virtual 8-device CPU mesh (validates the "
+                        "harness/shardings; silicon numbers need a real pod)")
     args = p.parse_args(argv)
 
+    if args.cpu:
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + " --xla_force_host_platform_device_count=8"
+            ).strip()
+
     import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     import numpy as np
 
@@ -71,12 +85,14 @@ def main(argv=None) -> int:
         for _ in range(max(args.warmup, 1)):  # ≥1 so compile is excluded
             rng, k = jax.random.split(rng)
             ps, bs, os_, loss = step(ps, bs, os_, batch, k)
-        loss.block_until_ready()
+        # Sync on the VALUE: block_until_ready can return before execution
+        # completes on the tunneled TPU backend (RESULTS.md).
+        float(loss)
         t0 = time.perf_counter()
         for _ in range(args.steps):
             rng, k = jax.random.split(rng)
             ps, bs, os_, loss = step(ps, bs, os_, batch, k)
-        loss.block_until_ready()
+        float(loss)
         dt = time.perf_counter() - t0
         eps = args.steps * B / dt
         results.append({"devices": n, "examples_per_s": round(eps, 1)})

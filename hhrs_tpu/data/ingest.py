@@ -20,14 +20,23 @@ log = logging.getLogger(__name__)
 
 
 def _read_csv(path: str, engine: str = "auto") -> pd.DataFrame:
-    """native (C++ mmap reader) when built, pandas otherwise."""
+    """native (C++ mmap reader) when built, pandas otherwise.
+
+    'auto' is strict: if the native parse would diverge from pandas
+    (prefix-sampled type misclassification or dropped short rows), it
+    falls back to pandas for exact parity. Explicit 'native' proceeds
+    with a logged warning (csv.py)."""
     if engine in ("auto", "native"):
         from hhrs_tpu import runtime
 
         if runtime.native_available():
-            from hhrs_tpu.runtime.csv import read_csv_native
+            from hhrs_tpu.runtime.csv import NativeParseMismatch, read_csv_native
 
-            return read_csv_native(path)
+            try:
+                return read_csv_native(path, strict=(engine == "auto"))
+            except NativeParseMismatch as e:
+                log.warning("%s; falling back to pandas", e)
+                return pd.read_csv(path)
         if engine == "native":
             raise RuntimeError("native runtime not available")
     return pd.read_csv(path)

@@ -111,9 +111,19 @@ def init_dcn(rng, dims: ModelDims, cfg: ModelConfig) -> tuple[dict, dict]:
 def init_bn_state(cfg: ModelConfig) -> dict:
     """BatchNorm state alone (deterministic zeros/ones) — avoids a full
     init_dcn (which samples every embedding table) when only the state
-    skeleton is needed."""
+    skeleton is needed.
+
+    Arch-aware so the structure matches what ``apply_dcn`` returns: no deep
+    tower → no blocks; 'dcn_mlp' blocks are stateless (empty dicts). This
+    keeps flax ``batch_stats`` structurally stable across train steps.
+    """
     from hhrs_tpu.ops.nn import batchnorm_init
 
+    has_deep = cfg.arch in ("dcnr", "deep_only", "dcn_mlp")
+    if not has_deep:
+        return {"res_blocks": []}
+    if cfg.arch == "dcn_mlp":
+        return {"res_blocks": [{} for _ in range(cfg.n_res_blocks)]}
     return {
         "res_blocks": [
             {"bn1": batchnorm_init(cfg.hidden_dim)[1], "bn2": batchnorm_init(cfg.hidden_dim)[1]}

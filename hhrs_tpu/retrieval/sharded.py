@@ -33,11 +33,21 @@ def sharded_cosine_topk(
     identical (up to tie order) to cosine_topk on the unsharded table."""
     m = mesh.shape[model_axis]
     rows_per = table_norm.shape[0] // m
+    # Each shard can contribute at most its own rows_per candidates; the
+    # global merge over m·k_local per-shard candidates is still exact top-k
+    # whenever m·k_local >= k (each true top-k row is its shard's local
+    # top-min(k, rows_per)).
+    k_local = min(k, rows_per)
+    if m * k_local < k:
+        raise ValueError(
+            f"top-k {k} impossible: table has {table_norm.shape[0]} rows "
+            f"({rows_per} per shard x {m} shards = {m * rows_per} candidates)"
+        )
     q = normalize_rows(queries)
 
     def local_topk(table_local, q_rep):
         sims = jnp.dot(q_rep, table_local.T, preferred_element_type=jnp.float32)
-        vals, idx = jax.lax.top_k(sims, k)  # [Q, k] local
+        vals, idx = jax.lax.top_k(sims, k_local)  # [Q, k_local] local
         offset = jax.lax.axis_index(model_axis) * rows_per
         return vals[None], (idx + offset)[None]  # leading shard axis for the merge
 
@@ -51,8 +61,8 @@ def sharded_cosine_topk(
     )(table_norm, q)
 
     Q = q.shape[0]
-    all_vals = jnp.swapaxes(vals_s, 0, 1).reshape(Q, m * k)
-    all_idx = jnp.swapaxes(idx_s, 0, 1).reshape(Q, m * k)
+    all_vals = jnp.swapaxes(vals_s, 0, 1).reshape(Q, m * k_local)
+    all_idx = jnp.swapaxes(idx_s, 0, 1).reshape(Q, m * k_local)
     best_vals, best_pos = jax.lax.top_k(all_vals, k)
     best_idx = jnp.take_along_axis(all_idx, best_pos, axis=1)
     return best_vals, best_idx

@@ -37,6 +37,15 @@ def _build() -> bool:
         return False
 
 
+def _stale() -> bool:
+    try:
+        return os.path.getmtime(_LIB_PATH) < os.path.getmtime(
+            os.path.join(_DIR, "csv_reader.cpp")
+        )
+    except OSError:
+        return True
+
+
 def get_lib():
     """The loaded runtime library, building it if needed; None if unavailable."""
     global _lib, _tried
@@ -44,7 +53,9 @@ def get_lib():
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        if not os.path.exists(_LIB_PATH) and not _build():
+        # Rebuild when the source is newer than the library (make is a
+        # no-op otherwise); a stale .so missing newer symbols must not load.
+        if (not os.path.exists(_LIB_PATH) or _stale()) and not _build():
             return None
         try:
             lib = ctypes.CDLL(_LIB_PATH)
@@ -59,6 +70,10 @@ def get_lib():
         lib.csv_error.argtypes = [ctypes.c_void_p]
         lib.csv_n_rows.restype = ctypes.c_int64
         lib.csv_n_rows.argtypes = [ctypes.c_void_p]
+        lib.csv_n_bad_rows.restype = ctypes.c_int64
+        lib.csv_n_bad_rows.argtypes = [ctypes.c_void_p]
+        lib.csv_col_n_coerced.restype = ctypes.c_int64
+        lib.csv_col_n_coerced.argtypes = [ctypes.c_void_p, ctypes.c_int]
         lib.csv_n_cols.restype = ctypes.c_int
         lib.csv_n_cols.argtypes = [ctypes.c_void_p]
         lib.csv_col_name.restype = ctypes.c_char_p

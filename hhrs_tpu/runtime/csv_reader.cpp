@@ -7,9 +7,12 @@
 // categorical columns to int32 codes against per-column dictionaries (merged
 // across threads in a deterministic first-occurrence order), and hands the
 // arrays to Python over a flat C ABI (ctypes, zero copies on the numeric
-// data). Column type is decided by the first data row (strtod consumes the
-// full token → numeric), matching pandas inference for this schema; a later
-// non-numeric token in a numeric column becomes NaN.
+// data). Column kind is inferred from a 1000-row prefix (pandas infers over
+// the whole column); a later non-numeric token in a numeric-classified
+// column is coerced to NaN but COUNTED (csv_col_n_coerced), and rows with a
+// field-count mismatch are dropped but counted (csv_n_bad_rows) — the
+// Python wrapper surfaces both so auto-mode ingest can fall back to pandas
+// instead of silently diverging.
 //
 // Build: make -C hhrs_tpu/runtime   (g++ -O3 -shared -fPIC -pthread)
 
@@ -34,6 +37,7 @@ struct Column {
   std::string name;
   int kind = 0;       // 0 = float64, 1 = categorical
   bool int_like = true;  // every token was plain integer text (pandas int64 rule)
+  int64_t n_coerced = 0;  // non-numeric tokens coerced to NaN in a numeric column
   std::vector<double> f64;
   std::vector<int32_t> codes;          // -1 = missing
   std::vector<std::string> vocab;      // code -> string
@@ -42,6 +46,7 @@ struct Column {
 
 struct CsvResult {
   int64_t n_rows = 0;
+  int64_t n_bad_rows = 0;  // non-blank rows dropped for a field-count mismatch
   std::vector<Column> cols;
   std::string error;
 };
@@ -183,7 +188,9 @@ CsvResult* csv_load(const char* path, int n_threads) {
     std::vector<std::vector<double>> f64;       // per float column
     std::vector<LocalCat> cat;                  // per cat column
     std::vector<uint8_t> int_like;              // per column
+    std::vector<int64_t> coerced;               // per column NaN coercions
     int64_t rows = 0;
+    int64_t bad_rows = 0;
   };
   std::vector<ChunkOut> outs(actual_threads);
   std::vector<std::thread> threads;
@@ -193,6 +200,7 @@ CsvResult* csv_load(const char* path, int n_threads) {
       o.f64.resize(n_cols);
       o.cat.resize(n_cols);
       o.int_like.assign(n_cols, 1);
+      o.coerced.assign(n_cols, 0);
       std::vector<std::pair<const char*, size_t>> fl;
       const char* p = chunk_begin[t];
       const char* chunk_end = chunk_begin[t + 1];
@@ -205,7 +213,10 @@ CsvResult* csv_load(const char* path, int n_threads) {
           for (size_t i = 0; i < n_cols; ++i) {
             if (res->cols[i].kind == 0) {
               double v;
-              if (!parse_f64(fl[i].first, fl[i].second, &v)) v = NAN;
+              if (!parse_f64(fl[i].first, fl[i].second, &v)) {
+                v = NAN;
+                ++o.coerced[i];  // sampled-prefix misclassification signal
+              }
               if (o.int_like[i] && !int_like_token(fl[i].first, fl[i].second))
                 o.int_like[i] = 0;
               o.f64[i].push_back(v);
@@ -227,6 +238,8 @@ CsvResult* csv_load(const char* path, int n_threads) {
               }
             }
           }
+        } else if (!(fl.size() == 1 && fl[0].second == 0)) {
+          ++o.bad_rows;  // non-blank row with a field-count mismatch
         }
         p = eol < chunk_end ? eol + 1 : chunk_end;
       }
@@ -236,7 +249,10 @@ CsvResult* csv_load(const char* path, int n_threads) {
 
   // Merge: deterministic first-occurrence global dictionaries (chunk order).
   int64_t total = 0;
-  for (auto& o : outs) total += o.rows;
+  for (auto& o : outs) {
+    total += o.rows;
+    res->n_bad_rows += o.bad_rows;
+  }
   res->n_rows = total;
   for (size_t i = 0; i < n_cols; ++i) {
     Column& col = res->cols[i];
@@ -245,6 +261,7 @@ CsvResult* csv_load(const char* path, int n_threads) {
       for (auto& o : outs) {
         col.f64.insert(col.f64.end(), o.f64[i].begin(), o.f64[i].end());
         if (!o.int_like[i]) col.int_like = false;
+        col.n_coerced += o.coerced[i];
       }
     } else {
       col.int_like = false;
@@ -280,6 +297,8 @@ CsvResult* csv_load(const char* path, int n_threads) {
 void csv_free(CsvResult* r) { delete r; }
 const char* csv_error(CsvResult* r) { return r->error.empty() ? nullptr : r->error.c_str(); }
 int64_t csv_n_rows(CsvResult* r) { return r->n_rows; }
+int64_t csv_n_bad_rows(CsvResult* r) { return r->n_bad_rows; }
+int64_t csv_col_n_coerced(CsvResult* r, int i) { return r->cols[i].n_coerced; }
 int csv_n_cols(CsvResult* r) { return static_cast<int>(r->cols.size()); }
 const char* csv_col_name(CsvResult* r, int i) { return r->cols[i].name.c_str(); }
 int csv_col_kind(CsvResult* r, int i) { return r->cols[i].kind; }
