@@ -18,92 +18,13 @@ import torch.nn as nn
 import jax
 import jax.numpy as jnp
 
+from hhrs_tpu.compat.torch_ref import TorchCross, TorchDCN, TorchRes, copy_params_to_torch
 from hhrs_tpu.config import ModelConfig
 from hhrs_tpu.models.dcn import ModelDims, apply_dcn, init_dcn
 from hhrs_tpu.train.metrics import bce_with_logits
 
 DIMS = ModelDims(n_users=60, n_items=45, cat_dims=(("city", 7), ("hotel_type", 5)), n_num_features=11)
 CFG = ModelConfig(emb_dim=8, hidden_dim=32, n_cross_layers=2, n_res_blocks=2, dropout=0.0)
-
-
-class TorchCross(nn.Module):
-    def __init__(self, d):
-        super().__init__()
-        self.w = nn.Linear(d, 1, bias=False)
-        self.b = nn.Parameter(torch.zeros(d))
-
-    def forward(self, x):
-        return x + x * self.w(x) + self.b
-
-
-class TorchRes(nn.Module):
-    def __init__(self, h):
-        super().__init__()
-        self.l1 = nn.Linear(h, h)
-        self.bn1 = nn.BatchNorm1d(h)
-        self.l2 = nn.Linear(h, h)
-        self.bn2 = nn.BatchNorm1d(h)
-
-    def forward(self, x):
-        h = torch.relu(self.bn1(self.l1(x)))
-        h = self.bn2(self.l2(h))
-        return torch.relu(h + x)
-
-
-class TorchDCN(nn.Module):
-    def __init__(self, dims, cfg):
-        super().__init__()
-        self.ue = nn.Embedding(dims.n_users, cfg.emb_dim)
-        self.ie = nn.Embedding(dims.n_items, cfg.emb_dim)
-        self.ce = nn.ModuleList(
-            [nn.Embedding(n, cfg.cat_emb_dim(n)) for _, n in dims.cat_dims]
-        )
-        d_in = cfg.emb_dim * 2 + sum(cfg.cat_emb_dim(n) for _, n in dims.cat_dims) \
-            + dims.n_num_features
-        self.deep0 = nn.Linear(d_in, cfg.hidden_dim)
-        self.res = nn.ModuleList([TorchRes(cfg.hidden_dim) for _ in range(cfg.n_res_blocks)])
-        self.cross = nn.ModuleList([TorchCross(d_in) for _ in range(cfg.n_cross_layers)])
-        self.final = nn.Linear(cfg.hidden_dim + d_in, 1)
-
-    def forward(self, u, i, c, n):
-        embs = [self.ue(u), self.ie(i)] + [e(c[:, k]) for k, e in enumerate(self.ce)]
-        x0 = torch.cat(embs + [n], dim=1)
-        deep = self.deep0(x0)
-        for r in self.res:
-            deep = r(deep)
-        xc = x0
-        for cr in self.cross:
-            xc = cr(xc)
-        return self.final(torch.cat([deep, xc], dim=1)).squeeze(-1)
-
-
-def copy_params_to_torch(params, tmodel):
-    def t(x):
-        # np.array (copy) — torch warns on non-writable zero-copy views
-        return torch.from_numpy(np.array(x, dtype=np.float32))
-
-    with torch.no_grad():
-        tmodel.ue.weight.copy_(t(params["user_embedding"]))
-        tmodel.ie.weight.copy_(t(params["item_embedding"]))
-        for k, e in enumerate(tmodel.ce):
-            e.weight.copy_(t(params["cat_embeddings"][k]))
-        tmodel.deep0.weight.copy_(t(params["initial_deep"]["kernel"]).T)
-        tmodel.deep0.bias.copy_(t(params["initial_deep"]["bias"]))
-        for k, r in enumerate(tmodel.res):
-            bp = params["res_blocks"][k]
-            r.l1.weight.copy_(t(bp["layer1"]["kernel"]).T)
-            r.l1.bias.copy_(t(bp["layer1"]["bias"]))
-            r.l2.weight.copy_(t(bp["layer2"]["kernel"]).T)
-            r.l2.bias.copy_(t(bp["layer2"]["bias"]))
-            r.bn1.weight.copy_(t(bp["bn1"]["scale"]))
-            r.bn1.bias.copy_(t(bp["bn1"]["bias"]))
-            r.bn2.weight.copy_(t(bp["bn2"]["scale"]))
-            r.bn2.bias.copy_(t(bp["bn2"]["bias"]))
-        for l in range(len(tmodel.cross)):
-            tmodel.cross[l].w.weight.copy_(t(params["cross"]["w"][l])[None, :])
-            tmodel.cross[l].b.copy_(t(params["cross"]["b"][l]))
-        tmodel.final.weight.copy_(t(params["final"]["kernel"]).T)
-        tmodel.final.bias.copy_(t(params["final"]["bias"]))
 
 
 @pytest.fixture  # function-scoped: torch BN mutates running stats in place
