@@ -13,10 +13,18 @@ TPU-first mechanics:
     learning rate is an injected optax hyperparameter so plateau decays
     never recompile;
   * evaluation runs as a single jitted ``lax.scan`` over padded val batches;
-  * with a ``jax.sharding.Mesh``, the gathered batch is sharding-constrained
-    over the ``data`` axis — XLA inserts the psum for gradients and the
-    cross-shard reductions inside BatchNorm automatically, so DP-N training
-    is bit-consistent with single-device semantics.
+  * with a ``jax.sharding.Mesh``, the FULL production layout engages:
+    embedding tables row-sharded over the ``model`` axis (opt-state moments
+    matching), dense tower replicated, batch sharded over ``data`` — XLA
+    inserts the table-gather collectives, the grad psum, and the
+    cross-shard BatchNorm reductions (sync-BN falls out of the global-view
+    batch mean). The epoch's shuffled examples stream to the mesh as ONE
+    [steps, B, ·] transfer per epoch sharded ``P(None, 'data')``: every
+    device receives exactly its batch slice (no resident replicated
+    dataset — per-device memory is epoch_bytes / n_data — and batch
+    formation needs zero collectives), while the batch COMPOSITION stays
+    identical to the single-device resident path, so mesh training matches
+    it numerically (tests/test_parallel_full_run.py).
 """
 
 from __future__ import annotations
@@ -99,6 +107,49 @@ def make_train_step(cfg: ModelConfig, batch_size: int, batch_sharding=None):
             "num": data["num"][idx],
             "y": data["y"][idx],
         }
+        if batch_sharding is not None:
+            batch = jax.tree.map(
+                lambda x: jax.lax.with_sharding_constraint(x, batch_sharding(x.ndim)), batch
+            )
+
+        def loss_fn(p):
+            logits, new_bn = apply_dcn(
+                p,
+                bn_state,
+                batch["user"],
+                batch["item"],
+                batch["cat"],
+                batch["num"],
+                cfg=cfg,
+                train=True,
+                rng=rng,
+            )
+            return bce_with_logits(logits, batch["y"]), new_bn
+
+        (loss, new_bn), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, new_opt = tx_update(grads, opt_state, params)
+        new_params = jax.tree.map(lambda p, u: p + u, params, updates)
+        return new_params, new_bn, new_opt, loss, s + 1
+
+    return step
+
+
+def make_streamed_train_step(cfg: ModelConfig, batch_sharding=None):
+    """Mesh-mode step over a streamed epoch tensor.
+
+    ``epoch_data`` is a dict of [steps, B, ·] arrays sharded
+    ``P(None, 'data')`` — step ``s`` slices its batch locally (each device
+    already holds its rows; no gather, no collective). The rng stream
+    (``fold_in(epoch_rng, s)``) and batch-row order are identical to
+    ``make_train_step``'s resident-gather path, so the two are numerically
+    interchangeable.
+    """
+
+    def step(params, bn_state, opt_state, tx_update, epoch_data, s, epoch_rng):
+        rng = jax.random.fold_in(epoch_rng, s)
+        batch = jax.tree.map(
+            lambda x: jax.lax.dynamic_index_in_dim(x, s, 0, keepdims=False), epoch_data
+        )
         if batch_sharding is not None:
             batch = jax.tree.map(
                 lambda x: jax.lax.with_sharding_constraint(x, batch_sharding(x.ndim)), batch
@@ -234,25 +285,81 @@ def train_dcn(
     tx = make_optimizer(train_cfg.optimizer, train_cfg.lr, train_cfg.weight_decay)
     opt_state = tx.init(params)
 
+    # Mesh mode = the production layout: tables row-sharded over 'model'
+    # (when that axis exists), opt moments matching, batch over 'data', and
+    # the epoch streamed shard-aligned instead of a device-resident
+    # replicated dataset (see module docstring).
+    streaming = mesh is not None
     batch_sharding = None
-    data_sharding = None
-    if mesh is not None:
+    param_sh = opt_sh = rep = None
+    epoch_sharding = None
+    if streaming:
         from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from hhrs_tpu.parallel.sharding import opt_state_shardings, param_shardings
+
+        n_data_axis = mesh.shape.get("data", 1)
+        if train_cfg.batch_size % n_data_axis != 0:
+            raise ValueError(
+                f"batch_size {train_cfg.batch_size} must divide over the "
+                f"data axis ({n_data_axis} devices)"
+            )
+        model_axis = "model" if mesh.shape.get("model", 1) > 1 else None
+        param_sh = param_shardings(params, mesh, model_axis)
+        opt_sh = opt_state_shardings(opt_state, params, param_sh, mesh)
+        rep = NamedSharding(mesh, P())
+        params = jax.tree.map(jax.device_put, params, param_sh)
+        bn_state = jax.device_put(bn_state, rep)
+        opt_state = jax.tree.map(jax.device_put, opt_state, opt_sh)
 
         def batch_sharding(ndim):
             return NamedSharding(mesh, P("data", *([None] * (ndim - 1))))
 
-        data_sharding = NamedSharding(mesh, P())  # replicate the resident dataset
+        def epoch_sharding(ndim):  # [steps, B, ·] — batch axis over data
+            return NamedSharding(mesh, P(None, "data", *([None] * (ndim - 2))))
 
-    train_data, val_data = _device_put_splits(splits, data_sharding)
+        def val_sharding(ndim):
+            # shard the val set over data when it divides; tiny ragged val
+            # sets replicate (uneven explicit device_put is not worth it)
+            if splits.val_user.shape[0] % n_data_axis == 0:
+                return NamedSharding(mesh, P("data", *([None] * (ndim - 1))))
+            return rep
+
+        train_data = None  # streamed per epoch from the host split arrays
+        val_data = {
+            "user": jax.device_put(jnp.asarray(splits.val_user, jnp.int32), val_sharding(1)),
+            "item": jax.device_put(jnp.asarray(splits.val_item, jnp.int32), val_sharding(1)),
+            "cat": jax.device_put(jnp.asarray(splits.val_cat, jnp.int32), val_sharding(2)),
+            "num": jax.device_put(jnp.asarray(splits.val_num, jnp.float32), val_sharding(2)),
+            "y": jax.device_put(jnp.asarray(splits.val_y, jnp.float32), val_sharding(1)),
+        }
+    else:
+        train_data, val_data = _device_put_splits(splits)
+
+    def place_state(p, b, o):
+        """(Re)place a possibly-host-side state triple with the run's shardings."""
+        if streaming:
+            return (
+                jax.tree.map(jax.device_put, p, param_sh),
+                jax.device_put(b, rep),
+                jax.tree.map(jax.device_put, o, opt_sh),
+            )
+        return jax.device_put(p), jax.device_put(b), jax.device_put(o)
 
     # tx.update is a function — close over it instead of passing it traced.
     # params/bn/opt donate: the step updates them in place in HBM.
-    raw_step = make_train_step(model_cfg, train_cfg.batch_size, batch_sharding)
-    step_fn = jax.jit(
-        lambda p, b, o, d, perm, s, r: raw_step(p, b, o, tx.update, d, perm, s, r),
-        donate_argnums=(0, 1, 2),
-    )
+    if streaming:
+        raw_step = make_streamed_train_step(model_cfg, batch_sharding)
+        step_fn = jax.jit(
+            lambda p, b, o, e, s, r: raw_step(p, b, o, tx.update, e, s, r),
+            donate_argnums=(0, 1, 2),
+        )
+    else:
+        raw_step = make_train_step(model_cfg, train_cfg.batch_size, batch_sharding)
+        step_fn = jax.jit(
+            lambda p, b, o, d, perm, s, r: raw_step(p, b, o, tx.update, d, perm, s, r),
+            donate_argnums=(0, 1, 2),
+        )
 
     eval_loss_fn = make_eval_loss_fn(model_cfg, train_cfg.eval_batch_size)
     # On-device snapshot of the best checkpoint: device_get here would cost
@@ -272,7 +379,9 @@ def train_dcn(
     perm_len = steps_per_epoch * B
 
     # Uniform batch shapes hold in both modes (wrap-padded permutation).
-    fused = train_cfg.fused_epoch
+    # The fused-epoch scan is a single-device dispatch optimization; the
+    # mesh path streams epochs instead.
+    fused = train_cfg.fused_epoch and not streaming
     epoch_fn = None
     if fused:
         epoch_fn = jax.jit(
@@ -306,9 +415,9 @@ def train_dcn(
                 "rng": rng,
             }
             state, meta = ckpt.restore(latest, jax.device_get(state_tpl))
-            params = jax.device_put(state["params"])
-            bn_state = jax.device_put(state["bn_state"])
-            opt_state = jax.device_put(state["opt_state"])
+            params, bn_state, opt_state = place_state(
+                state["params"], state["bn_state"], state["opt_state"]
+            )
             rng = jnp.asarray(state["rng"])
             if meta["has_best"]:
                 best_snapshot = (state["best_params"], state["best_bn"])
@@ -336,18 +445,54 @@ def train_dcn(
         if epochs_run >= 1 and not window_open:
             window_open = True
             t_start = time.perf_counter()
-        # ONE host→device upload per epoch (the shuffled index vector);
-        # steps then run with zero H2D traffic (device-carried counter).
+        # ONE host→device upload per epoch: the shuffled index vector
+        # (resident mode) or the permuted epoch tensor itself, shard-aligned
+        # over the mesh (streaming mode); steps then run with zero H2D
+        # traffic (device-carried counter).
         perm_host = shuffle_rng.permutation(n_train)
         if perm_len > n_train:
             perm_host = np.resize(perm_host, perm_len)  # wrap-pad ragged tail
-        perm_dev = jnp.asarray(perm_host, jnp.int32)
         rng, epoch_rng = jax.random.split(rng)
-        if fused:
+        if streaming:
+            S = steps_per_epoch
+            # exactly S*B rows stream (drop_remainder truncates the tail
+            # here, exactly like the resident path's dynamic_slice never
+            # reaching it)
+            perm_host = perm_host[:perm_len]
+            epoch_dev = {
+                "user": jax.device_put(
+                    np.asarray(splits.train_user, np.int32)[perm_host].reshape(S, B),
+                    epoch_sharding(2)),
+                "item": jax.device_put(
+                    np.asarray(splits.train_item, np.int32)[perm_host].reshape(S, B),
+                    epoch_sharding(2)),
+                "cat": jax.device_put(
+                    np.asarray(splits.train_cat, np.int32)[perm_host].reshape(
+                        S, B, splits.train_cat.shape[1]),
+                    epoch_sharding(3)),
+                "num": jax.device_put(
+                    np.asarray(splits.train_num, np.float32)[perm_host].reshape(
+                        S, B, splits.train_num.shape[1]),
+                    epoch_sharding(3)),
+                "y": jax.device_put(
+                    np.asarray(splits.train_y, np.float32)[perm_host].reshape(S, B),
+                    epoch_sharding(2)),
+            }
+            epoch_losses = []
+            s = jnp.asarray(0, jnp.int32)
+            for _ in range(steps_per_epoch):
+                params, bn_state, opt_state, loss, s = step_fn(
+                    params, bn_state, opt_state, epoch_dev, s, epoch_rng
+                )
+                epoch_losses.append(loss)
+            mean_loss = jnp.mean(jnp.stack(epoch_losses))
+        elif fused:
+            perm_dev = jnp.asarray(perm_host, jnp.int32)
             params, bn_state, opt_state, mean_loss = epoch_fn(
                 params, bn_state, opt_state, train_data, perm_dev, epoch_rng
             )
         else:
+            perm_dev = jnp.asarray(perm_host, jnp.int32)
             epoch_losses = []
             s = jnp.asarray(0, jnp.int32)
             for _ in range(steps_per_epoch):
@@ -433,8 +578,15 @@ def train_dcn(
     result.examples_per_s = examples_seen / max(elapsed, 1e-9) if examples_seen else 0.0
 
     if best_snapshot is not None:
-        # Already device arrays (on-device snapshot) or host arrays (resume).
-        result.params, result.bn_state = jax.device_put(best_snapshot)
+        # Already device arrays (on-device snapshot) or host arrays (resume);
+        # in mesh mode re-placing with the run shardings is a no-op for the
+        # former and the correct placement for the latter.
+        bp, bb = best_snapshot
+        if streaming:
+            result.params = jax.tree.map(jax.device_put, bp, param_sh)
+            result.bn_state = jax.device_put(bb, rep)
+        else:
+            result.params, result.bn_state = jax.device_put((bp, bb))
     else:
         result.params, result.bn_state = params, bn_state
 
@@ -450,4 +602,10 @@ def train_dcn(
         "val_rmse": rmse_of_probs(y_val, val_logits),
         "val_recall_at_100": recall_at_k(splits.val_user, y_val, val_logits, 100),
     }
+    if train_cfg.eval_catalog_recall:
+        from hhrs_tpu.train.eval_retrieval import catalog_recall_at_k
+
+        result.final_metrics["catalog_recall_at_100"] = catalog_recall_at_k(
+            result.params, result.bn_state, model_cfg, splits, k=100
+        )
     return result
