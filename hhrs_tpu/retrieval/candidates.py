@@ -70,7 +70,13 @@ class ServeUniverse:
 
 
 class CandidateGenerator:
-    """Builds device-resident masks/tables once; serves fixed-shape queries."""
+    """Builds device-resident masks/tables once; serves fixed-shape queries.
+
+    With ``mesh`` the per-item state (masks, kNN table, review arrays) pads
+    to the mesh size and shards over ALL mesh axes flat — the serve path's
+    "large axis" is the item axis (SURVEY.md §5), and the jitted program
+    consumes the state as an explicit argument so the shardings are
+    respected (a closed-over constant loses them)."""
 
     def __init__(
         self,
@@ -80,12 +86,14 @@ class CandidateGenerator:
         cfg: RetrievalConfig | None = None,
         max_sources: int = 256,
         universe: ServeUniverse | None = None,
+        mesh=None,
     ):
         self.cfg = cfg or RetrievalConfig()
         self.universe = universe if universe is not None else ServeUniverse.from_df(main_df)
         uni = self.universe
         M, U, C = uni.n_items, uni.n_users, len(uni.cities)
         self.max_sources = max_sources
+        self.mesh = mesh
 
         # --- review arrays (length R) ---
         r_user = main_df[schema.USER_COL].map(uni.user_index).to_numpy(np.int32)
@@ -130,48 +138,79 @@ class CandidateGenerator:
             top_rows = rows[np.argsort(-counts[rows], kind="stable")[: self.cfg.popular_pool]]
             city_pop_mask[c, np.unique(r_item[top_rows])] = True
 
-        # --- device arrays ---
-        self._r_user = jnp.asarray(r_user)
-        self._r_item = jnp.asarray(r_item)
-        self._r_pos = jnp.asarray(r_rating >= 8.0)
-        self._r_neg = jnp.asarray(r_rating <= 4.0)
-        self._s2t_valid = jnp.asarray(s2t_valid)
-        self._nbr = jnp.asarray(nbr_by_serve)
-        self._city_item = jnp.asarray(city_item_mask)
-        self._city_pop = jnp.asarray(city_pop_mask)
-        self._M = M
+        # --- pad to the mesh size (uneven explicit shardings are not
+        #     supported by device_put) and build the device state dict ---
+        n_shards = int(mesh.devices.size) if mesh is not None else 1
+        Mp = -(-M // n_shards) * n_shards
+        R = len(r_user)
+        Rp = -(-R // n_shards) * n_shards
+        self._M_real = M
+        self._M = Mp  # program-space item axis (padded rows never candidates)
         self._U = U
+
+        # dump slot moves from M to Mp; padded kNN rows point at the dump
+        nbr = np.where(nbr_by_serve == M, Mp, nbr_by_serve)
+        nbr = np.concatenate(
+            [nbr, np.full((Mp - M, self.cfg.expand_neighbors), Mp, np.int32)]
+        )
+        # padded review rows: user 0 but neither positive nor negative → inert
+        r_pad = Rp - R
+        host = {
+            "r_user": np.concatenate([r_user, np.zeros(r_pad, np.int32)]),
+            "r_item": np.concatenate([r_item, np.zeros(r_pad, np.int32)]),
+            "r_pos": np.concatenate([r_rating >= 8.0, np.zeros(r_pad, bool)]),
+            "r_neg": np.concatenate([r_rating <= 4.0, np.zeros(r_pad, bool)]),
+            "s2t_valid": np.concatenate([s2t_valid, np.zeros(Mp - M, bool)]),
+            "nbr": nbr,
+            "city_item": np.pad(city_item_mask, ((0, 0), (0, Mp - M))),
+            "city_pop": np.pad(city_pop_mask, ((0, 0), (0, Mp - M))),
+        }
+        if mesh is None:
+            self.dev = {k: jnp.asarray(v) for k, v in host.items()}
+        else:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            axes = tuple(mesh.axis_names)
+            row1 = NamedSharding(mesh, P(axes))
+            row2 = NamedSharding(mesh, P(axes, None))
+            by_col = NamedSharding(mesh, P(None, axes))
+            sh = {
+                "r_user": row1, "r_item": row1, "r_pos": row1, "r_neg": row1,
+                "s2t_valid": row1, "nbr": row2, "city_item": by_col, "city_pop": by_col,
+            }
+            self.dev = {k: jax.device_put(jnp.asarray(v), sh[k]) for k, v in host.items()}
 
         self._generate = jax.jit(self._generate_impl)
 
     # ------------------------------------------------------------------ #
 
-    def _generate_impl(self, padded_sources: jnp.ndarray, city_idx: jnp.ndarray):
+    def _generate_impl(self, dev: dict, padded_sources: jnp.ndarray, city_idx: jnp.ndarray):
         """padded_sources: [max_sources] serve-user indices (dump = U).
-        Returns (cand_mask [M], neg_mask [M], count)."""
+        Returns (cand_mask [M], neg_mask [M], count). ``dev`` is the device
+        state from __init__ (explicit argument so mesh shardings hold)."""
         M, U = self._M, self._U
         user_mask = jnp.zeros(U + 1, bool).at[padded_sources].set(True)[:U]
 
-        row_sel = user_mask[self._r_user]
-        pos_rows = row_sel & self._r_pos
-        neg_rows = row_sel & self._r_neg
-        pos_mask = jnp.zeros(M, bool).at[self._r_item].max(pos_rows)
-        neg_mask = jnp.zeros(M, bool).at[self._r_item].max(neg_rows)
+        row_sel = user_mask[dev["r_user"]]
+        pos_rows = row_sel & dev["r_pos"]
+        neg_rows = row_sel & dev["r_neg"]
+        pos_mask = jnp.zeros(M, bool).at[dev["r_item"]].max(pos_rows)
+        neg_mask = jnp.zeros(M, bool).at[dev["r_item"]].max(neg_rows)
 
         # kNN expansion of positives that have trained embeddings
-        contrib = pos_mask & self._s2t_valid  # [M]
+        contrib = pos_mask & dev["s2t_valid"]  # [M]
         expanded = (
             jnp.zeros(M + 1, bool)
-            .at[self._nbr]
-            .max(jnp.broadcast_to(contrib[:, None], self._nbr.shape))[:M]
+            .at[dev["nbr"]]
+            .max(jnp.broadcast_to(contrib[:, None], dev["nbr"].shape))[:M]
         )
 
         cand = pos_mask | expanded
         count_before = jnp.sum(cand)
-        pop = self._city_pop[city_idx]
+        pop = dev["city_pop"][city_idx]
         cand = cand | (jnp.where(count_before < self.cfg.min_candidates, True, False) & pop)
 
-        cand = cand & self._city_item[city_idx] & ~neg_mask
+        cand = cand & dev["city_item"][city_idx] & ~neg_mask
         return cand, neg_mask, jnp.sum(cand)
 
     # ------------------------------------------------------------------ #
@@ -188,10 +227,10 @@ class CandidateGenerator:
         return out
 
     def generate(self, user_id: int, city: str, mode: str, friend_graph) -> tuple:
-        """Full candidate generation → (cand_mask [M] np.bool_, count int)."""
+        """Full candidate generation → (cand_mask [M_real] np.bool_, count int)."""
         sources = jnp.asarray(self.sources_for(user_id, mode, friend_graph))
         city_idx = jnp.asarray(
             self.universe.city_index.get(city, len(self.universe.cities)), jnp.int32
         )
-        cand, _neg, count = self._generate(sources, city_idx)
-        return np.asarray(cand), int(count)
+        cand, _neg, count = self._generate(self.dev, sources, city_idx)
+        return np.asarray(cand)[: self._M_real], int(count)

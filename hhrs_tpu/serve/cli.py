@@ -39,6 +39,11 @@ def main(argv=None) -> int:
     p.add_argument("--max-batch", type=int, default=None)
     p.add_argument("--warm-http-batch", action="store_true",
                    help="pre-compile the POST /recommendations/batch program shape")
+    p.add_argument("--mesh", default=None, metavar="DATAxMODEL",
+                   help="serve over a device mesh, e.g. 4x2: the item axis "
+                        "(catalog features, masks, kNN table, MMR embeddings) "
+                        "shards across all mesh devices; responses are "
+                        "identical to single-device serving")
     p.add_argument("overrides", nargs="*", help="section.field=value config overrides")
     args = p.parse_args(argv)
 
@@ -56,13 +61,27 @@ def main(argv=None) -> int:
         from hhrs_tpu.serve.engine import RecommendationEngine
         from hhrs_tpu.serve.http import HTTP_BATCH_PAD, serve_forever
 
+        mesh = None
+        if args.mesh:
+            import re
+
+            from hhrs_tpu.parallel.mesh import make_mesh
+
+            m = re.fullmatch(r"(\d+)(?:[xX](\d+))?", args.mesh)
+            if not m:
+                p.error(f"--mesh must be DATA or DATAxMODEL (e.g. 4x2), got {args.mesh!r}")
+            mesh = make_mesh(int(m.group(1)), int(m.group(2) or 1))
+
         artifacts_dir = resolve_artifacts_dir(artifacts)
-        engine = RecommendationEngine.from_dirs(artifacts_dir, data_dir, use_pallas=use_pallas)
-        want_batching = window_ms > 0 and not use_pallas
+        engine = RecommendationEngine.from_dirs(artifacts_dir, data_dir,
+                                                use_pallas=use_pallas, mesh=mesh)
+        # Batching composes with BOTH scoring paths (the Pallas tower
+        # batches by flattening K·M rows into one kernel call).
+        want_batching = window_ms > 0
         if not args.no_warmup:
             log.info("warming up compiled request program...")
             engine.warmup(batch_pad=max_batch if want_batching else None)
-            if args.warm_http_batch and not use_pallas:
+            if args.warm_http_batch:
                 uni = engine.gen.universe
                 if uni.n_users and len(uni.cities):
                     engine.recommend_many(
@@ -70,13 +89,7 @@ def main(argv=None) -> int:
                         pad_to=HTTP_BATCH_PAD,
                     )
                 engine.latency = type(engine.latency)()
-        if window_ms > 0 and use_pallas:
-            # recommend_many falls back to sequential under the Pallas
-            # tower (no vmap rule) — a batcher would only serialize traffic
-            # through one worker and add window latency.
-            log.warning("batch window ignored with the Pallas tower "
-                        "(batched program requires the jnp scoring path)")
-        elif want_batching:
+        if want_batching:
             from hhrs_tpu.serve.batcher import BatchingEngine
 
             engine = BatchingEngine(engine, max_batch=max_batch, window_ms=window_ms)

@@ -51,12 +51,17 @@ class RecommendationEngine:
         friendships: pd.DataFrame,
         retrieval_cfg: RetrievalConfig | None = None,
         use_pallas: bool = False,
+        mesh=None,
     ):
         self.bundle = bundle
         self.retrieval_cfg = retrieval_cfg or RetrievalConfig()
         self.main_df = main_df
         self.latency = LatencyHistogram()
         self.use_pallas = use_pallas
+        self.mesh = mesh
+        if mesh is not None and use_pallas:
+            log.warning("mesh serving uses the jnp scoring path; --pallas ignored")
+            self.use_pallas = use_pallas = False
 
         art = bundle.preproc
         # Graph first: the source-vector width must cover the largest friend
@@ -68,7 +73,7 @@ class RecommendationEngine:
         max_sources = max(256, -(-self.graph.max_degree // 64) * 64)
         self.gen = CandidateGenerator(
             main_df, art.item_id_mapping, bundle.item_embeddings, self.retrieval_cfg,
-            max_sources=max_sources, universe=uni,
+            max_sources=max_sources, universe=uni, mesh=mesh,
         )
         M = uni.n_items
 
@@ -90,14 +95,55 @@ class RecommendationEngine:
         raw_num = np.where(np.isnan(raw_num), med, raw_num)
         X_num = art.scaler.transform(raw_num).astype(np.float32)
 
-        self._item_internal = jnp.asarray(self.gen.s2t_np)  # unknown → 0 (fallback parity)
-        self._X_cat = jnp.asarray(X_cat)
-        self._X_num = jnp.asarray(X_num)
-        self._embedded = jnp.asarray(self.gen.s2t_valid_np)
+        # Program-space item axis is the generator's (mesh-padded) M; pad
+        # the ranking-side arrays to match (padded rows are never candidates
+        # and score NEG_INF, so they can't surface).
+        Mp = self.gen._M
+        pad = Mp - M
+        item_internal = np.pad(self.gen.s2t_np, (0, pad))  # unknown → 0 (fallback parity)
+        X_cat = np.pad(X_cat, ((0, pad), (0, 0)))
+        X_num = np.pad(X_num, ((0, pad), (0, 0)))
+        embedded = np.pad(self.gen.s2t_valid_np, (0, pad))
+        # normalized embeddings in serve-item space (junk rows masked by 'embedded')
+        emb_serve = bundle.item_embeddings[np.clip(item_internal, 0, None)]
+        emb_norm_serve = np.asarray(
+            normalize_rows(jnp.asarray(emb_serve, jnp.float32))
+        )
 
-        # normalized embeddings in serve-item space (junk rows masked by _embedded)
-        emb_serve = bundle.item_embeddings[np.clip(self.gen.s2t_np, 0, None)]
-        self._emb_norm_serve = normalize_rows(jnp.asarray(emb_serve, jnp.float32))
+        rank_host = {
+            "item_internal": item_internal.astype(np.int32),
+            "X_cat": X_cat.astype(np.int32),
+            "X_num": X_num.astype(np.float32),
+            "embedded": embedded,
+            "emb_norm": emb_norm_serve,
+            "params": bundle.params,
+            "bn_state": bundle.bn_state,
+        }
+        if mesh is None:
+            self._dev = {
+                k: jax.tree.map(jnp.asarray, v) if k in ("params", "bn_state")
+                else jnp.asarray(v)
+                for k, v in rank_host.items()
+            }
+        else:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            axes = tuple(mesh.axis_names)
+            row1 = NamedSharding(mesh, P(axes))
+            row2 = NamedSharding(mesh, P(axes, None))
+            rep = NamedSharding(mesh, P())
+            self._dev = {
+                "item_internal": jax.device_put(jnp.asarray(item_internal, jnp.int32), row1),
+                "X_cat": jax.device_put(jnp.asarray(X_cat, jnp.int32), row2),
+                "X_num": jax.device_put(jnp.asarray(X_num, jnp.float32), row2),
+                "embedded": jax.device_put(jnp.asarray(embedded), row1),
+                "emb_norm": jax.device_put(jnp.asarray(emb_norm_serve), row2),
+                # the dense model is tiny — replicated on every device
+                "params": jax.device_put(bundle.params, rep),
+                "bn_state": jax.device_put(bundle.bn_state, rep),
+            }
+        self._dev["gen"] = self.gen.dev
+
         self._table_norm_train = normalize_rows(jnp.asarray(bundle.item_embeddings, jnp.float32))
         self._emb_train = jnp.asarray(bundle.item_embeddings, jnp.float32)
         self._reverse_item_map = {v: k for k, v in art.item_id_mapping.items()}
@@ -122,8 +168,6 @@ class RecommendationEngine:
         self._payload_price = items_df["price_rub"].to_numpy(np.float64)
         self._payload_stars = items_df["stars"].to_numpy(np.float64)
 
-        self._params = bundle.params
-        self._bn_state = bundle.bn_state
         self._cfg = bundle.model_cfg
         self._unknown_user = art.unknown_user_id
         self._user_map = art.user_id_mapping
@@ -146,42 +190,55 @@ class RecommendationEngine:
             )
             self._pallas_interpret = not pallas_supported()
         self._recommend_jit = jax.jit(self._recommend_impl)
-        # Batched request program: vmap of the single-request impl — one
-        # dispatch + ONE device→host transfer for K coalesced requests
-        # (serve/batcher.py; the D2H latency floor amortizes K-fold).
-        self._recommend_batch_jit = jax.jit(jax.vmap(self._recommend_impl))
+        # Batched request program: one dispatch + ONE device→host transfer
+        # for K coalesced requests (serve/batcher.py; the D2H latency floor
+        # amortizes K-fold). jnp path: vmap of the single-request impl (the
+        # device state broadcasts via in_axes None so its shardings hold).
+        # Pallas path: the tower kernel is row-parallel, so the K·M
+        # (request, item) pairs flatten into ONE kernel call — batching
+        # needs no vmap rule (VERDICT r1 item 5).
+        if self._folded is not None:
+            self._recommend_batch_jit = jax.jit(self._recommend_batch_pallas_impl)
+        else:
+            self._recommend_batch_jit = jax.jit(
+                jax.vmap(self._recommend_impl, in_axes=(None, 0, 0, 0, 0))
+            )
 
     # ------------------------------------------------------------------ #
 
-    def _recommend_impl(self, padded_sources, city_idx, user_internal, lam):
-        """The fused two-stage program: retrieval + rank + MMR."""
-        cand, _neg, count = self.gen._generate_impl(padded_sources, city_idx)
+    def _recommend_impl(self, dev, padded_sources, city_idx, user_internal, lam):
+        """The fused two-stage program: retrieval + rank + MMR. ``dev`` is
+        the engine device state — an explicit argument so mesh shardings
+        are respected (closed-over constants lose them)."""
+        cand, _neg, count = self.gen._generate_impl(dev["gen"], padded_sources, city_idx)
         M = self.gen._M
         users = jnp.full((M,), user_internal, jnp.int32)
         if self._folded is not None:
             from hhrs_tpu.ops.pallas.tower_kernel import build_x0, dcnr_tower_eval_pallas
 
-            x0 = build_x0(self._params, users, self._item_internal, self._X_cat, self._X_num)
+            x0 = build_x0(
+                dev["params"], users, dev["item_internal"], dev["X_cat"], dev["X_num"]
+            )
             logits = dcnr_tower_eval_pallas(
                 self._folded, x0, self._cfg.cross_variant, interpret=self._pallas_interpret
             )
         else:
             logits, _ = apply_dcn(
-                self._params,
-                self._bn_state,
+                dev["params"],
+                dev["bn_state"],
                 users,
-                self._item_internal,
-                self._X_cat,
-                self._X_num,
+                dev["item_internal"],
+                dev["X_cat"],
+                dev["X_num"],
                 cfg=self._cfg,
                 train=False,
             )
         scores = jnp.where(cand, logits, NEG_INF)
         mmr_idx = mmr_rerank(
             scores,
-            self._emb_norm_serve,
+            dev["emb_norm"],
             cand,
-            self._embedded,
+            dev["embedded"],
             lam,
             top_k=self.retrieval_cfg.mmr_top_k,
         )
@@ -195,6 +252,40 @@ class RecommendationEngine:
             mmr_idx.astype(jnp.int32),
             count.astype(jnp.int32)[None],
         ])
+
+    def _recommend_batch_pallas_impl(self, dev, padded_sources, city_idx,
+                                     user_internal, lam):
+        """K requests through the fused Pallas tower in ONE kernel call:
+        candidate gen vmaps (jnp), then all K·M (request, item) rows feed
+        the row-parallel tower kernel flattened, and MMR vmaps per request."""
+        from hhrs_tpu.ops.pallas.tower_kernel import build_x0, dcnr_tower_eval_pallas
+
+        K = user_internal.shape[0]
+        M = self.gen._M
+        cand, _neg, count = jax.vmap(self.gen._generate_impl, in_axes=(None, 0, 0))(
+            dev["gen"], padded_sources, city_idx
+        )  # [K, M], [K, M], [K]
+        users = jnp.repeat(user_internal.astype(jnp.int32), M)  # [K·M]
+        item = jnp.tile(dev["item_internal"], K)
+        cat = jnp.tile(dev["X_cat"], (K, 1))
+        num = jnp.tile(dev["X_num"], (K, 1))
+        x0 = build_x0(dev["params"], users, item, cat, num)
+        logits = dcnr_tower_eval_pallas(
+            self._folded, x0, self._cfg.cross_variant, interpret=self._pallas_interpret
+        ).reshape(K, M)
+        scores = jnp.where(cand, logits, NEG_INF)
+        mmr_idx = jax.vmap(
+            lambda s, c, l: mmr_rerank(
+                s, dev["emb_norm"], c, dev["embedded"], l,
+                top_k=self.retrieval_cfg.mmr_top_k,
+            )
+        )(scores, cand, lam)
+        order = jnp.argsort(-scores, axis=1)
+        return jnp.concatenate(
+            [order.astype(jnp.int32), mmr_idx.astype(jnp.int32),
+             count.astype(jnp.int32)[:, None]],
+            axis=1,
+        )
 
     # ------------------------------------------------------------------ #
 
@@ -232,7 +323,7 @@ class RecommendationEngine:
         sources, city_i, user_i = self._host_inputs(user_id, city, mode)
         packed = jax.device_get(
             self._recommend_jit(
-                jnp.asarray(sources), jnp.asarray(city_i, jnp.int32),
+                self._dev, jnp.asarray(sources), jnp.asarray(city_i, jnp.int32),
                 jnp.asarray(user_i, jnp.int32), jnp.float32(lambda_param),
             )
         )  # ONE device→host transfer for the whole request
@@ -251,9 +342,6 @@ class RecommendationEngine:
         K = len(requests)
         if K == 0:
             return []
-        if self._folded is not None:
-            # Pallas tower has no vmap batching rule — serve sequentially.
-            return [self.recommend(u, c, m, l) for u, c, m, l in requests]
         if pad_to is not None and pad_to >= K:
             Kp = pad_to
         else:
@@ -277,7 +365,7 @@ class RecommendationEngine:
 
         packed = jax.device_get(
             self._recommend_batch_jit(
-                jnp.asarray(sources), jnp.asarray(city_i),
+                self._dev, jnp.asarray(sources), jnp.asarray(city_i),
                 jnp.asarray(user_i), jnp.asarray(lam),
             )
         )
@@ -324,7 +412,7 @@ class RecommendationEngine:
 
     @classmethod
     def from_dirs(cls, artifacts_dir: str, data_dir: str, retrieval_cfg=None,
-                  use_pallas: bool = False) -> "RecommendationEngine":
+                  use_pallas: bool = False, mesh=None) -> "RecommendationEngine":
         """Startup loader (reference load_artifacts, main.py:233-277)."""
         import os
 
@@ -332,7 +420,8 @@ class RecommendationEngine:
         main_df = load_reviews_csv(os.path.join(data_dir, "hackathon_augmented_data.csv"))
         main_df = add_engineered_features(main_df)
         friendships = load_friendships_csv(os.path.join(data_dir, "friendships.csv"))
-        return cls(bundle, main_df, friendships, retrieval_cfg, use_pallas=use_pallas)
+        return cls(bundle, main_df, friendships, retrieval_cfg, use_pallas=use_pallas,
+                   mesh=mesh)
 
     def warmup(self, batch_pad: int | None = None) -> None:
         """Compile the request program(s) before accepting traffic —

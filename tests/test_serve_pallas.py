@@ -24,3 +24,22 @@ def test_pallas_engine_matches_jnp_engine(engine_setup, lam):  # noqa: F811
             assert ra == rb
             checked += len(ra)
     assert checked > 0
+
+
+def test_pallas_batched_requests_match_jnp(engine_setup):  # noqa: F811
+    """recommend_many under the Pallas tower (K·M rows flattened into one
+    kernel call) returns the jnp batch path's exact responses — the
+    --pallas × dynamic-batching composition (VERDICT r1 item 5)."""
+    engine, main_df, friendships, bundle = engine_setup
+    pallas_engine = RecommendationEngine(bundle, main_df, friendships, use_pallas=True)
+    uni = engine.gen.universe
+    reqs = [
+        (int(uni.user_ids[i]), uni.cities[i % len(uni.cities)],
+         ("friends" if i % 2 else "personal"), (0.6 if i % 3 else 1.0))
+        for i in range(5)
+    ]
+    a = engine.recommend_many(reqs, pad_to=8)
+    b = pallas_engine.recommend_many(reqs, pad_to=8)
+    assert a == b
+    # unpadded power-of-two bucket path too
+    assert pallas_engine.recommend_many(reqs[:3]) == engine.recommend_many(reqs[:3])
