@@ -74,6 +74,11 @@ class TrainConfig:
     # is 50x faster there; on a directly-attached TPU runtime the fused
     # path removes per-step dispatch overhead instead.
     fused_epoch: bool = False
+    # Also evaluate catalog-ranking recall@100 (train/eval_retrieval.py) in
+    # the final metrics — the informative retrieval metric (the row-level
+    # recall saturates at 1.0 whenever users have <100 val rows). Off by
+    # default: it scores every catalog item for up to 512 users.
+    eval_catalog_recall: bool = False
 
 
 @dataclass
