@@ -150,7 +150,9 @@ def test_param_importances_and_plots(tmp_path):
     imp = param_importances(trials)
     assert imp["x"] > imp["cat"]  # the driving param dominates
     paths = save_study_plots(trials, str(tmp_path))
-    assert len(paths) == 2 and all(os.path.exists(p) for p in paths)
+    # history + importances + parallel coordinates (reference train.py:337-350)
+    assert len(paths) == 3 and all(os.path.exists(p) for p in paths)
+    assert any("parallel_coordinates" in p for p in paths)
     assert param_importances(trials[:3]) == {}  # too few trials → empty
 
 
