@@ -24,14 +24,24 @@ from hhrs_tpu.retrieval.similarity import normalize_rows
 
 def sharded_cosine_topk(
     mesh: Mesh,
-    table_norm: jnp.ndarray,  # [N, d], L2-normalized, N divisible by model axis
+    table_norm: jnp.ndarray,  # [N, d], L2-normalized, N divisible by the shard axes
     queries: jnp.ndarray,  # [Q, d] raw
     k: int,
-    model_axis: str = "model",
+    model_axis: str | tuple = "model",
+    n_valid: int | None = None,
 ):
     """Exact top-k over a row-sharded table. Returns (scores, idx) [Q, k],
-    identical (up to tie order) to cosine_topk on the unsharded table."""
-    m = mesh.shape[model_axis]
+    identical (up to tie order) to cosine_topk on the unsharded table.
+    ``model_axis`` may be a tuple of mesh axes (e.g. all serve-mesh axes
+    flat) — the table then shards over their product. ``n_valid`` masks
+    padding rows (global index >= n_valid scores -inf), so a table padded
+    up to the shard count stays exact."""
+    import math
+
+    if isinstance(model_axis, tuple):
+        m = math.prod(mesh.shape[a] for a in model_axis)
+    else:
+        m = mesh.shape[model_axis]
     rows_per = table_norm.shape[0] // m
     # Each shard can contribute at most its own rows_per candidates; the
     # global merge over m·k_local per-shard candidates is still exact top-k
@@ -45,10 +55,21 @@ def sharded_cosine_topk(
         )
     q = normalize_rows(queries)
 
+    def shard_index():
+        if isinstance(model_axis, tuple):  # row-major linearized multi-axis index
+            idx = jax.lax.axis_index(model_axis[0])
+            for a in model_axis[1:]:
+                idx = idx * mesh.shape[a] + jax.lax.axis_index(a)
+            return idx
+        return jax.lax.axis_index(model_axis)
+
     def local_topk(table_local, q_rep):
         sims = jnp.dot(q_rep, table_local.T, preferred_element_type=jnp.float32)
+        offset = shard_index() * rows_per
+        if n_valid is not None:
+            gidx = offset + jnp.arange(rows_per)
+            sims = jnp.where((gidx < n_valid)[None, :], sims, -jnp.inf)
         vals, idx = jax.lax.top_k(sims, k_local)  # [Q, k_local] local
-        offset = jax.lax.axis_index(model_axis) * rows_per
         return vals[None], (idx + offset)[None]  # leading shard axis for the merge
 
     # Per-shard candidates come back sharded over the model axis; the merge

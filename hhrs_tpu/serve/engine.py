@@ -147,6 +147,22 @@ class RecommendationEngine:
         self._table_norm_train = normalize_rows(jnp.asarray(bundle.item_embeddings, jnp.float32))
         self._emb_train = jnp.asarray(bundle.item_embeddings, jnp.float32)
         self._reverse_item_map = {v: k for k, v in art.item_id_mapping.items()}
+        self._similar_sharded = None
+        if mesh is not None:
+            # /similar_items under the mesh: the train-item table row-shards
+            # over all mesh axes and queries run through the exact per-shard
+            # top-k + merge (retrieval/sharded.py).
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            axes = tuple(mesh.axis_names)
+            n_shards = int(mesh.devices.size)
+            Nt = int(self._table_norm_train.shape[0])
+            Ntp = -(-Nt // n_shards) * n_shards
+            tab = jax.device_put(
+                jnp.pad(self._table_norm_train, ((0, Ntp - Nt), (0, 0))),
+                NamedSharding(mesh, P(axes, None)),
+            )
+            self._similar_sharded = (tab, Nt, axes)
 
         # recommended_by source: positive review rows in frame order,
         # pre-bucketed per item (deduped users, frame order preserved;
@@ -400,7 +416,16 @@ class RecommendationEngine:
         internal = self.bundle.preproc.item_id_mapping.get(item_id)
         if internal is None:
             return None
-        _, idx = cosine_topk(self._table_norm_train, self._emb_train[internal][None, :], n + 1)
+        query = self._emb_train[internal][None, :]
+        if self._similar_sharded is not None:
+            from hhrs_tpu.retrieval.sharded import sharded_cosine_topk
+
+            tab, Nt, axes = self._similar_sharded
+            _, idx = sharded_cosine_topk(
+                self.mesh, tab, query, n + 1, model_axis=axes, n_valid=Nt
+            )
+        else:
+            _, idx = cosine_topk(self._table_norm_train, query, n + 1)
         neighbor_train_ids = np.asarray(idx)[0, 1:]  # drop first hit (self)
         return [
             int(self._reverse_item_map[t])

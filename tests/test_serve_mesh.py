@@ -99,6 +99,18 @@ def test_mesh_engine_batched_requests(engines):
     assert a == b
 
 
+def test_mesh_similar_items_identical(engines):
+    """/similar_items via the sharded per-shard-top-k + merge == the
+    single-device brute-force path, including the padded-table mask."""
+    single, meshed = engines
+    art = single.bundle.preproc
+    some_items = list(art.item_id_mapping.keys())[:10]
+    for ext in some_items:
+        for n in (1, 5, 16):
+            assert single.similar_items(ext, n) == meshed.similar_items(ext, n), (ext, n)
+    assert meshed.similar_items(999_999_999) is None  # unknown → 404 upstream
+
+
 def test_mesh_candidate_mask_matches(engines):
     """Stage-1 alone: the generator's mask agrees with the unsharded one."""
     single, meshed = engines
