@@ -61,9 +61,13 @@ class Trial:
     def should_prune(self) -> bool:
         if self._last_step < 0:
             return False
+        # optuna MedianPruner semantics: the trial's BEST intermediate so
+        # far (minimize direction) is compared against the median, so a
+        # trial that already posted a good epoch is not pruned on a later
+        # regression.
         return self._study._pruner.should_prune(
             self._last_step,
-            self.intermediates[self._last_step],
+            min(self.intermediates.values()),
             [t["intermediates_by_step"] for t in self._study.trials if t["state"] == "complete"],
         )
 

@@ -131,6 +131,19 @@ def test_trial_report_prune_flow():
     assert pruned["hit"]
     assert s.trials[1]["state"] == "pruned"
 
+    # optuna parity: the trial's BEST intermediate (not the latest) is what
+    # faces the median — a good epoch followed by a regression survives.
+    survived = {"hit": False}
+
+    def regresses(trial):
+        trial.report(0.05, 0)  # better than the seeded 0.1 median
+        trial.report(9.0, 1)  # later regression
+        survived["hit"] = not trial.should_prune()
+        return 0.05
+
+    s.optimize(regresses, space, n_trials=3)
+    assert survived["hit"]
+
 
 def test_param_importances_and_plots(tmp_path):
     import numpy as np
