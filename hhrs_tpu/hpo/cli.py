@@ -68,8 +68,22 @@ def main(argv=None) -> int:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--cache-dir", default=None,
                    help="preprocessed-dataset cache (skips ingest on repeat runs)")
+    p.add_argument("--mesh", default=None, metavar="DATAxMODEL",
+                   help="run each trial over a device mesh (same layout as the "
+                        "train CLI: data-parallel batch, row-sharded tables)")
     p.add_argument("overrides", nargs="*")
     args = p.parse_args(argv)
+
+    mesh = None
+    if args.mesh:
+        import re
+
+        from hhrs_tpu.parallel.mesh import make_mesh
+
+        m = re.fullmatch(r"(\d+)(?:[xX](\d+))?", args.mesh)
+        if not m:
+            p.error(f"--mesh must be DATA or DATAxMODEL (e.g. 4x2), got {args.mesh!r}")
+        mesh = make_mesh(int(m.group(1)), int(m.group(2) or 1))
 
     cfg = Config().apply_overrides([a for a in args.overrides if "=" in a])
     if args.epochs is not None:
@@ -102,7 +116,7 @@ def main(argv=None) -> int:
             trial.report(val_loss, epoch)
             return trial.should_prune()
 
-        result = train_dcn(splits, dims, mcfg, tcfg, report_fn=report_fn)
+        result = train_dcn(splits, dims, mcfg, tcfg, mesh=mesh, report_fn=report_fn)
         if result.pruned:
             raise TrialPruned()
         trial.set_user_attr("val_auc", result.final_metrics["val_auc"])
