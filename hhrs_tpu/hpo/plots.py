@@ -150,7 +150,7 @@ def _parallel_coordinates(done: list[dict], out_dir: str, plt) -> str:
         ax.text(j, -0.045, lo_lab, ha="center", va="top", fontsize=7, color="0.45")
         ax.text(j, 1.045, hi_lab, ha="center", va="bottom", fontsize=7, color="0.45")
     ax.set_xticks(xs_axis)
-    ax.set_xticklabels(names, fontsize=8)
+    ax.set_xticklabels(names, fontsize=8, rotation=15, ha="right")
     ax.set_yticks([])
     ax.set_ylim(-0.1, 1.1)
     for s in ("top", "right", "left"):

@@ -33,6 +33,9 @@ def main(argv=None) -> int:
     p.add_argument("--no-warmup", action="store_true")
     p.add_argument("--pallas", action="store_true",
                    help="score with the fused Pallas eval tower (BN folded)")
+    p.add_argument("--bf16", action="store_true",
+                   help="score the catalog in bfloat16 on the MXU (f32 "
+                        "accumulation; near-tied rankings may differ from f32)")
     p.add_argument("--batch-window-ms", type=float, default=None,
                    help=">0: coalesce concurrent requests into batched device "
                         "programs within this window (dynamic batching)")
@@ -74,7 +77,8 @@ def main(argv=None) -> int:
 
         artifacts_dir = resolve_artifacts_dir(artifacts)
         engine = RecommendationEngine.from_dirs(artifacts_dir, data_dir,
-                                                use_pallas=use_pallas, mesh=mesh)
+                                                use_pallas=use_pallas, mesh=mesh,
+                                                bf16=args.bf16)
         # Batching composes with BOTH scoring paths (the Pallas tower
         # batches by flattening K·M rows into one kernel call).
         want_batching = window_ms > 0

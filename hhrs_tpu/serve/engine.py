@@ -52,6 +52,7 @@ class RecommendationEngine:
         retrieval_cfg: RetrievalConfig | None = None,
         use_pallas: bool = False,
         mesh=None,
+        bf16: bool = False,
     ):
         self.bundle = bundle
         self.retrieval_cfg = retrieval_cfg or RetrievalConfig()
@@ -59,6 +60,18 @@ class RecommendationEngine:
         self.latency = LatencyHistogram()
         self.use_pallas = use_pallas
         self.mesh = mesh
+        if bf16:
+            # Opt-in: score the catalog in bfloat16 on the MXU (params stay
+            # f32; logits accumulate f32). Rankings of near-tied items can
+            # differ from the f32 path by design — this is a serve-throughput
+            # knob, not the parity default.
+            import dataclasses
+
+            bundle = dataclasses.replace(
+                bundle, model_cfg=dataclasses.replace(
+                    bundle.model_cfg, compute_dtype="bfloat16")
+            )
+            self.bundle = bundle
         if mesh is not None and use_pallas:
             log.warning("mesh serving uses the jnp scoring path; --pallas ignored")
             self.use_pallas = use_pallas = False
@@ -437,7 +450,8 @@ class RecommendationEngine:
 
     @classmethod
     def from_dirs(cls, artifacts_dir: str, data_dir: str, retrieval_cfg=None,
-                  use_pallas: bool = False, mesh=None) -> "RecommendationEngine":
+                  use_pallas: bool = False, mesh=None, bf16: bool = False,
+                  ) -> "RecommendationEngine":
         """Startup loader (reference load_artifacts, main.py:233-277)."""
         import os
 
@@ -446,7 +460,7 @@ class RecommendationEngine:
         main_df = add_engineered_features(main_df)
         friendships = load_friendships_csv(os.path.join(data_dir, "friendships.csv"))
         return cls(bundle, main_df, friendships, retrieval_cfg, use_pallas=use_pallas,
-                   mesh=mesh)
+                   mesh=mesh, bf16=bf16)
 
     def warmup(self, batch_pad: int | None = None) -> None:
         """Compile the request program(s) before accepting traffic —
