@@ -111,6 +111,66 @@ def test_mesh_similar_items_identical(engines):
     assert meshed.similar_items(999_999_999) is None  # unknown → 404 upstream
 
 
+@pytest.mark.slow
+def test_serve_cli_mesh_boot(tmp_path):
+    """`serve.cli --mesh 4x2` boots on the 8-device virtual mesh and answers
+    the REST contract (CLI wiring for mesh serving)."""
+    import json as json_mod
+    import subprocess
+    import sys
+    import time
+    import urllib.request
+
+    env = {
+        "PATH": "/usr/bin:/bin:/usr/local/bin",
+        "JAX_PLATFORMS": "cpu",
+        "XLA_FLAGS": "--xla_force_host_platform_device_count=8",
+        "PYTHONPATH": "/root/repo",
+    }
+    data_dir = str(tmp_path / "data")
+    art_dir = str(tmp_path / "artifacts")
+    r = subprocess.run(
+        [sys.executable, "-m", "hhrs_tpu.train.cli", "--synthetic",
+         "--data", data_dir, "--out", art_dir,
+         "--synth-users", "120", "--synth-items", "50", "--synth-reviews", "1500",
+         "--epochs", "1", "train.batch_size=256", "train.eval_batch_size=512"],
+        capture_output=True, text=True, timeout=420, env=env, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    import socket
+
+    s = socket.socket(); s.bind(("127.0.0.1", 0)); port = s.getsockname()[1]; s.close()
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "hhrs_tpu.serve.cli", "--artifacts", art_dir,
+         "--data", data_dir, "--port", str(port), "--mesh", "4x2"],
+        stdout=subprocess.DEVNULL, stderr=subprocess.PIPE, text=True,
+        env=env, cwd="/root/repo",
+    )
+    try:
+        deadline = time.time() + 300
+        health = None
+        while time.time() < deadline and proc.poll() is None:
+            try:
+                health = urllib.request.urlopen(
+                    f"http://127.0.0.1:{port}/healthz", timeout=5).read().decode()
+                break
+            except OSError:
+                time.sleep(0.5)
+        assert proc.poll() is None, proc.stderr.read()[-2000:]
+        assert health and "ok" in health
+        body = json_mod.dumps({"user_id": 1, "city": "Sochi", "type": "friends",
+                               "lambda_param": 1.0}).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/recommendations", data=body,
+            headers={"content-type": "application/json"})
+        resp = json_mod.loads(urllib.request.urlopen(req, timeout=60).read().decode())
+        assert "ranked_hotels" in resp
+    finally:
+        proc.kill()
+        proc.wait(timeout=20)
+
+
 def test_mesh_candidate_mask_matches(engines):
     """Stage-1 alone: the generator's mask agrees with the unsharded one."""
     single, meshed = engines
