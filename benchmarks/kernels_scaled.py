@@ -72,17 +72,20 @@ def main(argv=None) -> int:
     d_in = x0.shape[1]
 
     n = args.iters
+    # Params/folded pass as jit ARGUMENTS: a closed-over million-row table
+    # becomes an HLO constant, which this tunnel's remote-compile endpoint
+    # rejects (HTTP 413) — and constants skew compile time anyway.
     # 1. end-to-end: gathers + tower, XLA vs (XLA gathers + pallas tower)
     t_full = timeit(jax.jit(
-        lambda u, i, c, m: apply_dcn(params, state, u, i, c, m, cfg=cfg, train=False)[0]
-    ), user, item, cat, num, n=n)
+        lambda p, s, u, i, c, m: apply_dcn(p, s, u, i, c, m, cfg=cfg, train=False)[0]
+    ), params, state, user, item, cat, num, n=n)
     t_hybrid = timeit(jax.jit(
-        lambda u, i, c, m: dcnr_tower_eval_pallas(
-            folded, build_x0(params, u, i, c, m), interpret=interpret)
-    ), user, item, cat, num, n=n)
+        lambda p, f, u, i, c, m: dcnr_tower_eval_pallas(
+            f, build_x0(p, u, i, c, m), interpret=interpret)
+    ), params, folded, user, item, cat, num, n=n)
     # 2. breakdown: gather+concat half alone; tower halves alone
-    t_x0 = timeit(jax.jit(lambda u, i, c, m: build_x0(params, u, i, c, m)),
-                  user, item, cat, num, n=n)
+    t_x0 = timeit(jax.jit(lambda p, u, i, c, m: build_x0(p, u, i, c, m)),
+                  params, user, item, cat, num, n=n)
     t_tower_pal = timeit(jax.jit(
         lambda f, x: dcnr_tower_eval_pallas(f, x, interpret=interpret)), folded, x0, n=n)
 

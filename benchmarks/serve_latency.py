@@ -1,7 +1,7 @@
 """Serve-path latency benchmark: p50/p90/p99 of the full two-stage
 recommend program (retrieval → DCN-R scoring → MMR) on the current backend.
 
-Usage: python benchmarks/serve_latency.py [--pallas] [--requests 100]
+Usage: python benchmarks/serve_latency.py [--requests 100]
 Prints one JSON line. The p50 is a BASELINE.md target metric.
 """
 
@@ -18,7 +18,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main(argv=None) -> int:
     p = argparse.ArgumentParser()
-    p.add_argument("--pallas", action="store_true")
+    # (--pallas removed: the fused serve tower was retired after the
+    # round-2 kernel honesty pass — see RESULTS.md)
     p.add_argument("--requests", type=int, default=100)
     p.add_argument("--concurrency", type=int, default=1,
                    help=">1: concurrent clients through the dynamic batcher")
@@ -55,7 +56,7 @@ def main(argv=None) -> int:
                          result.final_metrics)
         bundle = load_artifact_bundle(tmp)
 
-    engine = RecommendationEngine(bundle, main_df, ds.friendships, use_pallas=args.pallas)
+    engine = RecommendationEngine(bundle, main_df, ds.friendships)
     engine.warmup()
 
     uni = engine.gen.universe
@@ -111,7 +112,6 @@ def main(argv=None) -> int:
         "requests": args.requests,
         "throughput_rps": round(args.requests / wall, 1),
         "concurrency": args.concurrency,
-        "pallas": args.pallas,
         "unit": "ms",
     }))
     return 0

@@ -143,7 +143,6 @@ class ServeConfig:
     # Dynamic batching (serve/batcher.py): 0 disables.
     batch_window_ms: float = 0.0
     max_batch: int = 8
-    use_pallas: bool = False
 
 
 @dataclass

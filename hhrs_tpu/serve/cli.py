@@ -31,8 +31,8 @@ def main(argv=None) -> int:
     p.add_argument("--host", default=None)
     p.add_argument("--port", type=int, default=None)
     p.add_argument("--no-warmup", action="store_true")
-    p.add_argument("--pallas", action="store_true",
-                   help="score with the fused Pallas eval tower (BN folded)")
+    # --pallas retired after the round-2 kernel honesty pass: the fused eval
+    # tower measured slower than XLA end-to-end at every scale (RESULTS.md).
     p.add_argument("--bf16", action="store_true",
                    help="score the catalog in bfloat16 on the MXU (f32 "
                         "accumulation; near-tied rankings may differ from f32)")
@@ -57,7 +57,6 @@ def main(argv=None) -> int:
     port = args.port if args.port is not None else cfg.port
     window_ms = args.batch_window_ms if args.batch_window_ms is not None else cfg.batch_window_ms
     max_batch = args.max_batch if args.max_batch is not None else cfg.max_batch
-    use_pallas = args.pallas or cfg.use_pallas
 
     try:
         from hhrs_tpu.db.registry import resolve_artifacts_dir
@@ -76,11 +75,8 @@ def main(argv=None) -> int:
             mesh = make_mesh(int(m.group(1)), int(m.group(2) or 1))
 
         artifacts_dir = resolve_artifacts_dir(artifacts)
-        engine = RecommendationEngine.from_dirs(artifacts_dir, data_dir,
-                                                use_pallas=use_pallas, mesh=mesh,
+        engine = RecommendationEngine.from_dirs(artifacts_dir, data_dir, mesh=mesh,
                                                 bf16=args.bf16)
-        # Batching composes with BOTH scoring paths (the Pallas tower
-        # batches by flattening K·M rows into one kernel call).
         want_batching = window_ms > 0
         if not args.no_warmup:
             log.info("warming up compiled request program...")

@@ -72,10 +72,6 @@ class RecommendationEngine:
                     bundle.model_cfg, compute_dtype="bfloat16")
             )
             self.bundle = bundle
-        if mesh is not None and use_pallas:
-            log.warning("mesh serving uses the jnp scoring path; --pallas ignored")
-            self.use_pallas = use_pallas = False
-
         art = bundle.preproc
         # Graph first: the source-vector width must cover the largest friend
         # list (the reference uses ALL friends, main.py:172-178 — truncation
@@ -200,38 +196,25 @@ class RecommendationEngine:
         self._cfg = bundle.model_cfg
         self._unknown_user = art.unknown_user_id
         self._user_map = art.user_id_mapping
-        self._folded = None
-        if self.use_pallas and bundle.model_cfg.arch != "dcnr":
-            log.warning(
-                "fused Pallas tower supports arch='dcnr' only (got %r); using jnp path",
-                bundle.model_cfg.arch,
-            )
-            self.use_pallas = False
         if self.use_pallas:
-            # Fused eval tower (ops/pallas/tower_kernel.py): BN folded into
-            # the matmuls, whole tower one kernel. Interpret off-TPU so the
-            # flag still works in CPU tests.
-            from hhrs_tpu.ops.pallas import pallas_supported
-            from hhrs_tpu.ops.pallas.tower_kernel import fold_eval_params
-
-            self._folded = fold_eval_params(
-                bundle.params, bundle.bn_state, eps=bundle.model_cfg.bn_eps
-            )
-            self._pallas_interpret = not pallas_supported()
+            # RETIRED (kernel honesty pass, RESULTS.md round 2): the fused
+            # Pallas eval tower measured SLOWER than XLA end-to-end at both
+            # reference scale (0.74x) and the scaled config (0.75x at
+            # H=512, 98k rows) — XLA's own gather+tower fusion beats the
+            # kernel composition, which must materialize x0 to HBM between
+            # the gather half and the kernel. The kernel and its parity
+            # tests remain in ops/pallas as the documented negative result.
+            log.warning("use_pallas is retired (measured slower than XLA; "
+                        "RESULTS.md round-2 kernel honesty pass) — jnp path used")
+            self.use_pallas = False
         self._recommend_jit = jax.jit(self._recommend_impl)
         # Batched request program: one dispatch + ONE device→host transfer
         # for K coalesced requests (serve/batcher.py; the D2H latency floor
-        # amortizes K-fold). jnp path: vmap of the single-request impl (the
-        # device state broadcasts via in_axes None so its shardings hold).
-        # Pallas path: the tower kernel is row-parallel, so the K·M
-        # (request, item) pairs flatten into ONE kernel call — batching
-        # needs no vmap rule (VERDICT r1 item 5).
-        if self._folded is not None:
-            self._recommend_batch_jit = jax.jit(self._recommend_batch_pallas_impl)
-        else:
-            self._recommend_batch_jit = jax.jit(
-                jax.vmap(self._recommend_impl, in_axes=(None, 0, 0, 0, 0))
-            )
+        # amortizes K-fold): vmap of the single-request impl (the device
+        # state broadcasts via in_axes None so its shardings hold).
+        self._recommend_batch_jit = jax.jit(
+            jax.vmap(self._recommend_impl, in_axes=(None, 0, 0, 0, 0))
+        )
 
     # ------------------------------------------------------------------ #
 
@@ -242,26 +225,16 @@ class RecommendationEngine:
         cand, _neg, count = self.gen._generate_impl(dev["gen"], padded_sources, city_idx)
         M = self.gen._M
         users = jnp.full((M,), user_internal, jnp.int32)
-        if self._folded is not None:
-            from hhrs_tpu.ops.pallas.tower_kernel import build_x0, dcnr_tower_eval_pallas
-
-            x0 = build_x0(
-                dev["params"], users, dev["item_internal"], dev["X_cat"], dev["X_num"]
-            )
-            logits = dcnr_tower_eval_pallas(
-                self._folded, x0, self._cfg.cross_variant, interpret=self._pallas_interpret
-            )
-        else:
-            logits, _ = apply_dcn(
-                dev["params"],
-                dev["bn_state"],
-                users,
-                dev["item_internal"],
-                dev["X_cat"],
-                dev["X_num"],
-                cfg=self._cfg,
-                train=False,
-            )
+        logits, _ = apply_dcn(
+            dev["params"],
+            dev["bn_state"],
+            users,
+            dev["item_internal"],
+            dev["X_cat"],
+            dev["X_num"],
+            cfg=self._cfg,
+            train=False,
+        )
         scores = jnp.where(cand, logits, NEG_INF)
         mmr_idx = mmr_rerank(
             scores,
@@ -281,40 +254,6 @@ class RecommendationEngine:
             mmr_idx.astype(jnp.int32),
             count.astype(jnp.int32)[None],
         ])
-
-    def _recommend_batch_pallas_impl(self, dev, padded_sources, city_idx,
-                                     user_internal, lam):
-        """K requests through the fused Pallas tower in ONE kernel call:
-        candidate gen vmaps (jnp), then all K·M (request, item) rows feed
-        the row-parallel tower kernel flattened, and MMR vmaps per request."""
-        from hhrs_tpu.ops.pallas.tower_kernel import build_x0, dcnr_tower_eval_pallas
-
-        K = user_internal.shape[0]
-        M = self.gen._M
-        cand, _neg, count = jax.vmap(self.gen._generate_impl, in_axes=(None, 0, 0))(
-            dev["gen"], padded_sources, city_idx
-        )  # [K, M], [K, M], [K]
-        users = jnp.repeat(user_internal.astype(jnp.int32), M)  # [K·M]
-        item = jnp.tile(dev["item_internal"], K)
-        cat = jnp.tile(dev["X_cat"], (K, 1))
-        num = jnp.tile(dev["X_num"], (K, 1))
-        x0 = build_x0(dev["params"], users, item, cat, num)
-        logits = dcnr_tower_eval_pallas(
-            self._folded, x0, self._cfg.cross_variant, interpret=self._pallas_interpret
-        ).reshape(K, M)
-        scores = jnp.where(cand, logits, NEG_INF)
-        mmr_idx = jax.vmap(
-            lambda s, c, l: mmr_rerank(
-                s, dev["emb_norm"], c, dev["embedded"], l,
-                top_k=self.retrieval_cfg.mmr_top_k,
-            )
-        )(scores, cand, lam)
-        order = jnp.argsort(-scores, axis=1)
-        return jnp.concatenate(
-            [order.astype(jnp.int32), mmr_idx.astype(jnp.int32),
-             count.astype(jnp.int32)[:, None]],
-            axis=1,
-        )
 
     # ------------------------------------------------------------------ #
 

@@ -1,5 +1,12 @@
-"""The Pallas-fused serve engine must return the same recommendations as
-the jnp engine (BN folding + fused tower are numerics-preserving)."""
+"""Serve scoring-mode tests.
+
+The fused Pallas eval tower was RETIRED from serving after the round-2
+kernel honesty pass (RESULTS.md): it measured slower than XLA end-to-end at
+both reference scale (0.74x) and the scaled config (0.75x at H=512 / 98k
+rows). The kernel and its exact-parity tests remain in ops/pallas
+(tests/test_pallas_kernels.py) as the documented negative result; here we
+pin the retirement semantics (accepted-but-no-op flag) and the bf16
+throughput knob."""
 
 import pytest
 
@@ -8,22 +15,19 @@ from hhrs_tpu.serve.engine import RecommendationEngine
 from tests.test_serve import engine_setup  # noqa: F401 — module fixture
 
 
-@pytest.mark.parametrize("lam", [1.0, 0.6])
-def test_pallas_engine_matches_jnp_engine(engine_setup, lam):  # noqa: F811
+def test_use_pallas_retired_is_noop(engine_setup):  # noqa: F811
+    """use_pallas=True warns, falls back to the jnp path, and returns the
+    default engine's exact responses (no silent behavior change for old
+    callers)."""
     engine, main_df, friendships, bundle = engine_setup
-    pallas_engine = RecommendationEngine(bundle, main_df, friendships, use_pallas=True)
-
+    legacy = RecommendationEngine(bundle, main_df, friendships, use_pallas=True)
+    assert legacy.use_pallas is False
     uni = engine.gen.universe
-    checked = 0
-    for user_id in uni.user_ids[:6]:
-        for city in uni.cities[:2]:
-            a = engine.recommend(int(user_id), city, "friends", lam)
-            b = pallas_engine.recommend(int(user_id), city, "friends", lam)
-            ra = [h["hotel_id"] for h in a.get("ranked_hotels", [])]
-            rb = [h["hotel_id"] for h in b.get("ranked_hotels", [])]
-            assert ra == rb
-            checked += len(ra)
-    assert checked > 0
+    for user_id in uni.user_ids[:4]:
+        for lam in (1.0, 0.6):
+            a = engine.recommend(int(user_id), uni.cities[0], "friends", lam)
+            b = legacy.recommend(int(user_id), uni.cities[0], "friends", lam)
+            assert a == b
 
 
 def test_bf16_engine_close_to_f32(engine_setup):  # noqa: F811
@@ -46,22 +50,3 @@ def test_bf16_engine_close_to_f32(engine_setup):  # noqa: F811
             assert overlap >= 3, (ra[:5], rb[:5])
             checked += 1
     assert checked > 0
-
-
-def test_pallas_batched_requests_match_jnp(engine_setup):  # noqa: F811
-    """recommend_many under the Pallas tower (K·M rows flattened into one
-    kernel call) returns the jnp batch path's exact responses — the
-    --pallas × dynamic-batching composition (VERDICT r1 item 5)."""
-    engine, main_df, friendships, bundle = engine_setup
-    pallas_engine = RecommendationEngine(bundle, main_df, friendships, use_pallas=True)
-    uni = engine.gen.universe
-    reqs = [
-        (int(uni.user_ids[i]), uni.cities[i % len(uni.cities)],
-         ("friends" if i % 2 else "personal"), (0.6 if i % 3 else 1.0))
-        for i in range(5)
-    ]
-    a = engine.recommend_many(reqs, pad_to=8)
-    b = pallas_engine.recommend_many(reqs, pad_to=8)
-    assert a == b
-    # unpadded power-of-two bucket path too
-    assert pallas_engine.recommend_many(reqs[:3]) == engine.recommend_many(reqs[:3])
