@@ -143,6 +143,10 @@ class ServeConfig:
     # Dynamic batching (serve/batcher.py): 0 disables.
     batch_window_ms: float = 0.0
     max_batch: int = 8
+    # Retired after the round-2 kernel honesty pass (fused Pallas serve tower
+    # measured 0.74-0.75x vs XLA). Kept so existing `serve.use_pallas=...`
+    # overrides parse; the engine warns and serves on the jnp path.
+    use_pallas: bool = False
 
 
 @dataclass

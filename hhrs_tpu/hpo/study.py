@@ -57,6 +57,13 @@ class Trial:
     def report(self, value: float, step: int) -> None:
         self.intermediates[step] = float(value)
         self._last_step = step
+        # Under the real-optuna backend, forward the TRUE per-step value at
+        # report time so optuna's stored intermediate curves are faithful
+        # (best-over-steps is optuna's own pruner semantics, not ours to
+        # pre-apply — see should_prune below for the built-in path).
+        fwd = getattr(self._study, "_report_to_backend", None)
+        if fwd is not None:
+            fwd(float(value), step)
 
     def should_prune(self) -> bool:
         if self._last_step < 0:
@@ -253,13 +260,16 @@ class _OptunaShimStudy:
     def __init__(self, otrial):
         self._otrial = otrial
         self.trials = []
+        # Trial.report forwards each true per-step value here; the pruner
+        # then only ASKS optuna (which applies its own best-over-steps
+        # PercentilePruner semantics to the faithfully recorded curve).
+        self._report_to_backend = otrial.report
 
         class _P:
             def __init__(self, ot):
                 self._ot = ot
 
             def should_prune(self, step, value, completed):
-                self._ot.report(value, step)
                 return self._ot.should_prune()
 
         self._pruner = _P(otrial)

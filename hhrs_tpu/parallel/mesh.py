@@ -68,3 +68,18 @@ def make_mesh(
     else:
         grid = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
     return Mesh(grid, axis_names)
+
+
+def mesh_from_spec(spec: str, **kwargs) -> Mesh:
+    """Parse a CLI ``--mesh`` spec — ``DATA`` or ``DATAxMODEL`` (e.g. ``8``,
+    ``4x2``) — into a mesh. Shared by the train/serve/hpo CLIs.
+
+    Raises ``ValueError`` on a malformed spec (CLIs surface it as a usage
+    error) and propagates ``make_mesh``'s device-count errors.
+    """
+    import re
+
+    m = re.fullmatch(r"(\d+)(?:[xX](\d+))?", spec.strip())
+    if not m:
+        raise ValueError(f"--mesh must be DATA or DATAxMODEL (e.g. 4x2), got {spec!r}")
+    return make_mesh(int(m.group(1)), int(m.group(2) or 1), **kwargs)

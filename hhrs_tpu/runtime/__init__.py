@@ -63,35 +63,49 @@ def get_lib():
             log.warning("failed to load native runtime: %s", e)
             return None
 
-        lib.csv_load.restype = ctypes.c_void_p
-        lib.csv_load.argtypes = [ctypes.c_char_p, ctypes.c_int]
-        lib.csv_free.argtypes = [ctypes.c_void_p]
-        lib.csv_error.restype = ctypes.c_char_p
-        lib.csv_error.argtypes = [ctypes.c_void_p]
-        lib.csv_n_rows.restype = ctypes.c_int64
-        lib.csv_n_rows.argtypes = [ctypes.c_void_p]
-        lib.csv_n_bad_rows.restype = ctypes.c_int64
-        lib.csv_n_bad_rows.argtypes = [ctypes.c_void_p]
-        lib.csv_col_n_coerced.restype = ctypes.c_int64
-        lib.csv_col_n_coerced.argtypes = [ctypes.c_void_p, ctypes.c_int]
-        lib.csv_n_cols.restype = ctypes.c_int
-        lib.csv_n_cols.argtypes = [ctypes.c_void_p]
-        lib.csv_col_name.restype = ctypes.c_char_p
-        lib.csv_col_name.argtypes = [ctypes.c_void_p, ctypes.c_int]
-        lib.csv_col_kind.restype = ctypes.c_int
-        lib.csv_col_kind.argtypes = [ctypes.c_void_p, ctypes.c_int]
-        lib.csv_col_int_like.restype = ctypes.c_int
-        lib.csv_col_int_like.argtypes = [ctypes.c_void_p, ctypes.c_int]
-        lib.csv_col_f64.restype = ctypes.POINTER(ctypes.c_double)
-        lib.csv_col_f64.argtypes = [ctypes.c_void_p, ctypes.c_int]
-        lib.csv_col_codes.restype = ctypes.POINTER(ctypes.c_int32)
-        lib.csv_col_codes.argtypes = [ctypes.c_void_p, ctypes.c_int]
-        lib.csv_col_vocab.restype = ctypes.c_char_p
-        lib.csv_col_vocab.argtypes = [ctypes.c_void_p, ctypes.c_int]
-        lib.csv_col_vocab_size.restype = ctypes.c_int
-        lib.csv_col_vocab_size.argtypes = [ctypes.c_void_p, ctypes.c_int]
+        # Symbol wiring can raise AttributeError if a stale .so slipped past
+        # the mtime heuristic (e.g. tarball/rsync-preserved mtimes); the
+        # module contract is "never a dependency", so degrade to pandas.
+        try:
+            _wire_symbols(lib)
+        except AttributeError as e:
+            log.warning(
+                "native runtime %s is missing symbols (stale build?): %s — "
+                "falling back to pandas", _LIB_PATH, e,
+            )
+            return None
         _lib = lib
         return _lib
+
+
+def _wire_symbols(lib) -> None:
+    lib.csv_load.restype = ctypes.c_void_p
+    lib.csv_load.argtypes = [ctypes.c_char_p, ctypes.c_int]
+    lib.csv_free.argtypes = [ctypes.c_void_p]
+    lib.csv_error.restype = ctypes.c_char_p
+    lib.csv_error.argtypes = [ctypes.c_void_p]
+    lib.csv_n_rows.restype = ctypes.c_int64
+    lib.csv_n_rows.argtypes = [ctypes.c_void_p]
+    lib.csv_n_bad_rows.restype = ctypes.c_int64
+    lib.csv_n_bad_rows.argtypes = [ctypes.c_void_p]
+    lib.csv_col_n_coerced.restype = ctypes.c_int64
+    lib.csv_col_n_coerced.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.csv_n_cols.restype = ctypes.c_int
+    lib.csv_n_cols.argtypes = [ctypes.c_void_p]
+    lib.csv_col_name.restype = ctypes.c_char_p
+    lib.csv_col_name.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.csv_col_kind.restype = ctypes.c_int
+    lib.csv_col_kind.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.csv_col_int_like.restype = ctypes.c_int
+    lib.csv_col_int_like.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.csv_col_f64.restype = ctypes.POINTER(ctypes.c_double)
+    lib.csv_col_f64.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.csv_col_codes.restype = ctypes.POINTER(ctypes.c_int32)
+    lib.csv_col_codes.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.csv_col_vocab.restype = ctypes.c_char_p
+    lib.csv_col_vocab.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.csv_col_vocab_size.restype = ctypes.c_int
+    lib.csv_col_vocab_size.argtypes = [ctypes.c_void_p, ctypes.c_int]
 
 
 def native_available() -> bool:

@@ -65,14 +65,12 @@ def main(argv=None) -> int:
 
         mesh = None
         if args.mesh:
-            import re
+            from hhrs_tpu.parallel.mesh import mesh_from_spec
 
-            from hhrs_tpu.parallel.mesh import make_mesh
-
-            m = re.fullmatch(r"(\d+)(?:[xX](\d+))?", args.mesh)
-            if not m:
-                p.error(f"--mesh must be DATA or DATAxMODEL (e.g. 4x2), got {args.mesh!r}")
-            mesh = make_mesh(int(m.group(1)), int(m.group(2) or 1))
+            try:
+                mesh = mesh_from_spec(args.mesh)
+            except ValueError as e:
+                p.error(str(e))
 
         artifacts_dir = resolve_artifacts_dir(artifacts)
         engine = RecommendationEngine.from_dirs(artifacts_dir, data_dir, mesh=mesh,

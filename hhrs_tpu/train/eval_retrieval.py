@@ -23,7 +23,7 @@ from hhrs_tpu.config import ModelConfig
 from hhrs_tpu.models.dcn import apply_dcn
 
 
-def _item_feature_table(splits, n_items: int):
+def _item_feature_table(splits):
     """[n_seen] item ids + their cat/num features, first occurrence wins."""
     all_item = np.concatenate([splits.train_item, splits.val_item])
     all_cat = np.concatenate([splits.train_cat, splits.val_cat])
@@ -55,7 +55,7 @@ def catalog_recall_at_k(
     train split (standard convention — recommending the training history is
     not retrieval).
     """
-    items, X_cat, X_num = _item_feature_table(splits, n_items=0)
+    items, X_cat, X_num = _item_feature_table(splits)
     M = len(items)
     if M <= k:
         return float("nan")  # catalog smaller than k → metric vacuous
@@ -99,13 +99,23 @@ def catalog_recall_at_k(
         )[: len(chunk)]
         for ui, u in enumerate(chunk.tolist()):
             s = scores[ui].astype(np.float64)
+            pos_items = val_pos[u]
             if exclude_train:
-                for it in train_seen.get(u, ()):
+                seen = train_seen.get(u, ())
+                for it in seen:
                     pos = item_pos.get(it)
                     if pos is not None:
                         s[pos] = -np.inf
+                # A val positive the user also rated in train is masked out
+                # of the ranking above — it must leave the denominator too,
+                # or a perfect model scores < 1.0 (standard convention:
+                # train-seen items are removed from candidates AND targets).
+                pos_items = pos_items - set(seen)
+                if not pos_items:
+                    continue
             top = np.argpartition(-s, k)[:k]
             top_items = set(items[top].tolist())
-            pos_items = val_pos[u]
             recalls.append(len(pos_items & top_items) / len(pos_items))
+    if not recalls:
+        return float("nan")
     return float(np.mean(recalls))

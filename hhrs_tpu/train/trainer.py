@@ -361,6 +361,17 @@ def train_dcn(
             donate_argnums=(0, 1, 2),
         )
 
+    # XLA:CPU runs each device's shard of a sharded program on one shared
+    # client thread pool sized about the device count; with async dispatch
+    # the Python loop pipelines step programs, and a later step's shard
+    # tasks can occupy pool threads (blocked on the previous step's donated
+    # outputs) before the current step's last shard gets a thread — starving
+    # its collective rendezvous and hard-aborting the process after 40s
+    # (rendezvous.cc "Termination timeout ... Exiting"; reproduced on the
+    # 8-device virtual mesh with 4 host cores, shape-dependent). Keeping
+    # exactly ONE sharded program in flight on a CPU mesh (the test/dryrun
+    # vehicle) sidesteps it; real TPU meshes keep the async pipeline.
+    sync_each_step = streaming and next(iter(mesh.devices.flat)).platform == "cpu"
     eval_loss_fn = make_eval_loss_fn(model_cfg, train_cfg.eval_batch_size)
     # On-device snapshot of the best checkpoint: device_get here would cost
     # seconds per epoch on a tunneled chip (see RESULTS.md).
@@ -459,31 +470,31 @@ def train_dcn(
             # here, exactly like the resident path's dynamic_slice never
             # reaching it)
             perm_host = perm_host[:perm_len]
-            epoch_dev = {
-                "user": jax.device_put(
-                    np.asarray(splits.train_user, np.int32)[perm_host].reshape(S, B),
-                    epoch_sharding(2)),
-                "item": jax.device_put(
-                    np.asarray(splits.train_item, np.int32)[perm_host].reshape(S, B),
-                    epoch_sharding(2)),
-                "cat": jax.device_put(
-                    np.asarray(splits.train_cat, np.int32)[perm_host].reshape(
-                        S, B, splits.train_cat.shape[1]),
-                    epoch_sharding(3)),
-                "num": jax.device_put(
-                    np.asarray(splits.train_num, np.float32)[perm_host].reshape(
-                        S, B, splits.train_num.shape[1]),
-                    epoch_sharding(3)),
-                "y": jax.device_put(
-                    np.asarray(splits.train_y, np.float32)[perm_host].reshape(S, B),
-                    epoch_sharding(2)),
+            # One BATCHED device_put of the whole epoch pytree (a single
+            # dispatch; the per-array transfers are issued together and
+            # overlap) — on the tunneled backend per-call fixed latency
+            # dominates bytes, so five independent puts would pay it 5x.
+            epoch_host = {
+                "user": np.asarray(splits.train_user, np.int32)[perm_host].reshape(S, B),
+                "item": np.asarray(splits.train_item, np.int32)[perm_host].reshape(S, B),
+                "cat": np.asarray(splits.train_cat, np.int32)[perm_host].reshape(
+                    S, B, splits.train_cat.shape[1]),
+                "num": np.asarray(splits.train_num, np.float32)[perm_host].reshape(
+                    S, B, splits.train_num.shape[1]),
+                "y": np.asarray(splits.train_y, np.float32)[perm_host].reshape(S, B),
             }
+            epoch_dev = jax.device_put(
+                epoch_host,
+                {k: epoch_sharding(v.ndim) for k, v in epoch_host.items()},
+            )
             epoch_losses = []
             s = jnp.asarray(0, jnp.int32)
             for _ in range(steps_per_epoch):
                 params, bn_state, opt_state, loss, s = step_fn(
                     params, bn_state, opt_state, epoch_dev, s, epoch_rng
                 )
+                if sync_each_step:
+                    loss.block_until_ready()
                 epoch_losses.append(loss)
             mean_loss = jnp.mean(jnp.stack(epoch_losses))
         elif fused:

@@ -24,10 +24,19 @@ def setup_logging(level=logging.INFO) -> None:
 def enable_compilation_cache(path: str = "/tmp/hhrs_jax_cache") -> None:
     """Persistent XLA compilation cache — compiles on this image's tunneled
     chip cost 40s-300s, and an HPO sweep re-compiles per configuration;
-    the cache makes repeat configs (and repeat sweeps) near-free."""
+    the cache makes repeat configs (and repeat sweeps) near-free.
+
+    CPU backends are excluded: XLA:CPU persists AOT machine code keyed by
+    the *compile-time* machine-feature set, and reloading an entry whose
+    features disagree with the host (observed: ``+prefer-no-scatter`` /
+    ``+prefer-no-gather`` pseudo-features) logs SIGILL warnings and has
+    hung mesh runs at the first cached step. CPU compiles are fast; the
+    cache only pays for itself on the tunneled TPU."""
     import jax
 
     try:
+        if jax.default_backend() == "cpu":
+            return
         jax.config.update("jax_compilation_cache_dir", path)
     except Exception:  # noqa: BLE001 — older jax without the option
         pass

@@ -31,7 +31,7 @@ def _mini_splits(n_users=30, n_items=40, rows=600, seed=0):
 
 def test_item_feature_table_first_occurrence():
     splits = _mini_splits()
-    items, cat, num = _item_feature_table(splits, 0)
+    items, cat, num = _item_feature_table(splits)
     assert len(items) == len(set(items.tolist()))
     # first occurrence of item items[0] in train+val rows carries its features
     all_item = np.concatenate([splits.train_item, splits.val_item])
@@ -51,7 +51,7 @@ def test_catalog_recall_oracle_small():
 
     got = catalog_recall_at_k(params, bn, cfg, splits, k=k, exclude_train=True)
 
-    items, X_cat, X_num = _item_feature_table(splits, 0)
+    items, X_cat, X_num = _item_feature_table(splits)
     import jax.numpy as jnp
 
     val_pos = {}
@@ -75,7 +75,12 @@ def test_catalog_recall_oracle_small():
             if len(hit):
                 s[hit[0]] = -np.inf
         top = set(items[np.argsort(-s)[:k]].tolist())
-        recalls.append(len(top & val_pos[u]) / len(val_pos[u]))
+        # train-seen items leave both the candidate ranking AND the target
+        # set (they are unreachable once masked to -inf)
+        pos = val_pos[u] - train_seen.get(u, set())
+        if not pos:
+            continue
+        recalls.append(len(top & pos) / len(pos))
     assert got == pytest.approx(float(np.mean(recalls)), abs=1e-9)
 
 
