@@ -27,6 +27,8 @@ def main(argv=None) -> int:
     p.add_argument("--users", type=int, default=2000)
     p.add_argument("--items", type=int, default=600)
     p.add_argument("--reviews", type=int, default=40000)
+    p.add_argument("--bf16", action="store_true",
+                   help="bf16 catalog scoring (the serve CLI's --bf16)")
     args = p.parse_args(argv)
 
     import tempfile
@@ -56,7 +58,7 @@ def main(argv=None) -> int:
                          result.final_metrics)
         bundle = load_artifact_bundle(tmp)
 
-    engine = RecommendationEngine(bundle, main_df, ds.friendships)
+    engine = RecommendationEngine(bundle, main_df, ds.friendships, bf16=args.bf16)
     engine.warmup()
 
     uni = engine.gen.universe
