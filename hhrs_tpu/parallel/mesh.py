@@ -70,6 +70,42 @@ def make_mesh(
     return Mesh(grid, axis_names)
 
 
+def pad_to_shards(n: int, mesh: Mesh | None) -> int:
+    """Smallest multiple of the mesh's device count that is ≥ ``n``.
+
+    Explicit ``device_put`` shardings require even shards, so every
+    row-sharded serve-side axis is padded up to this length (``n`` itself
+    when there is no mesh). The CALLER decides what the pad rows contain —
+    inert review rows, dump kNN slots, NEG_INF-scored items — because that
+    is where exactness lives; this helper only owns the arithmetic.
+    """
+    m = int(mesh.devices.size) if mesh is not None else 1
+    return -(-n // m) * m
+
+
+def row_shardings(mesh: Mesh):
+    """The serve-side NamedSharding quartet for row-sharding over ALL mesh
+    axes: ``(rows, rows2d, cols2d, replicated)`` —
+
+      * ``rows``   — ``P(axes)``: 1-D array sharded on its only axis;
+      * ``rows2d`` — ``P(axes, None)``: 2-D sharded on rows;
+      * ``cols2d`` — ``P(None, axes)``: 2-D sharded on columns;
+      * ``replicated`` — ``P()``: every device holds a full copy.
+
+    Shared by the candidate generator and the ranking engine so their
+    program-space item axes stay consistent by construction.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    axes = tuple(mesh.axis_names)
+    return (
+        NamedSharding(mesh, P(axes)),
+        NamedSharding(mesh, P(axes, None)),
+        NamedSharding(mesh, P(None, axes)),
+        NamedSharding(mesh, P()),
+    )
+
+
 def mesh_from_spec(spec: str, **kwargs) -> Mesh:
     """Parse a CLI ``--mesh`` spec — ``DATA`` or ``DATAxMODEL`` (e.g. ``8``,
     ``4x2``) — into a mesh. Shared by the train/serve/hpo CLIs.

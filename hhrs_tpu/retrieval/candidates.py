@@ -140,10 +140,11 @@ class CandidateGenerator:
 
         # --- pad to the mesh size (uneven explicit shardings are not
         #     supported by device_put) and build the device state dict ---
-        n_shards = int(mesh.devices.size) if mesh is not None else 1
-        Mp = -(-M // n_shards) * n_shards
+        from hhrs_tpu.parallel.mesh import pad_to_shards
+
+        Mp = pad_to_shards(M, mesh)
         R = len(r_user)
-        Rp = -(-R // n_shards) * n_shards
+        Rp = pad_to_shards(R, mesh)
         self._M_real = M
         self._M = Mp  # program-space item axis (padded rows never candidates)
         self._U = U
@@ -168,12 +169,9 @@ class CandidateGenerator:
         if mesh is None:
             self.dev = {k: jnp.asarray(v) for k, v in host.items()}
         else:
-            from jax.sharding import NamedSharding, PartitionSpec as P
+            from hhrs_tpu.parallel.mesh import row_shardings
 
-            axes = tuple(mesh.axis_names)
-            row1 = NamedSharding(mesh, P(axes))
-            row2 = NamedSharding(mesh, P(axes, None))
-            by_col = NamedSharding(mesh, P(None, axes))
+            row1, row2, by_col, _ = row_shardings(mesh)
             sh = {
                 "r_user": row1, "r_item": row1, "r_pos": row1, "r_neg": row1,
                 "s2t_valid": row1, "nbr": row2, "city_item": by_col, "city_pop": by_col,

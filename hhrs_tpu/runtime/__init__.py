@@ -38,10 +38,14 @@ def _build() -> bool:
 
 
 def _stale() -> bool:
+    src = os.path.join(_DIR, "csv_reader.cpp")
+    if not os.path.exists(src):
+        # Source-free install (wheel / artifact-only deploy): a present .so
+        # cannot be mtime-checked, so trust it — _wire_symbols() below still
+        # rejects genuinely stale builds via the missing-symbol guard.
+        return False
     try:
-        return os.path.getmtime(_LIB_PATH) < os.path.getmtime(
-            os.path.join(_DIR, "csv_reader.cpp")
-        )
+        return os.path.getmtime(_LIB_PATH) < os.path.getmtime(src)
     except OSError:
         return True
 

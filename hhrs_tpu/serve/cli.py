@@ -73,8 +73,11 @@ def main(argv=None) -> int:
                 p.error(str(e))
 
         artifacts_dir = resolve_artifacts_dir(artifacts)
+        # cfg.use_pallas is forwarded so an existing `serve.use_pallas=true`
+        # override reaches the engine's retirement warning (a no-op otherwise).
         engine = RecommendationEngine.from_dirs(artifacts_dir, data_dir, mesh=mesh,
-                                                bf16=args.bf16)
+                                                bf16=args.bf16,
+                                                use_pallas=cfg.use_pallas)
         want_batching = window_ms > 0
         if not args.no_warmup:
             log.info("warming up compiled request program...")

@@ -135,12 +135,9 @@ class RecommendationEngine:
                 for k, v in rank_host.items()
             }
         else:
-            from jax.sharding import NamedSharding, PartitionSpec as P
+            from hhrs_tpu.parallel.mesh import row_shardings
 
-            axes = tuple(mesh.axis_names)
-            row1 = NamedSharding(mesh, P(axes))
-            row2 = NamedSharding(mesh, P(axes, None))
-            rep = NamedSharding(mesh, P())
+            row1, row2, _, rep = row_shardings(mesh)
             self._dev = {
                 "item_internal": jax.device_put(jnp.asarray(item_internal, jnp.int32), row1),
                 "X_cat": jax.device_put(jnp.asarray(X_cat, jnp.int32), row2),
@@ -161,17 +158,15 @@ class RecommendationEngine:
             # /similar_items under the mesh: the train-item table row-shards
             # over all mesh axes and queries run through the exact per-shard
             # top-k + merge (retrieval/sharded.py).
-            from jax.sharding import NamedSharding, PartitionSpec as P
+            from hhrs_tpu.parallel.mesh import pad_to_shards, row_shardings
 
-            axes = tuple(mesh.axis_names)
-            n_shards = int(mesh.devices.size)
+            _, row2d, _, _ = row_shardings(mesh)
             Nt = int(self._table_norm_train.shape[0])
-            Ntp = -(-Nt // n_shards) * n_shards
+            Ntp = pad_to_shards(Nt, mesh)
             tab = jax.device_put(
-                jnp.pad(self._table_norm_train, ((0, Ntp - Nt), (0, 0))),
-                NamedSharding(mesh, P(axes, None)),
+                jnp.pad(self._table_norm_train, ((0, Ntp - Nt), (0, 0))), row2d,
             )
-            self._similar_sharded = (tab, Nt, axes)
+            self._similar_sharded = (tab, Nt, tuple(mesh.axis_names))
 
         # recommended_by source: positive review rows in frame order,
         # pre-bucketed per item (deduped users, frame order preserved;

@@ -79,11 +79,16 @@ def catalog_recall_at_k(
     d_cat = jnp.asarray(X_cat)
     d_num = jnp.asarray(X_num)
 
+    # params / bn_state / the item tables are jit ARGUMENTS, not closures:
+    # a closed-over table lowers as an HLO constant, which the tunneled
+    # TPU's remote-compile endpoint rejects at production scale (HTTP 413 —
+    # see benchmarks/kernels_scaled.py), and closed-over sharded params
+    # would be gathered and embedded replicated on a mesh run.
     @jax.jit
-    def score_users(user_ids):  # [C] -> [C, M] logits
-        def one(u):
+    def score_users(p, bn, it_tab, cat_tab, num_tab, user_ids):
+        def one(u):  # [C] -> [C, M] logits
             logits, _ = apply_dcn(
-                params, bn_state, jnp.full((M,), u, jnp.int32), d_item, d_cat, d_num,
+                p, bn, jnp.full((M,), u, jnp.int32), it_tab, cat_tab, num_tab,
                 cfg=cfg, train=False,
             )
             return logits
@@ -95,7 +100,8 @@ def catalog_recall_at_k(
         chunk = users[c0:c0 + user_chunk]
         pad = user_chunk - len(chunk)
         scores = np.asarray(
-            score_users(jnp.asarray(np.r_[chunk, np.zeros(pad, np.int32)]))
+            score_users(params, bn_state, d_item, d_cat, d_num,
+                        jnp.asarray(np.r_[chunk, np.zeros(pad, np.int32)]))
         )[: len(chunk)]
         for ui, u in enumerate(chunk.tolist()):
             s = scores[ui].astype(np.float64)
