@@ -9,7 +9,8 @@ arithmetic intensity vs. each generation's ridge point.
 
 The reference has no analogue (no benchmarks/ at all — SURVEY.md §6);
 this is our own honesty tool: it quantifies that the flagship step is a
-LATENCY/BANDWIDTH workload (the model is ~100 KFLOP/example), so the
+LATENCY/BANDWIDTH workload (~359 KFLOP/example per the TPU compiler's
+cost model, AI ≈ 5.6 FLOP/B — far under every ridge point), so the
 right optimizations are the ones the trainer already does (donated
 buffers, zero per-step transfers, async dispatch) rather than MXU work.
 
