@@ -29,10 +29,11 @@ HIDDEN = 128
 N_CROSS = 2
 N_RES = 1
 # Dispatch-amortizing batch: throughput rises ~3.5x from 4096 to 16384 and
-# ~5x at 65536, but XLA compile time at 65536 (~5 min for the scatter-add
-# table grads) is disproportionate for a bench — 16384 keeps compile tens of
-# seconds. Both stacks are measured at the same batch.
-BATCH = 16384
+# another ~20-25% to 32768, which also edges out 65536 in a back-to-back
+# both-orders A/B (12.5-13.1M vs 12.4-12.6M ex/s, RESULTS.md) at half its
+# memory and XLA compile time (~5 min at 65536 for the scatter-add table
+# grads). Both stacks are measured at the same batch.
+BATCH = 32768
 WARMUP_STEPS = 20
 MEASURE_STEPS = 200
 TORCH_STEPS = 4
