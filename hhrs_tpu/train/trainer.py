@@ -444,18 +444,19 @@ def train_dcn(
             shuffle_rng.bit_generator.state = meta["shuffle_rng_state"]
             log.info("resumed from checkpoint epoch %d", latest)
 
-    t_start = time.perf_counter()
-    examples_seen = 0
-    # Steady-state throughput: the measurement window opens at the top of
-    # the SECOND epoch, so every one-time XLA compile (train step, eval
-    # loss, snapshot copy — ~40s total on the tunneled chip) stays outside.
+    # Steady-state throughput: every epoch after the FIRST is timed
+    # individually (top of epoch → the post-eval D2H sync) and the reported
+    # rate is the MEDIAN per-epoch rate. The first epoch absorbs the big
+    # XLA compiles (~40s on the tunneled chip); the median is robust to
+    # transient tunnel stalls AND to one-time stragglers a windowed total
+    # is not — measured: a cold compilation cache lands a ~6s secondary
+    # compile inside epoch 1, which read 144k ex/s on a 5-epoch windowed
+    # total vs the real ~1.8M/epoch steady state.
     epochs_run = 0
-    window_open = False
+    epoch_times: list = []
 
     for epoch in range(start_epoch, train_cfg.n_epochs):
-        if epochs_run >= 1 and not window_open:
-            window_open = True
-            t_start = time.perf_counter()
+        t_epoch = time.perf_counter()
         # ONE host→device upload per epoch: the shuffled index vector
         # (resident mode) or the permuted epoch tensor itself, shard-aligned
         # over the mesh (streaming mode); steps then run with zero H2D
@@ -522,8 +523,8 @@ def train_dcn(
         )
 
         epochs_run += 1
-        if window_open:
-            examples_seen += steps_per_epoch * B
+        if epochs_run > 1:
+            epoch_times.append(time.perf_counter() - t_epoch)
         lr = plateau.step(val_loss)
         if lr != get_learning_rate(opt_state):
             opt_state = set_learning_rate(opt_state, lr)
@@ -584,9 +585,13 @@ def train_dcn(
     if ckpt is not None:
         ckpt.close()
 
-    elapsed = time.perf_counter() - t_start
-    # 0.0 for single-epoch runs: there is no post-compile window to measure.
-    result.examples_per_s = examples_seen / max(elapsed, 1e-9) if examples_seen else 0.0
+    # 0.0 for single-epoch runs: there is no post-compile epoch to measure.
+    if epoch_times:
+        epoch_times.sort()
+        med = epoch_times[len(epoch_times) // 2]
+        result.examples_per_s = steps_per_epoch * B / max(med, 1e-9)
+    else:
+        result.examples_per_s = 0.0
 
     if best_snapshot is not None:
         # Already device arrays (on-device snapshot) or host arrays (resume);
