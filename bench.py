@@ -29,10 +29,10 @@ HIDDEN = 128
 N_CROSS = 2
 N_RES = 1
 # Dispatch-amortizing batch: throughput rises ~3.5x from 4096 to 16384 and
-# another ~20-25% to 32768, which also edges out 65536 in a back-to-back
-# both-orders A/B (12.5-13.1M vs 12.4-12.6M ex/s, RESULTS.md) at half its
-# memory and XLA compile time (~5 min at 65536 for the scatter-add table
-# grads). Both stacks are measured at the same batch.
+# another ~20-25% to 32768; 32768 and 65536 are statistically tied in a
+# back-to-back both-orders A/B (each won one order by <1%, RESULTS.md), so
+# 32768 wins on half the memory and XLA compile time (~5 min at 65536 for
+# the scatter-add table grads). Both stacks are measured at the same batch.
 BATCH = 32768
 WARMUP_STEPS = 20
 MEASURE_STEPS = 200
@@ -51,17 +51,18 @@ def _np_batch(rng, n):
     }
 
 
-def bench_jax() -> float:
-    from functools import partial
+def flagship_setup():
+    """(dims, cfg, tx) of the flagship bench config.
 
+    Shared with the A/B harnesses in benchmarks/ (batch_ab, rng_ab,
+    unroll_ab) so they measure the bench's ACTUAL program by construction
+    instead of drifting copies.
+    """
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/hhrs_jax_cache")
-    import jax.numpy as jnp
-
     from hhrs_tpu.config import ModelConfig
-    from hhrs_tpu.models.dcn import ModelDims, apply_dcn, init_dcn
-    from hhrs_tpu.train.metrics import bce_with_logits
+    from hhrs_tpu.models.dcn import ModelDims
     from hhrs_tpu.train.optimizers import make_optimizer
 
     dims = ModelDims(N_USERS, N_ITEMS, CAT_DIMS, N_NUM)
@@ -69,8 +70,71 @@ def bench_jax() -> float:
         emb_dim=EMB_DIM, hidden_dim=HIDDEN, n_cross_layers=N_CROSS,
         n_res_blocks=N_RES, dropout=0.6, compute_dtype="bfloat16",
     )
-    params, bn = init_dcn(jax.random.PRNGKey(0), dims, cfg)
     tx = make_optimizer("adamw", 1e-3, 1e-4)
+    return dims, cfg, tx
+
+
+def flagship_update(params, bn, opt, batch, rng, *, cfg, tx):
+    """One un-jitted flagship train update (fwd/bwd + optimizer apply)."""
+    import jax
+
+    from hhrs_tpu.models.dcn import apply_dcn
+    from hhrs_tpu.train.metrics import bce_with_logits
+
+    def loss_fn(p):
+        logits, nbn = apply_dcn(
+            p, bn, batch["user"], batch["item"], batch["cat"], batch["num"],
+            cfg=cfg, train=True, rng=rng,
+        )
+        return bce_with_logits(logits, batch["y"]), nbn
+
+    (loss, nbn), g = jax.value_and_grad(loss_fn, has_aux=True)(params)
+    up, no = tx.update(g, opt, params)
+    return jax.tree.map(lambda a, u: a + u, params, up), nbn, no, loss
+
+
+def make_flagship_step(cfg, tx, *, fold_rng: bool = False):
+    """The jitted flagship step, donated params/opt buffers.
+
+    The batch is a runtime ARGUMENT in both variants — load-bearing: a
+    closed-over batch lowers as an HLO constant, letting XLA constant-fold
+    data-dependent work out of the measured program (and the tunnel's
+    remote compiler rejects large embedded constants outright, RESULTS.md).
+
+    fold_rng=False → ``step(params, bn, opt, batch, rng)`` (per-step
+    Python-side split — the bench default); fold_rng=True →
+    ``step(params, bn, opt, batch, s, rng0)`` with an in-step
+    ``fold_in(rng0, s)`` and a donated device-carried counter, returning
+    ``(..., loss, s+1)`` (the production trainer's pattern).
+    """
+    from functools import partial
+
+    import jax
+
+    if fold_rng:
+        @partial(jax.jit, donate_argnums=(0, 2, 4))
+        def step(params, bn, opt, batch, s, rng0):
+            p, nbn, no, loss = flagship_update(
+                params, bn, opt, batch, jax.random.fold_in(rng0, s),
+                cfg=cfg, tx=tx,
+            )
+            return p, nbn, no, loss, s + 1
+    else:
+        @partial(jax.jit, donate_argnums=(0, 2))
+        def step(params, bn, opt, batch, rng):
+            return flagship_update(params, bn, opt, batch, rng, cfg=cfg, tx=tx)
+
+    return step
+
+
+def bench_jax() -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from hhrs_tpu.models.dcn import init_dcn
+
+    dims, cfg, tx = flagship_setup()
+    params, bn = init_dcn(jax.random.PRNGKey(0), dims, cfg)
     opt = tx.init(params)
 
     nb = _np_batch(np.random.default_rng(0), BATCH)
@@ -79,25 +143,16 @@ def bench_jax() -> float:
     # Per-step dispatch — the production default (train.fused_epoch=False):
     # on this image's tunneled TPU backend device-side loop iterations carry
     # a ~4ms fixed cost, so per-step async dispatch is the fast path. The
-    # batch is a runtime ARGUMENT (not a closed-over constant) so XLA cannot
-    # constant-fold any data-dependent work out of the measured program.
-    @partial(jax.jit, donate_argnums=(0, 2))
-    def step(params, bn, opt, batch, rng):
-        def loss_fn(p):
-            logits, nbn = apply_dcn(
-                p, bn, batch["user"], batch["item"], batch["cat"], batch["num"],
-                cfg=cfg, train=True, rng=rng,
-            )
-            return bce_with_logits(logits, batch["y"]), nbn
+    # in-step fold_in rng (device-carried counter, the production trainer's
+    # pattern) beat the per-step Python split in BOTH orders of the
+    # corrected intra-process A/B (+1.1–1.5%, benchmarks/rng_ab.py) — the
+    # Python-side split serializes a tiny host program into every dispatch.
+    step = make_flagship_step(cfg, tx, fold_rng=True)
 
-        (loss, nbn), g = jax.value_and_grad(loss_fn, has_aux=True)(params)
-        up, no = tx.update(g, opt, params)
-        return jax.tree.map(lambda a, u: a + u, params, up), nbn, no, loss
-
-    rng = jax.random.PRNGKey(1)
+    rng0 = jax.random.PRNGKey(1)
+    s = jnp.zeros((), jnp.int32)
     for _ in range(WARMUP_STEPS):
-        rng, k = jax.random.split(rng)
-        params, bn, opt, loss = step(params, bn, opt, batch, k)
+        params, bn, opt, loss, s = step(params, bn, opt, batch, s, rng0)
     float(loss)
 
     # Median of 3 windows against tunnel load fluctuation. Each window ends
@@ -110,8 +165,7 @@ def bench_jax() -> float:
     for _ in range(3):
         t0 = time.perf_counter()
         for _ in range(MEASURE_STEPS):
-            rng, k = jax.random.split(rng)
-            params, bn, opt, loss = step(params, bn, opt, batch, k)
+            params, bn, opt, loss, s = step(params, bn, opt, batch, s, rng0)
         float(loss)
         rates.append(MEASURE_STEPS * BATCH / (time.perf_counter() - t0))
     return sorted(rates)[1]

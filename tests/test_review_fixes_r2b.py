@@ -39,6 +39,32 @@ def test_prebuilt_native_lib_loads_without_source(monkeypatch):
     assert rt.get_lib() is not None
 
 
+def test_stale_lib_with_failed_rebuild_still_loads(monkeypatch):
+    """Toolchain-less target where the .so looks stale (pip extraction does
+    not preserve mtimes): when the rebuild fails, a PRESENT .so must still
+    be tried — the symbol guard rejects genuinely incompatible builds."""
+    import hhrs_tpu.runtime as rt
+
+    class _FakeSym:
+        restype = None
+        argtypes = None
+
+    class _FakeLib:
+        def __init__(self):
+            self._syms = {}
+
+        def __getattr__(self, name):
+            return self._syms.setdefault(name, _FakeSym())
+
+    monkeypatch.setattr(rt, "_lib", None)
+    monkeypatch.setattr(rt, "_tried", False)
+    monkeypatch.setattr(rt.os.path, "exists", lambda p: True)
+    monkeypatch.setattr(rt, "_stale", lambda: True)
+    monkeypatch.setattr(rt, "_build", lambda: False)  # no toolchain
+    monkeypatch.setattr(rt.ctypes, "CDLL", lambda p: _FakeLib())
+    assert rt.get_lib() is not None
+
+
 def test_serve_cli_forwards_use_pallas_to_engine(tmp_path):
     """`serve.use_pallas=true` must reach RecommendationEngine so its
     retirement warning fires (config.py documents the override as a warned
