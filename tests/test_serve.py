@@ -280,3 +280,26 @@ def test_http_batch_endpoint_malformed_bodies(http_server):
     for body in ([], None, "hi", {"requests": 5}, {"requests": "x"}):
         status, _ = _post(http_server + "/recommendations/batch", body)
         assert status == 422, body
+
+
+def test_single_candidate_request(engine_setup):
+    """Exactly ONE candidate must serve cleanly for every lambda. The
+    reference crashes here: a 1-element logit tensor `.squeeze()`s to 0-d
+    and `zip(scores, ...)` raises (reference main.py:127,325 — SURVEY.md
+    §3.3 flags it as a latent bug not to replicate). Our masked
+    full-universe program has no such rank hazard; this pins that."""
+    engine, main_df, friendships, bundle = engine_setup
+    solo = main_df.iloc[[0]].copy()
+    solo_item = int(main_df["item_id"].max()) + 1
+    solo["item_id"] = solo_item
+    solo["city"] = "Solo"
+    solo["rating_overall"] = 9.0  # a positive review, so 'personal' finds it
+    user = int(solo["user_id"].iloc[0])
+    df2 = pd.concat([main_df, solo], ignore_index=True)
+    eng = RecommendationEngine(bundle, df2, friendships)
+    for lam in (1.0, 0.5):  # full-list path and the MMR path
+        res = eng.recommend(user, "Solo", "personal", lam)
+        hotels = res["ranked_hotels"]
+        assert len(hotels) == 1, (lam, res)
+        assert hotels[0]["hotel_id"] == solo_item
+        assert hotels[0]["city"] == "Solo"
