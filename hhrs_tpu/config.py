@@ -143,6 +143,10 @@ class ServeConfig:
     # Dynamic batching (serve/batcher.py): 0 disables.
     batch_window_ms: float = 0.0
     max_batch: int = 8
+    # Hold the model's embedding tables as per-row int8 on device
+    # (ops/quant.py): 4x less table HBM / gather traffic per request.
+    # Near-tied rankings can differ from f32 — off by default.
+    quantize_tables: bool = False
     # Retired after the round-2 kernel honesty pass (fused Pallas serve tower
     # measured 0.74-0.75x vs XLA). Kept so existing `serve.use_pallas=...`
     # overrides parse; the engine warns and serves on the jnp path.

@@ -27,6 +27,7 @@ import jax.numpy as jnp
 from hhrs_tpu.config import ModelConfig
 from hhrs_tpu.ops.cross import cross_stack_apply, cross_stack_init
 from hhrs_tpu.ops.nn import dropout, embedding_init, linear_apply, linear_init
+from hhrs_tpu.ops.quant import table_lookup
 from hhrs_tpu.ops.resblock import resblock_apply, resblock_init
 
 
@@ -148,9 +149,14 @@ def apply_dcn(
     """Forward pass → ([B] logits, new batch-norm state)."""
     compute_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
 
-    user_emb = params["user_embedding"][user_ids]
-    item_emb = params["item_embedding"][item_ids]
-    cat_embs = [tab[cat_features[:, i]] for i, tab in enumerate(params["cat_embeddings"])]
+    # table_lookup dispatches on the table type, so the same program serves
+    # f32 tables and the int8-quantized serve params (ops/quant.py).
+    user_emb = table_lookup(params["user_embedding"], user_ids)
+    item_emb = table_lookup(params["item_embedding"], item_ids)
+    cat_embs = [
+        table_lookup(tab, cat_features[:, i])
+        for i, tab in enumerate(params["cat_embeddings"])
+    ]
     x0 = jnp.concatenate([user_emb, item_emb, *cat_embs, num_features], axis=1)
 
     towers = []

@@ -33,6 +33,16 @@ class QuantizedTable:
         return self.values.size + self.scales.size * 4
 
 
+# Registered as a pytree so a QuantizedTable can sit inside the params tree
+# everywhere an array table can: jit arguments, device_put (incl. mesh
+# shardings), tree.map. Both fields are data leaves; there is no static part.
+jax.tree_util.register_pytree_node(
+    QuantizedTable,
+    lambda qt: ((qt.values, qt.scales), None),
+    lambda _, children: QuantizedTable(values=children[0], scales=children[1]),
+)
+
+
 def quantize_table(table: jnp.ndarray) -> QuantizedTable:
     """[N, D] float → per-row int8 + scales. Zero rows get scale 1."""
     absmax = jnp.max(jnp.abs(table), axis=1)
@@ -49,6 +59,29 @@ def quantized_lookup(qt: QuantizedTable, ids: jnp.ndarray) -> jnp.ndarray:
     """Gather + dequantize rows; the scale multiply fuses into the consumer."""
     rows = qt.values[ids].astype(jnp.float32)
     return rows * qt.scales[ids][:, None]
+
+
+def table_lookup(table, ids: jnp.ndarray) -> jnp.ndarray:
+    """Row gather that accepts either a plain [N, D] array or a
+    QuantizedTable — the single lookup entry point the model uses, so a
+    params tree with quantized embedding tables runs through the same
+    jitted programs (the isinstance dispatch is trace-time static)."""
+    if isinstance(table, QuantizedTable):
+        return quantized_lookup(table, ids)
+    return table[ids]
+
+
+def quantize_embedding_params(params: dict) -> dict:
+    """Return a copy of a DCN params tree with the embedding tables
+    (user, item, per-categorical) quantized to per-row int8 — the serve
+    memory/bandwidth opt-in (`--quantize-tables`). Dense tower weights
+    stay f32: they are tiny and their matmuls accumulate over the whole
+    feature axis where int8 error compounds."""
+    out = dict(params)
+    out["user_embedding"] = quantize_table(params["user_embedding"])
+    out["item_embedding"] = quantize_table(params["item_embedding"])
+    out["cat_embeddings"] = [quantize_table(t) for t in params["cat_embeddings"]]
+    return out
 
 
 def quantization_error(table: jnp.ndarray) -> float:

@@ -36,6 +36,10 @@ def main(argv=None) -> int:
     p.add_argument("--bf16", action="store_true",
                    help="score the catalog in bfloat16 on the MXU (f32 "
                         "accumulation; near-tied rankings may differ from f32)")
+    p.add_argument("--quantize-tables", action="store_true",
+                   help="hold the model's embedding tables as per-row int8 on "
+                        "device: 4x less table HBM and gather traffic "
+                        "(near-tied rankings may differ from f32)")
     p.add_argument("--batch-window-ms", type=float, default=None,
                    help=">0: coalesce concurrent requests into batched device "
                         "programs within this window (dynamic batching)")
@@ -75,9 +79,10 @@ def main(argv=None) -> int:
         artifacts_dir = resolve_artifacts_dir(artifacts)
         # cfg.use_pallas is forwarded so an existing `serve.use_pallas=true`
         # override reaches the engine's retirement warning (a no-op otherwise).
-        engine = RecommendationEngine.from_dirs(artifacts_dir, data_dir, mesh=mesh,
-                                                bf16=args.bf16,
-                                                use_pallas=cfg.use_pallas)
+        engine = RecommendationEngine.from_dirs(
+            artifacts_dir, data_dir, mesh=mesh, bf16=args.bf16,
+            quantize_tables=args.quantize_tables or cfg.quantize_tables,
+            use_pallas=cfg.use_pallas)
         want_batching = window_ms > 0
         if not args.no_warmup:
             log.info("warming up compiled request program...")

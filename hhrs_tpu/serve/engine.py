@@ -53,6 +53,7 @@ class RecommendationEngine:
         use_pallas: bool = False,
         mesh=None,
         bf16: bool = False,
+        quantize_tables: bool = False,
     ):
         self.bundle = bundle
         self.retrieval_cfg = retrieval_cfg or RetrievalConfig()
@@ -60,6 +61,24 @@ class RecommendationEngine:
         self.latency = LatencyHistogram()
         self.use_pallas = use_pallas
         self.mesh = mesh
+        if quantize_tables:
+            # Opt-in: hold the model's embedding tables (user/item/cats) as
+            # per-row int8 on device (ops/quant.py) — 4x less table HBM and
+            # 4x fewer gather bytes per request. The scoring program is
+            # unchanged (table_lookup dispatches on the table type; the
+            # dequant multiply fuses into the consumer). Rankings of
+            # near-tied items can differ from f32 (<2% row-norm error) —
+            # a scale knob, not the parity default. The retrieval-side
+            # item_embeddings (kNN/MMR) stay f32: candidate sets and
+            # /similar_items remain bit-identical to the f32 engine.
+            import dataclasses
+
+            from hhrs_tpu.ops.quant import quantize_embedding_params
+
+            bundle = dataclasses.replace(
+                bundle, params=quantize_embedding_params(bundle.params)
+            )
+            self.bundle = bundle
         if bf16:
             # Opt-in: score the catalog in bfloat16 on the MXU (params stay
             # f32; logits accumulate f32). Rankings of near-tied items can
@@ -385,7 +404,7 @@ class RecommendationEngine:
     @classmethod
     def from_dirs(cls, artifacts_dir: str, data_dir: str, retrieval_cfg=None,
                   use_pallas: bool = False, mesh=None, bf16: bool = False,
-                  ) -> "RecommendationEngine":
+                  quantize_tables: bool = False) -> "RecommendationEngine":
         """Startup loader (reference load_artifacts, main.py:233-277)."""
         import os
 
@@ -394,7 +413,7 @@ class RecommendationEngine:
         main_df = add_engineered_features(main_df)
         friendships = load_friendships_csv(os.path.join(data_dir, "friendships.csv"))
         return cls(bundle, main_df, friendships, retrieval_cfg, use_pallas=use_pallas,
-                   mesh=mesh, bf16=bf16)
+                   mesh=mesh, bf16=bf16, quantize_tables=quantize_tables)
 
     def warmup(self, batch_pad: int | None = None) -> None:
         """Compile the request program(s) before accepting traffic —
