@@ -74,8 +74,16 @@ def flagship_setup():
     return dims, cfg, tx
 
 
-def flagship_update(params, bn, opt, batch, rng, *, cfg, tx):
-    """One un-jitted flagship train update (fwd/bwd + optimizer apply)."""
+def flagship_update(params, bn, opt, batch, rng, *, cfg, tx, remat: bool = False):
+    """One un-jitted flagship train update (fwd/bwd + optimizer apply).
+
+    remat=True wraps the forward in ``jax.checkpoint`` (recompute-all
+    policy): the backward pass re-runs the forward instead of reading
+    saved activations from HBM — a FLOPs-for-bytes trade the roofline
+    says should be favorable here (the step uses ≤2% of any MXU but
+    ~72% of v5e HBM bandwidth, RESULTS.md). A/B'd by
+    benchmarks/remat_ab.py; numerics are bit-identical (same ops, same
+    rng replayed)."""
     import jax
 
     from hhrs_tpu.models.dcn import apply_dcn
@@ -88,12 +96,14 @@ def flagship_update(params, bn, opt, batch, rng, *, cfg, tx):
         )
         return bce_with_logits(logits, batch["y"]), nbn
 
+    if remat:
+        loss_fn = jax.checkpoint(loss_fn)
     (loss, nbn), g = jax.value_and_grad(loss_fn, has_aux=True)(params)
     up, no = tx.update(g, opt, params)
     return jax.tree.map(lambda a, u: a + u, params, up), nbn, no, loss
 
 
-def make_flagship_step(cfg, tx, *, fold_rng: bool = False):
+def make_flagship_step(cfg, tx, *, fold_rng: bool = False, remat: bool = False):
     """The jitted flagship step, donated params/opt buffers.
 
     The batch is a runtime ARGUMENT in both variants — load-bearing: a
@@ -116,13 +126,14 @@ def make_flagship_step(cfg, tx, *, fold_rng: bool = False):
         def step(params, bn, opt, batch, s, rng0):
             p, nbn, no, loss = flagship_update(
                 params, bn, opt, batch, jax.random.fold_in(rng0, s),
-                cfg=cfg, tx=tx,
+                cfg=cfg, tx=tx, remat=remat,
             )
             return p, nbn, no, loss, s + 1
     else:
         @partial(jax.jit, donate_argnums=(0, 2))
         def step(params, bn, opt, batch, rng):
-            return flagship_update(params, bn, opt, batch, rng, cfg=cfg, tx=tx)
+            return flagship_update(params, bn, opt, batch, rng,
+                                   cfg=cfg, tx=tx, remat=remat)
 
     return step
 
