@@ -42,14 +42,14 @@ def engines(tmp_path_factory, request):
     single = RecommendationEngine(bundle, main_df, ds.friendships)
     mesh = make_mesh(4, 2)
     meshed = RecommendationEngine(bundle, main_df, ds.friendships, mesh=mesh)
-    return single, meshed
+    return single, meshed, (bundle, main_df, ds.friendships, mesh)
 
 
 @pytest.mark.parametrize("mode,lam", [
     ("friends", 1.0), ("friends", 0.6), ("personal", 1.0), ("personal", 0.6),
 ])
 def test_mesh_engine_identical_responses(engines, mode, lam):
-    single, meshed = engines
+    single, meshed, _setup = engines
     uni = single.gen.universe
     users = [int(u) for u in uni.user_ids[:8]]
     cities = uni.cities[:2]
@@ -64,7 +64,7 @@ def test_mesh_engine_identical_responses(engines, mode, lam):
 
 
 def test_mesh_engine_edge_cases(engines):
-    single, meshed = engines
+    single, meshed, _setup = engines
     uni = single.gen.universe
     # unknown city → empty candidates → message response, both engines
     a = single.recommend(int(uni.user_ids[0]), "Nowhere-City", "friends", 0.7)
@@ -87,7 +87,7 @@ def test_mesh_engine_edge_cases(engines):
 
 
 def test_mesh_engine_batched_requests(engines):
-    single, meshed = engines
+    single, meshed, _setup = engines
     uni = single.gen.universe
     reqs = [
         (int(uni.user_ids[i]), uni.cities[i % len(uni.cities)],
@@ -102,7 +102,7 @@ def test_mesh_engine_batched_requests(engines):
 def test_mesh_similar_items_identical(engines):
     """/similar_items via the sharded per-shard-top-k + merge == the
     single-device brute-force path, including the padded-table mask."""
-    single, meshed = engines
+    single, meshed, _setup = engines
     art = single.bundle.preproc
     some_items = list(art.item_id_mapping.keys())[:10]
     for ext in some_items:
@@ -173,7 +173,7 @@ def test_serve_cli_mesh_boot(tmp_path):
 
 def test_mesh_candidate_mask_matches(engines):
     """Stage-1 alone: the generator's mask agrees with the unsharded one."""
-    single, meshed = engines
+    single, meshed, _setup = engines
     uni = single.gen.universe
     for u in uni.user_ids[:5]:
         for mode in ("friends", "personal"):
@@ -181,3 +181,25 @@ def test_mesh_candidate_mask_matches(engines):
             cb, nb = meshed.gen.generate(int(u), uni.cities[0], mode, meshed.graph)
             np.testing.assert_array_equal(ca, cb)
             assert na == nb
+
+
+def test_mesh_quantized_tables_identical_to_single_quantized(engines):
+    """--quantize-tables composes with --mesh: the QuantizedTable pytree
+    device_puts under the replicated NamedSharding, and (as with f32)
+    row-sharding the item axis changes no per-row reduction, so the
+    quantized mesh engine is bit-identical to the quantized single-device
+    engine."""
+    _single, _meshed, (bundle, main_df, friendships, mesh) = engines
+    q_single = RecommendationEngine(bundle, main_df, friendships, quantize_tables=True)
+    q_meshed = RecommendationEngine(bundle, main_df, friendships, mesh=mesh,
+                                    quantize_tables=True)
+    uni = q_single.gen.universe
+    checked = 0
+    for u in [int(x) for x in uni.user_ids[:6]]:
+        for city in uni.cities[:2]:
+            for lam in (1.0, 0.6):
+                a = q_single.recommend(u, city, "friends", lam)
+                b = q_meshed.recommend(u, city, "friends", lam)
+                assert a == b, (u, city, lam)
+                checked += len(a.get("ranked_hotels", []))
+    assert checked > 0
