@@ -29,6 +29,8 @@ def main(argv=None) -> int:
     p.add_argument("--reviews", type=int, default=40000)
     p.add_argument("--bf16", action="store_true",
                    help="bf16 catalog scoring (the serve CLI's --bf16)")
+    p.add_argument("--quantize", action="store_true",
+                   help="int8 embedding tables (the serve CLI's --quantize-tables)")
     args = p.parse_args(argv)
 
     import tempfile
@@ -58,7 +60,8 @@ def main(argv=None) -> int:
                          result.final_metrics)
         bundle = load_artifact_bundle(tmp)
 
-    engine = RecommendationEngine(bundle, main_df, ds.friendships, bf16=args.bf16)
+    engine = RecommendationEngine(bundle, main_df, ds.friendships, bf16=args.bf16,
+                                  quantize_tables=args.quantize)
     engine.warmup()
 
     uni = engine.gen.universe
@@ -114,6 +117,8 @@ def main(argv=None) -> int:
         "requests": args.requests,
         "throughput_rps": round(args.requests / wall, 1),
         "concurrency": args.concurrency,
+        "bf16": args.bf16,
+        "quantized_tables": args.quantize,
         "unit": "ms",
     }))
     return 0
