@@ -46,6 +46,10 @@ def main(argv=None) -> int:
     p.add_argument("--max-batch", type=int, default=None)
     p.add_argument("--warm-http-batch", action="store_true",
                    help="pre-compile the POST /recommendations/batch program shape")
+    p.add_argument("--reload-poll-s", type=float, default=0.0,
+                   help="with --artifacts registry:<db>: poll the registry "
+                        "every N seconds and hot-swap to a newly activated "
+                        "model without dropping traffic (0 disables)")
     p.add_argument("--mesh", default=None, metavar="DATAxMODEL",
                    help="serve over a device mesh, e.g. 4x2: the item axis "
                         "(catalog features, masks, kNN table, MMR embeddings) "
@@ -77,29 +81,52 @@ def main(argv=None) -> int:
                 p.error(str(e))
 
         artifacts_dir = resolve_artifacts_dir(artifacts)
-        # cfg.use_pallas is forwarded so an existing `serve.use_pallas=true`
-        # override reaches the engine's retirement warning (a no-op otherwise).
-        engine = RecommendationEngine.from_dirs(
-            artifacts_dir, data_dir, mesh=mesh, bf16=args.bf16,
-            quantize_tables=args.quantize_tables or cfg.quantize_tables,
-            use_pallas=cfg.use_pallas)
         want_batching = window_ms > 0
-        if not args.no_warmup:
-            log.info("warming up compiled request program...")
-            engine.warmup(batch_pad=max_batch if want_batching else None)
-            if args.warm_http_batch:
-                uni = engine.gen.universe
-                if uni.n_users and len(uni.cities):
-                    engine.recommend_many(
-                        [(int(uni.user_ids[0]), uni.cities[0], "friends", 0.7)],
-                        pad_to=HTTP_BATCH_PAD,
-                    )
-                engine.latency = type(engine.latency)()
-        if want_batching:
-            from hhrs_tpu.serve.batcher import BatchingEngine
 
-            engine = BatchingEngine(engine, max_batch=max_batch, window_ms=window_ms)
-            log.info("dynamic batching on: window %.1fms, max %d", window_ms, max_batch)
+        def build_stack(adir: str):
+            """The full engine stack for one artifact dir — used at startup
+            and verbatim by the hot-reload poller, so a reloaded model gets
+            the same mesh/bf16/quantization/warmup/batching treatment.
+            cfg.use_pallas is forwarded so an existing `serve.use_pallas=true`
+            override reaches the engine's retirement warning (a no-op
+            otherwise)."""
+            eng = RecommendationEngine.from_dirs(
+                adir, data_dir, mesh=mesh, bf16=args.bf16,
+                quantize_tables=args.quantize_tables or cfg.quantize_tables,
+                use_pallas=cfg.use_pallas)
+            if not args.no_warmup:
+                log.info("warming up compiled request program...")
+                eng.warmup(batch_pad=max_batch if want_batching else None)
+                if args.warm_http_batch:
+                    uni = eng.gen.universe
+                    if uni.n_users and len(uni.cities):
+                        eng.recommend_many(
+                            [(int(uni.user_ids[0]), uni.cities[0], "friends", 0.7)],
+                            pad_to=HTTP_BATCH_PAD,
+                        )
+                    eng.latency = type(eng.latency)()
+            if want_batching:
+                from hhrs_tpu.serve.batcher import BatchingEngine
+
+                eng = BatchingEngine(eng, max_batch=max_batch, window_ms=window_ms)
+                log.info("dynamic batching on: window %.1fms, max %d",
+                         window_ms, max_batch)
+            return eng
+
+        engine = build_stack(artifacts_dir)
+        if args.reload_poll_s > 0:
+            if not artifacts.startswith("registry:"):
+                log.warning("--reload-poll-s needs --artifacts registry:<db>; "
+                            "ignoring (a plain dir never changes identity)")
+            else:
+                from hhrs_tpu.serve.reload import RegistryReloader, SwappableEngine
+
+                holder = SwappableEngine(engine)
+                RegistryReloader(holder, artifacts, build_stack,
+                                 args.reload_poll_s, artifacts_dir).start()
+                engine = holder
+                log.info("registry hot reload on: polling every %.1fs",
+                         args.reload_poll_s)
         log.info("Artifacts loaded successfully. Server is ready.")
     except Exception as e:
         log.critical("CRITICAL ERROR during startup: %s", e)

@@ -412,8 +412,12 @@ class RecommendationEngine:
         main_df = load_reviews_csv(os.path.join(data_dir, "hackathon_augmented_data.csv"))
         main_df = add_engineered_features(main_df)
         friendships = load_friendships_csv(os.path.join(data_dir, "friendships.csv"))
-        return cls(bundle, main_df, friendships, retrieval_cfg, use_pallas=use_pallas,
-                   mesh=mesh, bf16=bf16, quantize_tables=quantize_tables)
+        eng = cls(bundle, main_df, friendships, retrieval_cfg, use_pallas=use_pallas,
+                  mesh=mesh, bf16=bf16, quantize_tables=quantize_tables)
+        # Which artifacts this engine serves — surfaced in /healthz and used
+        # by the hot-reload poller (serve/reload.py) to detect changes.
+        eng.artifacts_dir = artifacts_dir
+        return eng
 
     def warmup(self, batch_pad: int | None = None) -> None:
         """Compile the request program(s) before accepting traffic —

@@ -82,7 +82,11 @@ def make_handler(engine):
                 if url.path == "/similar_items":
                     return self._similar_items(parse_qs(url.query))
                 if url.path == "/healthz":
-                    return self._send(200, {"status": "ok", "latency": engine.latency.summary()})
+                    return self._send(200, {
+                        "status": "ok",
+                        "model": getattr(engine, "artifacts_dir", None),
+                        "latency": engine.latency.summary(),
+                    })
                 if url.path == "/metrics":
                     return self._send(200, _prometheus_metrics(engine), "text/plain; version=0.0.4")
                 if url.path == "/docs":

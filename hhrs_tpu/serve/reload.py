@@ -1,0 +1,106 @@
+"""Hot model reload from the registry (serve `--reload-poll-s`).
+
+The reference designs an `ml_models` registry with an `is_active` flag
+(database_setup.py:54-64, Documentation.md:256-271) but its serving code
+never reads it — models change only by restarting the process. Here the
+registry is live at startup (`--artifacts registry:<db>`) AND during
+serving: a poller thread watches the active registration and swaps in the
+newly activated model without dropping traffic.
+
+Swap semantics: `SwappableEngine` is one attribute indirection. A request
+thread that already grabbed the old engine finishes on it; every later
+request sees the new one (attribute assignment is atomic under the GIL —
+no locking on the hot path). The old engine's device buffers free when
+the last in-flight request drops its reference. A failed load (missing
+dir, corrupt artifacts) logs and keeps serving the current model — the
+startup fail-fast contract (reference main.py:274-277) applies only at
+startup; a running server never kills itself over a bad swap.
+"""
+
+from __future__ import annotations
+
+import logging
+import threading
+
+from hhrs_tpu.db.registry import resolve_artifacts_dir
+
+log = logging.getLogger("hhrs_tpu.serve.reload")
+
+
+class SwappableEngine:
+    """Forwarding proxy so the HTTP layer (and dynamic batcher) can keep a
+    stable object while the engine underneath is hot-swapped."""
+
+    def __init__(self, engine):
+        self._engine = engine
+
+    def swap(self, new_engine):
+        """Atomically install ``new_engine``; returns the previous one."""
+        old, self._engine = self._engine, new_engine
+        return old
+
+    @property
+    def current(self):
+        return self._engine
+
+    def __getattr__(self, name):
+        # Only reached for names not defined on the proxy itself.
+        return getattr(self._engine, name)
+
+
+class RegistryReloader(threading.Thread):
+    """Polls `registry:<db>` for a change of the active model's artifact
+    dir; on change, builds a fresh engine stack and swaps it in.
+
+    ``build`` is a callable(artifacts_dir) -> engine so the CLI decides
+    the full stack (mesh / bf16 / quantized tables / warmup) once and
+    reloads reproduce it. ``check_once`` is the unit-testable core; the
+    thread is just check_once on a timer.
+    """
+
+    def __init__(self, holder: SwappableEngine, spec: str, build,
+                 poll_s: float, current_dir: str):
+        super().__init__(daemon=True, name="hhrs-registry-reloader")
+        self.holder = holder
+        self.spec = spec
+        self.build = build
+        self.poll_s = poll_s
+        self.current_dir = current_dir
+        self._stop = threading.Event()
+
+    def check_once(self) -> bool:
+        """One poll: swap if the active registration moved. Returns True
+        iff a new model was installed. Never raises — a failed resolve or
+        load keeps the current model serving."""
+        try:
+            new_dir = resolve_artifacts_dir(self.spec)
+        except Exception as e:
+            log.warning("registry poll failed (%s); keeping current model", e)
+            return False
+        if new_dir == self.current_dir:
+            return False
+        log.info("registry: active model changed %s -> %s; loading...",
+                 self.current_dir, new_dir)
+        try:
+            new_engine = self.build(new_dir)
+        except Exception as e:
+            log.error("hot reload of %s FAILED (%s); keeping %s",
+                      new_dir, e, self.current_dir)
+            return False
+        old = self.holder.swap(new_engine)
+        self.current_dir = new_dir
+        close = getattr(old, "close", None)
+        if callable(close):
+            try:
+                close()
+            except Exception:  # old stack teardown must never hurt serving
+                log.exception("closing the previous engine failed")
+        log.info("hot reload complete: serving %s", new_dir)
+        return True
+
+    def run(self):
+        while not self._stop.wait(self.poll_s):
+            self.check_once()
+
+    def stop(self):
+        self._stop.set()

@@ -1,0 +1,134 @@
+"""Registry hot reload (serve --reload-poll-s): a newly activated model in
+the ml_models registry swaps into a live server without dropping traffic.
+
+The reference's registry has an is_active flag that nothing ever reads
+(database_setup.py:54-64); here activation is live. These tests drive the
+poller's check_once() core directly (the thread is check_once on a timer)
+over a real HTTP socket.
+"""
+
+import json
+import threading
+import urllib.request
+from http.server import ThreadingHTTPServer
+
+import pytest
+
+from hhrs_tpu.config import ModelConfig, TrainConfig
+from hhrs_tpu.data import Preprocessor, add_engineered_features
+from hhrs_tpu.data.ingest import noise_filter
+from hhrs_tpu.data.synthetic import generate_synthetic_dataset
+from hhrs_tpu.db.registry import ModelRegistry, create_schema, connect
+from hhrs_tpu.models.dcn import ModelDims
+from hhrs_tpu.serve.engine import RecommendationEngine
+from hhrs_tpu.serve.http import make_handler
+from hhrs_tpu.serve.reload import RegistryReloader, SwappableEngine
+from hhrs_tpu.train.artifacts import export_artifacts, load_artifact_bundle
+from hhrs_tpu.train.trainer import train_dcn
+
+
+@pytest.fixture(scope="module")
+def reload_setup(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("reload")
+    ds = generate_synthetic_dataset(n_users=120, n_items=60, n_reviews=2500, seed=44)
+    main_df = add_engineered_features(
+        ds.reviews.rename(columns={"guest_id": "user_id", "hotel_id": "item_id"})
+    )
+    splits, art = Preprocessor().fit_transform(noise_filter(main_df.copy()))
+    dims = ModelDims.from_artifacts(art)
+    mcfg = ModelConfig(emb_dim=8, hidden_dim=32, n_cross_layers=1, n_res_blocks=1)
+    dirs = []
+    for seed in (0, 1):  # two differently-initialized models
+        r = train_dcn(splits, dims, mcfg,
+                      TrainConfig(lr=3e-3, batch_size=256, n_epochs=1, seed=seed))
+        out = str(tmp / f"artifacts_{seed}")
+        export_artifacts(out, r.params, r.bn_state, mcfg, dims, art, r.final_metrics)
+        dirs.append(out)
+
+    db = str(tmp / "reg.sqlite")
+    conn = connect(db)
+    create_schema(conn)
+    conn.close()
+
+    def build(adir):
+        eng = RecommendationEngine(load_artifact_bundle(adir), main_df, ds.friendships)
+        eng.artifacts_dir = adir
+        return eng
+
+    return dirs, db, build, main_df
+
+
+def _get(url):
+    with urllib.request.urlopen(url) as r:
+        return json.loads(r.read().decode())
+
+
+def test_hot_reload_swaps_active_model(reload_setup):
+    (dir_a, dir_b), db, build, _ = reload_setup
+    reg = ModelRegistry(db)
+    import os
+
+    reg.register("v_a", dir_a, activate=True)
+    spec = f"registry:{db}"
+    dir_a_abs, dir_b_abs = os.path.abspath(dir_a), os.path.abspath(dir_b)
+
+    holder = SwappableEngine(build(dir_a_abs))
+    reloader = RegistryReloader(holder, spec, build, poll_s=3600,
+                                current_dir=dir_a_abs)
+
+    server = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(holder))
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{server.server_address[1]}"
+    try:
+        assert _get(base + "/healthz")["model"] == dir_a_abs
+        # no registry change → no swap
+        assert reloader.check_once() is False
+        assert _get(base + "/healthz")["model"] == dir_a_abs
+
+        reg.register("v_b", dir_b, activate=True)
+        assert reloader.check_once() is True
+        h = _get(base + "/healthz")
+        assert h["model"] == dir_b_abs and h["status"] == "ok"
+
+        # traffic flows on the new model
+        uni = holder.gen.universe
+        req = urllib.request.Request(
+            base + "/recommendations",
+            data=json.dumps({"user_id": int(uni.user_ids[0]), "city": uni.cities[0],
+                             "type": "friends", "lambda_param": 1.0}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req) as r:
+            assert r.status == 200 and "ranked_hotels" in json.loads(r.read().decode())
+    finally:
+        server.shutdown()
+
+
+def test_failed_reload_keeps_serving(reload_setup):
+    """Activating a broken registration must NOT take the server down or
+    change the served model (startup is fail-fast; a running server never
+    kills itself over a bad swap)."""
+    (dir_a, _), db, build, _ = reload_setup
+    import os
+
+    dir_a_abs = os.path.abspath(dir_a)
+    reg = ModelRegistry(db)
+    reg.register("v_good", dir_a, activate=True)
+    holder = SwappableEngine(build(dir_a_abs))
+    reloader = RegistryReloader(holder, f"registry:{db}", build, poll_s=3600,
+                                current_dir=dir_a_abs)
+
+    reg.register("v_broken", str(dir_a) + "_nonexistent", activate=True)
+    assert reloader.check_once() is False  # load failed → keep current
+    assert holder.artifacts_dir == dir_a_abs
+    uni = holder.gen.universe
+    res = holder.recommend(int(uni.user_ids[0]), uni.cities[0], "friends", 1.0)
+    assert "ranked_hotels" in res
+
+    # a later good registration recovers
+    reg.register("v_good_2", dir_a, activate=True)
+    # same dir as current → registry points somewhere valid again; a NEW dir
+    # would swap. Re-activating the original dir is a no-op by identity:
+    assert reloader.check_once() is False
+    assert holder.artifacts_dir == dir_a_abs
