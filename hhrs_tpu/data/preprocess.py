@@ -240,6 +240,48 @@ class Preprocessor:
         return tr_idx, va_idx
 
 
+def transform_with_artifacts(
+    artifacts: PreprocessArtifacts,
+    df: pd.DataFrame,
+) -> dict:
+    """Transform a LABELED review frame with SAVED artifacts — no refit.
+
+    The standalone-eval path (train/eval_cli.py): encode with the train
+    vocab, median-fill and scale with the train stats. Rows with ids the
+    training run never saw get the serve-time fallbacks (unknown user →
+    n_users//2, unknown item/category → 0 — reference main.py:215-230), so
+    a production model can be scored on fresher data than it was fit on.
+    Returns {"user","item","cat","num","y"} numpy arrays ("y" only if the
+    target column is present).
+    """
+    df = df.dropna(subset=list(artifacts.categorical_cols))
+    users = (
+        df[schema.USER_COL]
+        .map(artifacts.user_id_mapping)
+        .fillna(artifacts.unknown_user_id)
+        .to_numpy(dtype=np.int32)
+    )
+    items = (
+        df[schema.ITEM_COL]
+        .map(artifacts.item_id_mapping)
+        .fillna(0)
+        .to_numpy(dtype=np.int32)
+    )
+    cats = []
+    for col in artifacts.categorical_cols:
+        enc = artifacts.cat_encoders[col]
+        cats.append(df[col].map(enc).fillna(0).to_numpy(dtype=np.int32))
+    X_cat = np.stack(cats, axis=1) if cats else np.zeros((len(df), 0), np.int32)
+    raw_num = df[list(artifacts.numerical_cols)].to_numpy(dtype=np.float64)
+    med = np.asarray([artifacts.medians[c] for c in artifacts.numerical_cols])
+    raw_num = np.where(np.isnan(raw_num), med, raw_num)
+    X_num = artifacts.scaler.transform(raw_num).astype(np.float32)
+    out = {"user": users, "item": items, "cat": X_cat, "num": X_num}
+    if schema.TARGET_COL in df.columns:
+        out["y"] = df[schema.TARGET_COL].to_numpy(dtype=np.float32)
+    return out
+
+
 def encode_items_for_ranking(
     artifacts: PreprocessArtifacts,
     items_df: pd.DataFrame,
