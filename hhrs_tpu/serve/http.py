@@ -169,8 +169,31 @@ def make_handler(engine):
 
 def serve_forever(engine, host: str = "0.0.0.0", port: int = 8000):
     server = ThreadingHTTPServer((host, port), make_handler(engine))
+    # Graceful drain: SIGTERM/SIGINT stop accepting, in-flight handlers
+    # finish (non-daemon threads joined by server_close), then exit 0 —
+    # the rolling-update shape; the reference relies on uvicorn for this.
+    server.daemon_threads = False
+    import signal
+    import threading
+
+    def _drain(signum, frame):
+        log.info("signal %d: draining in-flight requests and shutting down", signum)
+        threading.Thread(target=server.shutdown, daemon=True).start()
+
+    try:
+        signal.signal(signal.SIGTERM, _drain)
+        signal.signal(signal.SIGINT, _drain)
+    except ValueError:  # not the main thread (embedded use) — no handlers
+        pass
     log.info("serving on %s:%d", host, port)
-    server.serve_forever()
+    try:
+        server.serve_forever()
+    finally:
+        server.server_close()
+        close = getattr(engine, "close", None)
+        if callable(close):
+            close()  # stop the dynamic batcher's worker, flush its queue
+        log.info("shutdown complete")
 
 
 def create_fastapi_app(engine):

@@ -91,6 +91,9 @@ def test_dockerfile_cmd_boots_from_seeded_registry(tmp_path):
     finally:
         proc.send_signal(signal.SIGTERM)
         try:
-            proc.wait(timeout=20)
+            # graceful drain: SIGTERM must finish in-flight requests and
+            # exit 0 (serve/http.py serve_forever), not die on the signal
+            assert proc.wait(timeout=20) == 0
         except subprocess.TimeoutExpired:
             proc.kill()
+            raise
