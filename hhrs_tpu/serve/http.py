@@ -60,6 +60,10 @@ def _prometheus_metrics(engine) -> str:
 def make_handler(engine):
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"
+        # Reap idle keep-alive connections: without a timeout a persistent
+        # client (scraper, LB health checker) parks a non-daemon handler
+        # thread in readline() forever and graceful drain can never join it.
+        timeout = 30
 
         def log_message(self, fmt, *args):  # route through logging, not stderr
             log.debug("%s - %s", self.address_string(), fmt % args)
@@ -179,6 +183,9 @@ def serve_forever(engine, host: str = "0.0.0.0", port: int = 8000):
     def _drain(signum, frame):
         log.info("signal %d: draining in-flight requests and shutting down", signum)
         threading.Thread(target=server.shutdown, daemon=True).start()
+        # A second signal must kill, not re-drain: restore the default
+        # disposition so a stuck drain is still operator-stoppable.
+        signal.signal(signum, signal.SIG_DFL)
 
     try:
         signal.signal(signal.SIGTERM, _drain)

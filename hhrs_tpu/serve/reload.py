@@ -22,9 +22,15 @@ from __future__ import annotations
 import logging
 import threading
 
-from hhrs_tpu.db.registry import resolve_artifacts_dir
+from hhrs_tpu.db.registry import ModelRegistry
 
 log = logging.getLogger("hhrs_tpu.serve.reload")
+
+# Seconds to keep the PREVIOUS engine stack alive after a swap before
+# closing it: a request that grabbed the old engine just before the swap
+# (or sat in the old dynamic batcher's queue) must finish on it, not get a
+# "closed" error. Far beyond any request latency + batch window.
+OLD_STACK_CLOSE_GRACE_S = 10.0
 
 
 class SwappableEngine:
@@ -65,36 +71,70 @@ class RegistryReloader(threading.Thread):
         self.spec = spec
         self.build = build
         self.poll_s = poll_s
-        self.current_dir = current_dir
         self._stop = threading.Event()
+        # The swap key is (model_id, artifact_path), not the path alone: a
+        # retrain exported over the SAME directory and re-registered is a
+        # new model and must swap (a new snapshot gets a new model_id).
+        self.current_key = (None, current_dir)
+        try:
+            active = self._active()
+            if active[1] == current_dir:
+                self.current_key = active
+        except Exception:  # registry unreadable at init → first poll decides
+            pass
+
+    @property
+    def current_dir(self) -> str:
+        return self.current_key[1]
+
+    def _active(self) -> tuple:
+        """(model_id, artifact_path) of the active registration."""
+        reg = ModelRegistry(self.spec[len("registry:"):])
+        active = reg.active()
+        if active is None:
+            raise FileNotFoundError("no active model in registry")
+        return (active["model_id"], active["artifact_path"])
 
     def check_once(self) -> bool:
         """One poll: swap if the active registration moved. Returns True
         iff a new model was installed. Never raises — a failed resolve or
         load keeps the current model serving."""
         try:
-            new_dir = resolve_artifacts_dir(self.spec)
+            new_key = self._active()
         except Exception as e:
             log.warning("registry poll failed (%s); keeping current model", e)
             return False
-        if new_dir == self.current_dir:
+        if new_key == self.current_key:
             return False
-        log.info("registry: active model changed %s -> %s; loading...",
-                 self.current_dir, new_dir)
+        new_dir = new_key[1]
+        log.info("registry: active model changed %s -> %s (model_id %s); loading...",
+                 self.current_dir, new_dir, new_key[0])
         try:
             new_engine = self.build(new_dir)
         except Exception as e:
             log.error("hot reload of %s FAILED (%s); keeping %s",
                       new_dir, e, self.current_dir)
+            # Remember the bad key: re-polling an unchanged broken
+            # registration should not re-attempt a doomed load every tick…
+            # but a FIXED artifact dir at the same registration should. We
+            # retry (cheap resolve, load only on change), so keep the old key.
             return False
         old = self.holder.swap(new_engine)
-        self.current_dir = new_dir
-        close = getattr(old, "close", None)
-        if callable(close):
-            try:
-                close()
-            except Exception:  # old stack teardown must never hurt serving
-                log.exception("closing the previous engine failed")
+        self.current_key = new_key
+
+        def _close_old():
+            close = getattr(old, "close", None)
+            if callable(close):
+                try:
+                    close()
+                except Exception:  # old stack teardown must never hurt serving
+                    log.exception("closing the previous engine failed")
+
+        # Deferred: requests that grabbed the old stack right before the
+        # swap (or sat in its batcher queue) finish on it error-free.
+        t = threading.Timer(OLD_STACK_CLOSE_GRACE_S, _close_old)
+        t.daemon = True
+        t.start()
         log.info("hot reload complete: serving %s", new_dir)
         return True
 

@@ -67,11 +67,16 @@ def main(argv=None) -> int:
     df = add_engineered_features(
         load_reviews_csv(os.path.join(args.data, "hackathon_augmented_data.csv"))
     )
-    df = noise_filter(df)
+    # Same config-driven thresholds as training (train/cli.py): an override
+    # like data.positive_rating=7 must reproduce the same row set here, or
+    # --split val diverges from the manifest silently.
+    df = noise_filter(df, cfg.data.positive_rating, cfg.data.negative_rating)
     arrays = transform_with_artifacts(bundle.preproc, df)
     if "y" not in arrays:
+        from hhrs_tpu.data import schema
+
         log.critical("dataset has no '%s' column — nothing to evaluate against",
-                     cfg.data.target_col)
+                     schema.TARGET_COL)
         return 1
 
     if args.split != "all":

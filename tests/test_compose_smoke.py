@@ -65,6 +65,7 @@ def test_dockerfile_cmd_boots_from_seeded_registry(tmp_path):
         stdout=subprocess.DEVNULL, stderr=subprocess.PIPE, text=True,
         env=env, cwd=str(vol),
     )
+    body_ok = False
     try:
         deadline = time.time() + 300
         health = None
@@ -88,12 +89,17 @@ def test_dockerfile_cmd_boots_from_seeded_registry(tmp_path):
         )
         resp = json.loads(urllib.request.urlopen(req, timeout=60).read().decode())
         assert "ranked_hotels" in resp
+        body_ok = True
     finally:
         proc.send_signal(signal.SIGTERM)
         try:
-            # graceful drain: SIGTERM must finish in-flight requests and
-            # exit 0 (serve/http.py serve_forever), not die on the signal
-            assert proc.wait(timeout=20) == 0
+            exit_code = proc.wait(timeout=20)
         except subprocess.TimeoutExpired:
             proc.kill()
-            raise
+            exit_code = None
+        # Only judge the shutdown when the body passed — a failing body
+        # assertion must surface as itself, not as a shutdown-code error.
+        if body_ok:
+            # graceful drain: SIGTERM must finish in-flight requests and
+            # exit 0 (serve/http.py serve_forever), not die on the signal
+            assert exit_code == 0

@@ -126,9 +126,12 @@ def test_failed_reload_keeps_serving(reload_setup):
     res = holder.recommend(int(uni.user_ids[0]), uni.cities[0], "friends", 1.0)
     assert "ranked_hotels" in res
 
-    # a later good registration recovers
+    # a later good registration recovers — and it SWAPS even though the
+    # artifact dir is the same one already serving: the swap key is the
+    # registration (model_id), so a retrain exported over the same
+    # directory is picked up (path-only keying would miss it forever)
     reg.register("v_good_2", dir_a, activate=True)
-    # same dir as current → registry points somewhere valid again; a NEW dir
-    # would swap. Re-activating the original dir is a no-op by identity:
-    assert reloader.check_once() is False
+    assert reloader.check_once() is True
     assert holder.artifacts_dir == dir_a_abs
+    res = holder.recommend(int(uni.user_ids[0]), uni.cities[0], "friends", 1.0)
+    assert "ranked_hotels" in res
