@@ -103,7 +103,8 @@ def flagship_update(params, bn, opt, batch, rng, *, cfg, tx, remat: bool = False
     return jax.tree.map(lambda a, u: a + u, params, up), nbn, no, loss
 
 
-def make_flagship_step(cfg, tx, *, fold_rng: bool = False, remat: bool = False):
+def make_flagship_step(cfg, tx, *, fold_rng: bool = False, remat: bool = False,
+                       lazy: bool = False):
     """The jitted flagship step, donated params/opt buffers.
 
     The batch is a runtime ARGUMENT in both variants — load-bearing: a
@@ -120,6 +121,26 @@ def make_flagship_step(cfg, tx, *, fold_rng: bool = False, remat: bool = False):
     from functools import partial
 
     import jax
+
+    if lazy:
+        # Sparse-row table updates (train/lazy.py): opt state must be a
+        # LazyOptState (init via lazy_flagship_opt). Only the fold_rng
+        # variant is provided — it is the production trainer's pattern.
+        from hhrs_tpu.config import TrainConfig
+        from hhrs_tpu.train.lazy import make_lazy_update
+
+        assert fold_rng, "lazy flagship step is fold_rng-only"
+        update = make_lazy_update(
+            cfg, TrainConfig(optimizer="adamw", lr=1e-3, weight_decay=1e-4,
+                             lazy_table_updates=True))
+
+        @partial(jax.jit, donate_argnums=(0, 2, 4))
+        def lazy_step(params, bn, opt, batch, s, rng0):
+            p, nbn, no, loss = update(
+                params, bn, opt, tx.update, batch, jax.random.fold_in(rng0, s))
+            return p, nbn, no, loss, s + 1
+
+        return lazy_step
 
     if fold_rng:
         @partial(jax.jit, donate_argnums=(0, 2, 4))

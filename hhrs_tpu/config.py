@@ -62,6 +62,13 @@ class TrainConfig:
     # Drop the ragged last batch so every step has a static shape for XLA.
     drop_remainder: bool = True
     eval_batch_size: int = 8192
+    # Lazy (sparse-row) embedding-table updates (train/lazy.py): Adam/AdamW
+    # moments and params update only the rows touched by the batch —
+    # O(B·d) table HBM traffic per step instead of the dense optimizer's
+    # O(n_rows·d). Identical to dense when every row is touched every step;
+    # at production table sizes it removes the dominant step cost. Off by
+    # default (dense = reference-parity semantics, like torch dense Adam).
+    lazy_table_updates: bool = False
     # Numeric sanitizer: raise FloatingPointError the moment any jitted
     # computation produces a NaN (jax_debug_nans; SURVEY.md §5 — this is
     # the CI-grade replacement for a race/memory sanitizer in a

@@ -147,8 +147,6 @@ def apply_dcn(
     axis_name: str | None = None,
 ) -> tuple[jnp.ndarray, dict]:
     """Forward pass → ([B] logits, new batch-norm state)."""
-    compute_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
-
     # table_lookup dispatches on the table type, so the same program serves
     # f32 tables and the int8-quantized serve params (ops/quant.py).
     user_emb = table_lookup(params["user_embedding"], user_ids)
@@ -158,6 +156,31 @@ def apply_dcn(
         for i, tab in enumerate(params["cat_embeddings"])
     ]
     x0 = jnp.concatenate([user_emb, item_emb, *cat_embs, num_features], axis=1)
+    return apply_dcn_from_x0(
+        params, state, x0, cfg=cfg, train=train, rng=rng, axis_name=axis_name
+    )
+
+
+def apply_dcn_from_x0(
+    params: dict,
+    state: dict,
+    x0: jnp.ndarray,  # [B, d_in] the concatenated embedding+numeric input
+    *,
+    cfg: ModelConfig,
+    train: bool = False,
+    rng=None,
+    axis_name: str | None = None,
+) -> tuple[jnp.ndarray, dict]:
+    """The tower half of the forward pass, from an already-assembled x0.
+
+    Split out so the lazy-table trainer (train/lazy.py) can differentiate
+    w.r.t. the GATHERED embedding rows instead of the whole tables — the
+    dense table gradient is an O(n_rows · d) scatter-add per step that the
+    roofline shows is pure HBM traffic at production table sizes. ``params``
+    needs only the tower entries (initial_deep/res_blocks/cross/final);
+    table entries are ignored if present.
+    """
+    compute_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
 
     towers = []
     new_res_state = []

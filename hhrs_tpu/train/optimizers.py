@@ -35,13 +35,17 @@ def make_optimizer(name: str, lr: float, weight_decay: float) -> optax.GradientT
 
 
 def set_learning_rate(opt_state, lr: float):
-    """Mutate the injected LR in an optax InjectHyperparamsState."""
-    opt_state.hyperparams["learning_rate"] = lr
+    """Mutate the injected LR in an optax InjectHyperparamsState (reaching
+    through a LazyOptState wrapper — train/lazy.py reads the same injected
+    value for its row updates, so plateau decays cover the tables too)."""
+    inner = getattr(opt_state, "dense", opt_state)
+    inner.hyperparams["learning_rate"] = lr
     return opt_state
 
 
 def get_learning_rate(opt_state) -> float:
-    return float(opt_state.hyperparams["learning_rate"])
+    inner = getattr(opt_state, "dense", opt_state)
+    return float(inner.hyperparams["learning_rate"])
 
 
 class PlateauScheduler:

@@ -85,7 +85,41 @@ def _device_put_splits(splits: DatasetSplits, sharding=None):
     return train, val
 
 
-def make_train_step(cfg: ModelConfig, batch_size: int, batch_sharding=None):
+def _make_update_block(cfg: ModelConfig, train_cfg=None):
+    """The loss/grad/optimizer core shared by both step builders: the dense
+    reference-parity path by default, the lazy sparse-row table path when
+    ``train_cfg.lazy_table_updates`` (train/lazy.py — opt_state is then a
+    LazyOptState)."""
+    if train_cfg is not None and getattr(train_cfg, "lazy_table_updates", False):
+        from hhrs_tpu.train.lazy import make_lazy_update
+
+        return make_lazy_update(cfg, train_cfg)
+
+    def update(params, bn_state, opt_state, tx_update, batch, rng):
+        def loss_fn(p):
+            logits, new_bn = apply_dcn(
+                p,
+                bn_state,
+                batch["user"],
+                batch["item"],
+                batch["cat"],
+                batch["num"],
+                cfg=cfg,
+                train=True,
+                rng=rng,
+            )
+            return bce_with_logits(logits, batch["y"]), new_bn
+
+        (loss, new_bn), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, new_opt = tx_update(grads, opt_state, params)
+        new_params = jax.tree.map(lambda p, u: p + u, params, updates)
+        return new_params, new_bn, new_opt, loss
+
+    return update
+
+
+def make_train_step(cfg: ModelConfig, batch_size: int, batch_sharding=None,
+                    train_cfg=None):
     """Build the jitted train step.
 
     The step receives the WHOLE epoch permutation (device-resident, uploaded
@@ -97,6 +131,7 @@ def make_train_step(cfg: ModelConfig, batch_size: int, batch_sharding=None):
     fused-epoch paths.
     """
     B = batch_size
+    update = _make_update_block(cfg, train_cfg)
 
     def step(params, bn_state, opt_state, tx_update, data, perm, s, epoch_rng):
         idx = jax.lax.dynamic_slice(perm, (s * B,), (B,))
@@ -112,30 +147,15 @@ def make_train_step(cfg: ModelConfig, batch_size: int, batch_sharding=None):
             batch = jax.tree.map(
                 lambda x: jax.lax.with_sharding_constraint(x, batch_sharding(x.ndim)), batch
             )
-
-        def loss_fn(p):
-            logits, new_bn = apply_dcn(
-                p,
-                bn_state,
-                batch["user"],
-                batch["item"],
-                batch["cat"],
-                batch["num"],
-                cfg=cfg,
-                train=True,
-                rng=rng,
-            )
-            return bce_with_logits(logits, batch["y"]), new_bn
-
-        (loss, new_bn), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-        updates, new_opt = tx_update(grads, opt_state, params)
-        new_params = jax.tree.map(lambda p, u: p + u, params, updates)
+        new_params, new_bn, new_opt, loss = update(
+            params, bn_state, opt_state, tx_update, batch, rng
+        )
         return new_params, new_bn, new_opt, loss, s + 1
 
     return step
 
 
-def make_streamed_train_step(cfg: ModelConfig, batch_sharding=None):
+def make_streamed_train_step(cfg: ModelConfig, batch_sharding=None, train_cfg=None):
     """Mesh-mode step over a streamed epoch tensor.
 
     ``epoch_data`` is a dict of [steps, B, ·] arrays sharded
@@ -145,6 +165,7 @@ def make_streamed_train_step(cfg: ModelConfig, batch_sharding=None):
     ``make_train_step``'s resident-gather path, so the two are numerically
     interchangeable.
     """
+    update = _make_update_block(cfg, train_cfg)
 
     def step(params, bn_state, opt_state, tx_update, epoch_data, s, epoch_rng):
         rng = jax.random.fold_in(epoch_rng, s)
@@ -155,31 +176,16 @@ def make_streamed_train_step(cfg: ModelConfig, batch_sharding=None):
             batch = jax.tree.map(
                 lambda x: jax.lax.with_sharding_constraint(x, batch_sharding(x.ndim)), batch
             )
-
-        def loss_fn(p):
-            logits, new_bn = apply_dcn(
-                p,
-                bn_state,
-                batch["user"],
-                batch["item"],
-                batch["cat"],
-                batch["num"],
-                cfg=cfg,
-                train=True,
-                rng=rng,
-            )
-            return bce_with_logits(logits, batch["y"]), new_bn
-
-        (loss, new_bn), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-        updates, new_opt = tx_update(grads, opt_state, params)
-        new_params = jax.tree.map(lambda p, u: p + u, params, updates)
+        new_params, new_bn, new_opt, loss = update(
+            params, bn_state, opt_state, tx_update, batch, rng
+        )
         return new_params, new_bn, new_opt, loss, s + 1
 
     return step
 
 
 def make_epoch_fn(cfg: ModelConfig, tx_update, steps_per_epoch: int, batch_size: int,
-                  batch_sharding=None):
+                  batch_sharding=None, train_cfg=None):
     """Whole-epoch lax.scan: ONE dispatch per epoch.
 
     At this model family's sizes a single step is a few hundred µs of
@@ -188,7 +194,7 @@ def make_epoch_fn(cfg: ModelConfig, tx_update, steps_per_epoch: int, batch_size:
     stream (``fold_in(epoch_rng, s)``) is identical to the per-step path,
     so the two modes are interchangeable mid-training.
     """
-    raw_step = make_train_step(cfg, batch_size, batch_sharding)
+    raw_step = make_train_step(cfg, batch_size, batch_sharding, train_cfg)
 
     def epoch(params, bn_state, opt_state, data, perm, epoch_rng):
         def body(carry, s):
@@ -284,7 +290,14 @@ def train_dcn(
     params, bn_state = init_dcn(init_rng, dims, model_cfg)
 
     tx = make_optimizer(train_cfg.optimizer, train_cfg.lr, train_cfg.weight_decay)
-    opt_state = tx.init(params)
+    if train_cfg.lazy_table_updates:
+        # Sparse-row table updates (train/lazy.py): the optax state covers
+        # only the dense subtree; table moments live row-wise in LazyOptState.
+        from hhrs_tpu.train.lazy import init_lazy_opt
+
+        opt_state = init_lazy_opt(tx, params)
+    else:
+        opt_state = tx.init(params)
 
     # Mesh mode = the production layout: tables row-sharded over 'model'
     # (when that axis exists), opt moments matching, batch over 'data', and
@@ -350,13 +363,14 @@ def train_dcn(
     # tx.update is a function — close over it instead of passing it traced.
     # params/bn/opt donate: the step updates them in place in HBM.
     if streaming:
-        raw_step = make_streamed_train_step(model_cfg, batch_sharding)
+        raw_step = make_streamed_train_step(model_cfg, batch_sharding, train_cfg)
         step_fn = jax.jit(
             lambda p, b, o, e, s, r: raw_step(p, b, o, tx.update, e, s, r),
             donate_argnums=(0, 1, 2),
         )
     else:
-        raw_step = make_train_step(model_cfg, train_cfg.batch_size, batch_sharding)
+        raw_step = make_train_step(model_cfg, train_cfg.batch_size, batch_sharding,
+                                   train_cfg)
         step_fn = jax.jit(
             lambda p, b, o, d, perm, s, r: raw_step(p, b, o, tx.update, d, perm, s, r),
             donate_argnums=(0, 1, 2),
@@ -397,7 +411,8 @@ def train_dcn(
     epoch_fn = None
     if fused:
         epoch_fn = jax.jit(
-            make_epoch_fn(model_cfg, tx.update, steps_per_epoch, B, batch_sharding),
+            make_epoch_fn(model_cfg, tx.update, steps_per_epoch, B, batch_sharding,
+                          train_cfg),
             donate_argnums=(0, 2),
         )
 
