@@ -28,6 +28,7 @@ EMB_DIM = 16
 HIDDEN = 128
 N_CROSS = 2
 N_RES = 1
+OPTIMIZER, LR, WD = "adamw", 1e-3, 1e-4  # single source for tx AND the lazy table rows
 # Dispatch-amortizing batch: throughput rises ~3.5x from 4096 to 16384 and
 # another ~20-25% to 32768; 32768 and 65536 are statistically tied in a
 # back-to-back both-orders A/B (each won one order by <1%, RESULTS.md), so
@@ -70,7 +71,7 @@ def flagship_setup():
         emb_dim=EMB_DIM, hidden_dim=HIDDEN, n_cross_layers=N_CROSS,
         n_res_blocks=N_RES, dropout=0.6, compute_dtype="bfloat16",
     )
-    tx = make_optimizer("adamw", 1e-3, 1e-4)
+    tx = make_optimizer(OPTIMIZER, LR, WD)
     return dims, cfg, tx
 
 
@@ -124,14 +125,18 @@ def make_flagship_step(cfg, tx, *, fold_rng: bool = False, remat: bool = False,
 
     if lazy:
         # Sparse-row table updates (train/lazy.py): opt state must be a
-        # LazyOptState (init via lazy_flagship_opt). Only the fold_rng
-        # variant is provided — it is the production trainer's pattern.
+        # LazyOptState (init via hhrs_tpu.train.lazy.init_lazy_opt). Only
+        # the fold_rng variant is provided — the production trainer's
+        # pattern. The table-row optimizer MUST mirror the dense tx
+        # (OPTIMIZER/LR/WD are the shared source) or the lazy-vs-dense A/B
+        # would compare two different optimizers.
         from hhrs_tpu.config import TrainConfig
         from hhrs_tpu.train.lazy import make_lazy_update
 
         assert fold_rng, "lazy flagship step is fold_rng-only"
+        assert not remat, "lazy+remat is not a provided variant"
         update = make_lazy_update(
-            cfg, TrainConfig(optimizer="adamw", lr=1e-3, weight_decay=1e-4,
+            cfg, TrainConfig(optimizer=OPTIMIZER, lr=LR, weight_decay=WD,
                              lazy_table_updates=True))
 
         @partial(jax.jit, donate_argnums=(0, 2, 4))

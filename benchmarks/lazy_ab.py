@@ -48,7 +48,6 @@ def main(argv=None) -> int:
     # flagship config, table sizes overridden
     bench.N_USERS, bench.N_ITEMS = args.users, args.items
     dims, cfg, tx = bench.flagship_setup()
-    dims = type(dims)(args.users, args.items, dims.cat_dims, dims.n_num_features)
 
     nb = bench._np_batch(np.random.default_rng(0), bench.BATCH)
     # ids must span the big table so the gather/scatter isn't cache-toy

@@ -31,14 +31,19 @@ log = logging.getLogger("hhrs_tpu.serve.batch")
 
 
 def home_cities(main_df) -> dict:
-    """user_id → most-reviewed city (ties: first in frame order, matching
-    pandas value_counts semantics)."""
-    out = {}
-    for (u, c), n in main_df.groupby(["user_id", "city"], sort=False).size().items():
-        best = out.get(u)
-        if best is None or n > best[1]:
-            out[u] = (c, n)
-    return {u: c for u, (c, _) in out.items()}
+    """user_id → most-reviewed city (ties: first in frame order).
+
+    One vectorized pandas pass — this runs at nightly-export scale, so no
+    per-group Python loop: the stable descending sort keeps the
+    first-in-frame group on count ties, then drop_duplicates picks it.
+    """
+    sizes = (
+        main_df.groupby(["user_id", "city"], sort=False).size().reset_index(name="n")
+    )
+    best = sizes.sort_values("n", kind="stable", ascending=False).drop_duplicates(
+        "user_id"
+    )
+    return dict(zip(best["user_id"], best["city"]))
 
 
 def main(argv=None) -> int:
@@ -67,12 +72,16 @@ def main(argv=None) -> int:
     p.add_argument("overrides", nargs="*")
     args = p.parse_args(argv)
 
+    from hhrs_tpu.config import Config
     from hhrs_tpu.db.registry import resolve_artifacts_dir
     from hhrs_tpu.serve.engine import RecommendationEngine
 
+    cfg = Config().apply_overrides([a for a in args.overrides if "=" in a])
     engine = RecommendationEngine.from_dirs(
         resolve_artifacts_dir(args.artifacts), args.data,
-        quantize_tables=args.quantize_tables, bf16=args.bf16)
+        retrieval_cfg=cfg.retrieval,
+        quantize_tables=args.quantize_tables or cfg.serve.quantize_tables,
+        bf16=args.bf16)
 
     uni = engine.gen.universe
     if args.users:
