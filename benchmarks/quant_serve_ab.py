@@ -28,8 +28,9 @@ def main(argv=None) -> int:
     p = argparse.ArgumentParser()
     p.add_argument("order", nargs="?", default="fq",
                    help="engine sequence: f=f32, q=int8 tables, b=bf16 "
-                        "scoring, Q=bf16+int8 — e.g. 'fbqQ' then 'Qqbf' "
-                        "for a both-orders sweep")
+                        "scoring, Q=bf16+int8, c=f32+candidate-cap-4096, "
+                        "C=bf16+cap — e.g. 'fbcC' then 'Ccbf' for a "
+                        "both-orders sweep")
     p.add_argument("--items", type=int, default=100_000)
     p.add_argument("--users", type=int, default=50_000)
     p.add_argument("--reviews", type=int, default=500_000)
@@ -69,9 +70,10 @@ def main(argv=None) -> int:
     print(f"setup {time.time()-t0:.1f}s: {dims.n_items} items, "
           f"{dims.n_users} users", file=sys.stderr)
 
-    def build(quant, bf16=False):
+    def build(quant, bf16=False, cap=0):
         eng = RecommendationEngine(bundle, main_df, ds.friendships,
-                                   quantize_tables=quant, bf16=bf16)
+                                   quantize_tables=quant, bf16=bf16,
+                                   candidate_cap=cap)
         eng.warmup()
         return eng
 
@@ -98,14 +100,16 @@ def main(argv=None) -> int:
         return p50
 
     engines = {
-        "f": ("f32", False, False),
-        "q": ("int8", True, False),
-        "b": ("bf16", False, True),
-        "Q": ("bf16+int8", True, True),
+        "f": ("f32", False, False, 0),
+        "q": ("int8", True, False, 0),
+        "b": ("bf16", False, True, 0),
+        "Q": ("bf16+int8", True, True, 0),
+        "c": ("f32+cap4096", False, False, 4096),
+        "C": ("bf16+cap4096", False, True, 4096),
     }
     for c in args.order:
-        label, quant, bf16 = engines[c]
-        measure(build(quant, bf16), label)
+        label, quant, bf16, cap = engines[c]
+        measure(build(quant, bf16, cap), label)
     return 0
 
 

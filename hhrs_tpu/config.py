@@ -154,6 +154,12 @@ class ServeConfig:
     # (ops/quant.py): 4x less table HBM / gather traffic per request.
     # Near-tied rankings can differ from f32 — off by default.
     quantize_tables: bool = False
+    # >0: requests whose candidate set fits the cap take a compiled
+    # fast path that scores ONLY candidate rows (O(cap) instead of
+    # O(catalog) per request; overflow falls back to the exact full
+    # program via lax.cond). Worth setting at large catalogs; 0 = always
+    # full-universe (the exact-semantics default at any size).
+    candidate_cap: int = 0
     # Retired after the round-2 kernel honesty pass (fused Pallas serve tower
     # measured 0.74-0.75x vs XLA). Kept so existing `serve.use_pallas=...`
     # overrides parse; the engine warns and serves on the jnp path.

@@ -46,6 +46,10 @@ def main(argv=None) -> int:
     p.add_argument("--max-batch", type=int, default=None)
     p.add_argument("--warm-http-batch", action="store_true",
                    help="pre-compile the POST /recommendations/batch program shape")
+    p.add_argument("--candidate-cap", type=int, default=None,
+                   help=">0: compiled fast path scoring only candidate rows "
+                        "when the set fits (exact; overflow uses the full "
+                        "program). Worth setting at large catalogs")
     p.add_argument("--reload-poll-s", type=float, default=0.0,
                    help="with --artifacts registry:<db>: poll the registry "
                         "every N seconds and hot-swap to a newly activated "
@@ -90,10 +94,11 @@ def main(argv=None) -> int:
             cfg.use_pallas is forwarded so an existing `serve.use_pallas=true`
             override reaches the engine's retirement warning (a no-op
             otherwise)."""
+            cap = args.candidate_cap if args.candidate_cap is not None else cfg.candidate_cap
             eng = RecommendationEngine.from_dirs(
                 adir, data_dir, mesh=mesh, bf16=args.bf16,
                 quantize_tables=args.quantize_tables or cfg.quantize_tables,
-                use_pallas=cfg.use_pallas)
+                candidate_cap=cap, use_pallas=cfg.use_pallas)
             if not args.no_warmup:
                 log.info("warming up compiled request program...")
                 eng.warmup(batch_pad=max_batch if want_batching else None)

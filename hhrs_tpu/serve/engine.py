@@ -54,6 +54,7 @@ class RecommendationEngine:
         mesh=None,
         bf16: bool = False,
         quantize_tables: bool = False,
+        candidate_cap: int = 0,
     ):
         self.bundle = bundle
         self.retrieval_cfg = retrieval_cfg or RetrievalConfig()
@@ -61,6 +62,7 @@ class RecommendationEngine:
         self.latency = LatencyHistogram()
         self.use_pallas = use_pallas
         self.mesh = mesh
+        self._cap = int(candidate_cap)
         if quantize_tables:
             # Opt-in: hold the model's embedding tables (user/item/cats) as
             # per-row int8 on device (ops/quant.py) — 4x less table HBM and
@@ -226,17 +228,46 @@ class RecommendationEngine:
         # for K coalesced requests (serve/batcher.py; the D2H latency floor
         # amortizes K-fold): vmap of the single-request impl (the device
         # state broadcasts via in_axes None so its shardings hold).
+        # Full-universe only: vmapping the candidate-cap cond would lower
+        # to select (both branches execute) and cost full + capped.
         self._recommend_batch_jit = jax.jit(
-            jax.vmap(self._recommend_impl, in_axes=(None, 0, 0, 0, 0))
+            jax.vmap(
+                lambda dev, s, c, u, l: self._recommend_impl(
+                    dev, s, c, u, l, use_cap=False
+                ),
+                in_axes=(None, 0, 0, 0, 0),
+            )
         )
 
     # ------------------------------------------------------------------ #
 
-    def _recommend_impl(self, dev, padded_sources, city_idx, user_internal, lam):
+    def _recommend_impl(self, dev, padded_sources, city_idx, user_internal, lam,
+                        use_cap: bool = True):
         """The fused two-stage program: retrieval + rank + MMR. ``dev`` is
         the engine device state — an explicit argument so mesh shardings
-        are respected (closed-over constants lose them)."""
+        are respected (closed-over constants lose them).
+
+        With ``serve.candidate_cap`` set, requests whose candidate set fits
+        the cap take a compiled fast path that gathers and scores ONLY the
+        candidate rows — O(cap) instead of O(catalog) ranking work (a 100k-
+        item catalog costs ~100ms/request full-universe; typical candidate
+        sets are a few hundred). The overflow branch is the exact full
+        program, so semantics never change — `lax.cond` picks per request
+        on device. The batched (vmapped) program always uses the full path:
+        under vmap a cond lowers to both-branches + select, which would pay
+        full + capped.
+        """
         cand, _neg, count = self.gen._generate_impl(dev["gen"], padded_sources, city_idx)
+        cap = self._cap
+        if use_cap and 0 < cap < self.gen._M:
+            return jax.lax.cond(
+                count <= cap,
+                lambda: self._rank_capped(dev, cand, count, user_internal, lam),
+                lambda: self._rank_full(dev, cand, count, user_internal, lam),
+            )
+        return self._rank_full(dev, cand, count, user_internal, lam)
+
+    def _rank_full(self, dev, cand, count, user_internal, lam):
         M = self.gen._M
         users = jnp.full((M,), user_internal, jnp.int32)
         logits, _ = apply_dcn(
@@ -265,6 +296,51 @@ class RecommendationEngine:
         # (per-transfer overhead on the tunneled backend dwarfs the bytes).
         return jnp.concatenate([
             order.astype(jnp.int32),
+            mmr_idx.astype(jnp.int32),
+            count.astype(jnp.int32)[None],
+        ])
+
+    def _rank_capped(self, dev, cand, count, user_internal, lam):
+        """Candidate-only ranking: gather the ≤cap candidate rows, score
+        them, MMR in capped space, map indices back to serve space. Output
+        shape/dtype identical to _rank_full (lax.cond contract); the host
+        reads only the first `count` order entries and the ≥0 MMR picks,
+        so the padding never surfaces."""
+        M = self.gen._M
+        cap = self._cap
+        K = self.retrieval_cfg.mmr_top_k
+        idx = jnp.nonzero(cand, size=cap, fill_value=M)[0]  # ascending serve idx
+        valid = idx < M
+        safe = jnp.minimum(idx, M - 1).astype(jnp.int32)
+        users = jnp.full((cap,), user_internal, jnp.int32)
+        logits_c, _ = apply_dcn(
+            dev["params"],
+            dev["bn_state"],
+            users,
+            dev["item_internal"][safe],
+            dev["X_cat"][safe],
+            dev["X_num"][safe],
+            cfg=self._cfg,
+            train=False,
+        )
+        scores_c = jnp.where(valid, logits_c, NEG_INF)
+        mmr_c = mmr_rerank(
+            scores_c,
+            dev["emb_norm"][safe],
+            valid,
+            jnp.logical_and(dev["embedded"][safe], valid),
+            lam,
+            top_k=K,
+        )
+        # capped→serve index maps. Stable argsort ties break by capped
+        # position == ascending serve index, matching the full path.
+        order_c = idx[jnp.argsort(-scores_c)].astype(jnp.int32)
+        order = jnp.zeros((M,), jnp.int32).at[:cap].set(order_c)
+        mmr_idx = jnp.where(
+            mmr_c >= 0, idx[jnp.maximum(mmr_c, 0)].astype(jnp.int32), -1
+        )
+        return jnp.concatenate([
+            order,
             mmr_idx.astype(jnp.int32),
             count.astype(jnp.int32)[None],
         ])
@@ -404,7 +480,8 @@ class RecommendationEngine:
     @classmethod
     def from_dirs(cls, artifacts_dir: str, data_dir: str, retrieval_cfg=None,
                   use_pallas: bool = False, mesh=None, bf16: bool = False,
-                  quantize_tables: bool = False) -> "RecommendationEngine":
+                  quantize_tables: bool = False,
+                  candidate_cap: int = 0) -> "RecommendationEngine":
         """Startup loader (reference load_artifacts, main.py:233-277)."""
         import os
 
@@ -413,7 +490,8 @@ class RecommendationEngine:
         main_df = add_engineered_features(main_df)
         friendships = load_friendships_csv(os.path.join(data_dir, "friendships.csv"))
         eng = cls(bundle, main_df, friendships, retrieval_cfg, use_pallas=use_pallas,
-                  mesh=mesh, bf16=bf16, quantize_tables=quantize_tables)
+                  mesh=mesh, bf16=bf16, quantize_tables=quantize_tables,
+                  candidate_cap=candidate_cap)
         # Which artifacts this engine serves — surfaced in /healthz and used
         # by the hot-reload poller (serve/reload.py) to detect changes.
         eng.artifacts_dir = artifacts_dir

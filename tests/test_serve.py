@@ -303,3 +303,28 @@ def test_single_candidate_request(engine_setup):
         assert len(hotels) == 1, (lam, res)
         assert hotels[0]["hotel_id"] == solo_item
         assert hotels[0]["city"] == "Solo"
+
+
+def test_candidate_cap_responses_identical(engine_setup):
+    """serve.candidate_cap: the capped fast path (score only candidate
+    rows) must return responses IDENTICAL to the full-universe program for
+    every request — including requests whose candidate set overflows the
+    cap (lax.cond falls back to the exact full branch) and empty sets."""
+    engine, main_df, friendships, bundle = engine_setup
+    capped = RecommendationEngine(bundle, main_df, friendships, candidate_cap=16)
+    uni = engine.gen.universe
+    took_fast = took_full = 0
+    for u in [int(x) for x in uni.user_ids[:12]]:
+        for city in uni.cities[:2]:
+            for mode in ("friends", "personal"):
+                for lam in (1.0, 0.5):
+                    a = engine.recommend(u, city, mode, lam)
+                    b = capped.recommend(u, city, mode, lam)
+                    assert a == b, (u, city, mode, lam)
+                    n = len(a.get("ranked_hotels", []))
+                    if 0 < n <= 16:
+                        took_fast += 1
+                    elif n > 16:
+                        took_full += 1
+    # both branches must actually have been exercised
+    assert took_fast > 0 and took_full > 0, (took_fast, took_full)
