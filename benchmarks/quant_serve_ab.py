@@ -29,8 +29,9 @@ def main(argv=None) -> int:
     p.add_argument("order", nargs="?", default="fq",
                    help="engine sequence: f=f32, q=int8 tables, b=bf16 "
                         "scoring, Q=bf16+int8, c=f32+candidate-cap-4096, "
-                        "C=bf16+cap — e.g. 'fbcC' then 'Ccbf' for a "
-                        "both-orders sweep")
+                        "C=bf16+cap, u/U=f32/bf16 with city_bounded OFF "
+                        "(full-universe) — e.g. 'ufbcC' then 'CcbfU' for "
+                        "a both-orders sweep")
     p.add_argument("--items", type=int, default=100_000)
     p.add_argument("--users", type=int, default=50_000)
     p.add_argument("--reviews", type=int, default=500_000)
@@ -70,10 +71,10 @@ def main(argv=None) -> int:
     print(f"setup {time.time()-t0:.1f}s: {dims.n_items} items, "
           f"{dims.n_users} users", file=sys.stderr)
 
-    def build(quant, bf16=False, cap=0):
+    def build(quant, bf16=False, cap=0, bounded=True):
         eng = RecommendationEngine(bundle, main_df, ds.friendships,
                                    quantize_tables=quant, bf16=bf16,
-                                   candidate_cap=cap)
+                                   candidate_cap=cap, city_bounded=bounded)
         eng.warmup()
         return eng
 
@@ -100,16 +101,18 @@ def main(argv=None) -> int:
         return p50
 
     engines = {
-        "f": ("f32", False, False, 0),
-        "q": ("int8", True, False, 0),
-        "b": ("bf16", False, True, 0),
-        "Q": ("bf16+int8", True, True, 0),
-        "c": ("f32+cap4096", False, False, 4096),
-        "C": ("bf16+cap4096", False, True, 4096),
+        "f": ("f32", False, False, 0, True),
+        "q": ("int8", True, False, 0, True),
+        "b": ("bf16", False, True, 0, True),
+        "Q": ("bf16+int8", True, True, 0, True),
+        "c": ("f32+cap4096", False, False, 4096, True),
+        "C": ("bf16+cap4096", False, True, 4096, True),
+        "u": ("f32+nobound", False, False, 0, False),
+        "U": ("bf16+nobound", False, True, 0, False),
     }
     for c in args.order:
-        label, quant, bf16, cap = engines[c]
-        measure(build(quant, bf16, cap), label)
+        label, quant, bf16, cap, bounded = engines[c]
+        measure(build(quant, bf16, cap, bounded), label)
     return 0
 
 

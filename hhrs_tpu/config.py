@@ -160,6 +160,14 @@ class ServeConfig:
     # program via lax.cond). Worth setting at large catalogs; 0 = always
     # full-universe (the exact-semantics default at any size).
     candidate_cap: int = 0
+    # EXACT city-bounded ranking (default on): candidates are provably a
+    # subset of the request city's items (candidates.py intersects the
+    # mask with city_item), so the single-device engine ranks only the
+    # city's rows — O(max city size) compute and D2H instead of
+    # O(catalog), identical responses, and it applies to the batched
+    # program too. Auto-disabled under --mesh (the row-sharded
+    # full-universe program is the mesh fast path). Escape hatch only.
+    city_bounded: bool = True
     # Retired after the round-2 kernel honesty pass (fused Pallas serve tower
     # measured 0.74-0.75x vs XLA). Kept so existing `serve.use_pallas=...`
     # overrides parse; the engine warns and serves on the jnp path.

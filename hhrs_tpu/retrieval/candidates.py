@@ -166,6 +166,23 @@ class CandidateGenerator:
             "city_item": np.pad(city_item_mask, ((0, 0), (0, Mp - M))),
             "city_pop": np.pad(city_pop_mask, ((0, 0), (0, Mp - M))),
         }
+        # --- per-city item-row table (ascending serve indices, Mp-padded).
+        # The final intersection in _generate_impl makes every candidate a
+        # subset of city_item[city_idx], so a request's ranking work is
+        # bounded by its city's item count — the serve engine exploits this
+        # with an EXACT city-bounded program (engine._rank_rows) that is
+        # O(max city size) instead of O(catalog). Width rounds up for
+        # compile-shape stability across restarts with similar catalogs.
+        city_counts = city_item_mask.sum(axis=1)
+        maxc = int(city_counts.max()) if city_counts.size else 0
+        W = min(Mp, max(64, -(-maxc // 64) * 64))
+        city_rows = np.full((C + 1, W), Mp, np.int32)
+        for c in range(C + 1):
+            rows_c = np.nonzero(city_item_mask[c])[0]
+            city_rows[c, : len(rows_c)] = rows_c
+        self.city_rows_np = city_rows
+        self.max_city_items = maxc
+
         if mesh is None:
             self.dev = {k: jnp.asarray(v) for k, v in host.items()}
         else:

@@ -98,7 +98,8 @@ def main(argv=None) -> int:
             eng = RecommendationEngine.from_dirs(
                 adir, data_dir, mesh=mesh, bf16=args.bf16,
                 quantize_tables=args.quantize_tables or cfg.quantize_tables,
-                candidate_cap=cap, use_pallas=cfg.use_pallas)
+                candidate_cap=cap, city_bounded=cfg.city_bounded,
+                use_pallas=cfg.use_pallas)
             if not args.no_warmup:
                 log.info("warming up compiled request program...")
                 eng.warmup(batch_pad=max_batch if want_batching else None)

@@ -9,9 +9,12 @@ request-independent state is device-resident and built once at startup:
   * normalized item embeddings for similarity + MMR.
 
 A request executes ONE jitted program with static shapes: friend scatter →
-candidate masks → DCN-R scoring of all M items (a single MXU batch; the
-reference instead materializes a pandas sub-frame and runs a dynamic-size
-torch batch) → masked MMR. The host only does id translation and JSON
+candidate masks → DCN-R scoring (a single MXU batch; the reference instead
+materializes a pandas sub-frame and runs a dynamic-size torch batch) →
+masked MMR. By default scoring covers only the request city's item rows —
+exact, since candidates are a subset of the city's items by construction —
+so per-request compute and D2H are O(max city size), not O(catalog); under
+a mesh the full row-sharded item axis is scored instead. The host only does id translation and JSON
 assembly. Fallback/edge semantics match the reference exactly:
 unknown user → n_users//2 model id; empty candidates → message response;
 λ=1.0 returns the full sorted candidate list, λ<1 the MMR top-20.
@@ -55,6 +58,7 @@ class RecommendationEngine:
         bf16: bool = False,
         quantize_tables: bool = False,
         candidate_cap: int = 0,
+        city_bounded: bool = True,
     ):
         self.bundle = bundle
         self.retrieval_cfg = retrieval_cfg or RetrievalConfig()
@@ -223,21 +227,47 @@ class RecommendationEngine:
             log.warning("use_pallas is retired (measured slower than XLA; "
                         "RESULTS.md round-2 kernel honesty pass) — jnp path used")
             self.use_pallas = False
-        self._recommend_jit = jax.jit(self._recommend_impl)
-        # Batched request program: one dispatch + ONE device→host transfer
-        # for K coalesced requests (serve/batcher.py; the D2H latency floor
-        # amortizes K-fold): vmap of the single-request impl (the device
-        # state broadcasts via in_axes None so its shardings hold).
-        # Full-universe only: vmapping the candidate-cap cond would lower
-        # to select (both branches execute) and cost full + capped.
-        self._recommend_batch_jit = jax.jit(
-            jax.vmap(
-                lambda dev, s, c, u, l: self._recommend_impl(
-                    dev, s, c, u, l, use_cap=False
-                ),
-                in_axes=(None, 0, 0, 0, 0),
+        # City-bounded ranking: the candidate mask is built as
+        # `... & city_item[city_idx]` (candidates.py), so candidates are
+        # PROVABLY a subset of the request city's items — ranking only the
+        # city's rows is exact, O(max city size) compute and D2H instead of
+        # O(catalog) per request, and it vmaps (unlike the candidate_cap
+        # lax.cond, whose batched lowering would pay both branches).
+        # Disabled under a mesh: there the full-universe program row-shards
+        # the item axis — which IS the mesh fast path — and arbitrary-row
+        # gathers would insert collectives.
+        W = int(self.gen.city_rows_np.shape[1])
+        self._city_bounded = bool(city_bounded and mesh is None and W < self.gen._M)
+        # width of the packed `order` section the host unpacks (_assemble)
+        self._order_width = W if self._city_bounded else self.gen._M
+        if self._city_bounded:
+            self._dev["city_rows"] = jnp.asarray(self.gen.city_rows_np)
+            self._recommend_jit = jax.jit(self._recommend_rows_impl)
+            self._recommend_batch_jit = jax.jit(
+                jax.vmap(
+                    lambda dev, s, c, u, l: self._recommend_rows_impl(
+                        dev, s, c, u, l, use_cap=False
+                    ),
+                    in_axes=(None, 0, 0, 0, 0),
+                )
             )
-        )
+        else:
+            self._recommend_jit = jax.jit(self._recommend_impl)
+            # Batched request program: one dispatch + ONE device→host
+            # transfer for K coalesced requests (serve/batcher.py; the D2H
+            # latency floor amortizes K-fold): vmap of the single-request
+            # impl (the device state broadcasts via in_axes None so its
+            # shardings hold). Full-universe only: vmapping the
+            # candidate-cap cond would lower to select (both branches
+            # execute) and cost full + capped.
+            self._recommend_batch_jit = jax.jit(
+                jax.vmap(
+                    lambda dev, s, c, u, l: self._recommend_impl(
+                        dev, s, c, u, l, use_cap=False
+                    ),
+                    in_axes=(None, 0, 0, 0, 0),
+                )
+            )
 
     # ------------------------------------------------------------------ #
 
@@ -301,18 +331,61 @@ class RecommendationEngine:
         ])
 
     def _rank_capped(self, dev, cand, count, user_internal, lam):
-        """Candidate-only ranking: gather the ≤cap candidate rows, score
-        them, MMR in capped space, map indices back to serve space. Output
-        shape/dtype identical to _rank_full (lax.cond contract); the host
-        reads only the first `count` order entries and the ≥0 MMR picks,
-        so the padding never surfaces."""
+        """Candidate-only ranking for the full program's lax.cond: gather
+        the ≤cap candidate rows via nonzero, rank in capped space, pad the
+        order section back to M (the cond's shape contract with
+        _rank_full). The host reads only the first `count` order entries
+        and the ≥0 MMR picks, so the padding never surfaces."""
         M = self.gen._M
         cap = self._cap
-        K = self.retrieval_cfg.mmr_top_k
         idx = jnp.nonzero(cand, size=cap, fill_value=M)[0]  # ascending serve idx
-        valid = idx < M
-        safe = jnp.minimum(idx, M - 1).astype(jnp.int32)
-        users = jnp.full((cap,), user_internal, jnp.int32)
+        packed = self._rank_rows(dev, cand, count, user_internal, lam, idx)
+        order = jnp.zeros((M,), jnp.int32).at[:cap].set(packed[:cap])
+        return jnp.concatenate([order, packed[cap:]])
+
+    def _recommend_rows_impl(self, dev, padded_sources, city_idx, user_internal,
+                             lam, use_cap: bool = True):
+        """The city-bounded request program: retrieval over the full item
+        axis (cheap masks), then ranking + MMR over ONLY the request
+        city's rows — exact because candidates are a subset of the city's
+        items by construction (candidates.py builds the mask as
+        `... & city_item[city_idx]`). Packed output is [W + K + 1] with
+        W = max city size, so the per-request D2H payload also drops from
+        O(catalog) to O(W). With serve.candidate_cap < W, a lax.cond
+        further restricts fitting requests to their nonzero candidate rows
+        (single-request program only; under vmap cond pays both branches)."""
+        cand, _neg, count = self.gen._generate_impl(dev["gen"], padded_sources, city_idx)
+        C = len(self.gen.universe.cities)
+        rows = dev["city_rows"][jnp.minimum(city_idx, C)]
+        W = rows.shape[0]
+        cap = self._cap
+        if use_cap and 0 < cap < W:
+            def capped():
+                idx = jnp.nonzero(cand, size=cap, fill_value=self.gen._M)[0]
+                packed = self._rank_rows(dev, cand, count, user_internal, lam, idx)
+                order = jnp.zeros((W,), jnp.int32).at[:cap].set(packed[:cap])
+                return jnp.concatenate([order, packed[cap:]])
+
+            return jax.lax.cond(
+                count <= cap,
+                capped,
+                lambda: self._rank_rows(dev, cand, count, user_internal, lam, rows),
+            )
+        return self._rank_rows(dev, cand, count, user_internal, lam, rows)
+
+    def _rank_rows(self, dev, cand, count, user_internal, lam, idx):
+        """Ranking + MMR restricted to the rows ``idx`` (ascending serve
+        indices, padded with Mp). Exact iff every candidate is in ``idx`` —
+        callers pass either the request city's item rows (candidates are a
+        subset by construction) or the nonzero(cand) rows. Returns a packed
+        [len(idx) + K + 1] int32 vector; stable tie-breaks match the full
+        program (idx ascending == serve-index ascending)."""
+        Mp = self.gen._M
+        K = self.retrieval_cfg.mmr_top_k
+        Wr = idx.shape[0]
+        safe = jnp.minimum(idx, Mp - 1).astype(jnp.int32)
+        valid = jnp.logical_and(idx < Mp, cand[safe])
+        users = jnp.full((Wr,), user_internal, jnp.int32)
         logits_c, _ = apply_dcn(
             dev["params"],
             dev["bn_state"],
@@ -332,15 +405,14 @@ class RecommendationEngine:
             lam,
             top_k=K,
         )
-        # capped→serve index maps. Stable argsort ties break by capped
-        # position == ascending serve index, matching the full path.
+        # row→serve index maps. Stable argsort ties break by row position
+        # == ascending serve index, matching the full path.
         order_c = idx[jnp.argsort(-scores_c)].astype(jnp.int32)
-        order = jnp.zeros((M,), jnp.int32).at[:cap].set(order_c)
         mmr_idx = jnp.where(
             mmr_c >= 0, idx[jnp.maximum(mmr_c, 0)].astype(jnp.int32), -1
         )
         return jnp.concatenate([
-            order,
+            order_c,
             mmr_idx.astype(jnp.int32),
             count.astype(jnp.int32)[None],
         ])
@@ -357,8 +429,8 @@ class RecommendationEngine:
 
     def _assemble(self, user_id: int, lambda_param: float, packed: np.ndarray) -> dict:
         """Host-side response assembly from one packed program output."""
-        M = self.gen._M
-        order, mmr_idx, count = packed[:M], packed[M:-1], int(packed[-1])
+        W = self._order_width
+        order, mmr_idx, count = packed[:W], packed[W:-1], int(packed[-1])
         if count == 0:
             return {"ranked_hotels": [], "message": "No suitable candidates found."}
 
@@ -481,7 +553,8 @@ class RecommendationEngine:
     def from_dirs(cls, artifacts_dir: str, data_dir: str, retrieval_cfg=None,
                   use_pallas: bool = False, mesh=None, bf16: bool = False,
                   quantize_tables: bool = False,
-                  candidate_cap: int = 0) -> "RecommendationEngine":
+                  candidate_cap: int = 0,
+                  city_bounded: bool = True) -> "RecommendationEngine":
         """Startup loader (reference load_artifacts, main.py:233-277)."""
         import os
 
@@ -491,7 +564,7 @@ class RecommendationEngine:
         friendships = load_friendships_csv(os.path.join(data_dir, "friendships.csv"))
         eng = cls(bundle, main_df, friendships, retrieval_cfg, use_pallas=use_pallas,
                   mesh=mesh, bf16=bf16, quantize_tables=quantize_tables,
-                  candidate_cap=candidate_cap)
+                  candidate_cap=candidate_cap, city_bounded=city_bounded)
         # Which artifacts this engine serves — surfaced in /healthz and used
         # by the hot-reload poller (serve/reload.py) to detect changes.
         eng.artifacts_dir = artifacts_dir

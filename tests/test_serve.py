@@ -328,3 +328,42 @@ def test_candidate_cap_responses_identical(engine_setup):
                         took_full += 1
     # both branches must actually have been exercised
     assert took_fast > 0 and took_full > 0, (took_fast, took_full)
+
+
+def test_city_bounded_engine_parity(engine_setup):
+    """serve.city_bounded (default on): ranking only the request city's
+    rows must return responses IDENTICAL to the full-universe program —
+    single-request AND batched paths, including unknown-city (empty) and
+    λ=1.0 full-list requests. Exactness rests on candidates ⊆ city items
+    (candidates.py intersects the mask with city_item)."""
+    engine, main_df, friendships, bundle = engine_setup
+    uni = engine.gen.universe
+    assert engine._city_bounded  # multi-city dataset → auto-enabled
+    assert engine._order_width < engine.gen._M
+    full = RecommendationEngine(bundle, main_df, friendships, city_bounded=False)
+    assert not full._city_bounded
+
+    reqs = []
+    for u in [int(x) for x in uni.user_ids[:8]]:
+        for city in list(uni.cities[:2]) + ["NowhereCity"]:
+            for mode, lam in (("friends", 0.7), ("personal", 1.0)):
+                reqs.append((u, city, mode, lam))
+    for u, c, m, l in reqs:
+        assert engine.recommend(u, c, m, l) == full.recommend(u, c, m, l), (u, c, m, l)
+    # batched program (vmapped city-bounded impl) — same contract
+    assert engine.recommend_many(reqs[:9]) == full.recommend_many(reqs[:9])
+
+
+def test_city_bounded_composes_with_candidate_cap(engine_setup):
+    """candidate_cap nests inside the city-bounded program (lax.cond in
+    rows space) — responses stay identical to the unbounded engine."""
+    engine, main_df, friendships, bundle = engine_setup
+    uni = engine.gen.universe
+    both = RecommendationEngine(bundle, main_df, friendships,
+                                candidate_cap=16, city_bounded=True)
+    assert both._city_bounded and both._cap == 16
+    for u in [int(x) for x in uni.user_ids[:8]]:
+        for mode in ("friends", "personal"):
+            a = engine.recommend(u, uni.cities[0], mode, 0.6)
+            b = both.recommend(u, uni.cities[0], mode, 0.6)
+            assert a == b, (u, mode)
