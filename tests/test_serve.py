@@ -354,6 +354,37 @@ def test_city_bounded_engine_parity(engine_setup):
     assert engine.recommend_many(reqs[:9]) == full.recommend_many(reqs[:9])
 
 
+def test_city_bounded_multi_city_item(engine_setup):
+    """An item whose reviews appear under TWO cities belongs to both city
+    masks (candidates.py builds city_item from ALL review rows, not the
+    item's first-occurrence city). The city-bounded rows table must come
+    from that same mask — this pins it: with a review row duplicated into
+    a second city, bounded and unbounded engines stay response-identical
+    for BOTH cities, and the multi-city item actually surfaces."""
+    engine, main_df, friendships, bundle = engine_setup
+    uni = engine.gen.universe
+    c0, c1 = uni.cities[0], uni.cities[1]
+    row = main_df[main_df["city"] == c0].iloc[[0]].copy()
+    row["city"] = c1
+    row["rating_overall"] = 9.0  # its reviewer now likes it → personal positive
+    df2 = pd.concat([main_df, row], ignore_index=True)
+    bounded = RecommendationEngine(bundle, df2, friendships, city_bounded=True)
+    unbounded = RecommendationEngine(bundle, df2, friendships, city_bounded=False)
+    assert bounded._city_bounded and not unbounded._city_bounded
+    item = int(row["item_id"].iloc[0])
+    user = int(row["user_id"].iloc[0])
+    hits = 0
+    for city in (c0, c1):
+        for uid in [user] + [int(x) for x in uni.user_ids[:5]]:
+            for mode in ("friends", "personal"):
+                a = bounded.recommend(uid, city, mode, 1.0)
+                b = unbounded.recommend(uid, city, mode, 1.0)
+                assert a == b, (uid, city, mode)
+                if any(h["hotel_id"] == item for h in a.get("ranked_hotels", [])):
+                    hits += 1
+    assert hits > 0  # the duplicated-city item surfaced somewhere
+
+
 def test_city_bounded_composes_with_candidate_cap(engine_setup):
     """candidate_cap nests inside the city-bounded program (lax.cond in
     rows space) — responses stay identical to the unbounded engine."""
