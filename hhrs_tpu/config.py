@@ -160,6 +160,13 @@ class ServeConfig:
     # program via lax.cond). Worth setting at large catalogs; 0 = always
     # full-universe (the exact-semantics default at any size).
     candidate_cap: int = 0
+    # >0: LRU response cache of this many entries (serve/cache.py). Serve
+    # state is immutable between model reloads, so identical requests are
+    # memoized exactly; a registry hot-swap invalidates atomically.
+    # cache_ttl_s adds time-based expiry on top (0 = entries live until
+    # evicted/invalidated).
+    cache_entries: int = 0
+    cache_ttl_s: float = 0.0
     # EXACT city-bounded ranking (default on): candidates are provably a
     # subset of the request city's items (candidates.py intersects the
     # mask with city_item), so the single-device engine ranks only the

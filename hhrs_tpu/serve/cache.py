@@ -1,0 +1,113 @@
+"""Serve-side response cache: identical requests skip the device entirely.
+
+The reference has no cache (every request re-runs pandas set algebra +
+a torch forward, main.py:307-357). In this engine all request-dependent
+state (review dataframe, social graph, model params) is loaded ONCE and
+immutable until a model hot-reload, so identical (user, city, mode, λ)
+requests always produce identical responses — memoizing them is
+semantically free. The win on the tunneled backend is the whole ~27ms
+D2H floor per repeat request; on directly-attached chips it still saves
+the ~2ms device program + dispatch.
+
+Invalidation is by model generation: the wrapper snapshots the identity
+of the underlying engine stack (``.current`` of a SwappableEngine, else
+the engine itself) and clears the cache whenever it changes — a registry
+hot-swap (serve/reload.py) therefore invalidates atomically. An optional
+TTL is an operator freshness knob on top, not a correctness mechanism.
+
+Cached responses are shared dicts — treated as immutable by every
+consumer (the HTTP layer only serializes them).
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from collections import OrderedDict
+
+
+class CachedEngine:
+    """LRU response cache wrapping any engine-like stack (plain engine,
+    BatchingEngine, or SwappableEngine). Unknown attributes delegate to
+    the wrapped stack, mirroring SwappableEngine's pattern."""
+
+    def __init__(self, inner, max_entries: int = 4096, ttl_s: float = 0.0):
+        self._inner = inner
+        self._max = int(max_entries)
+        self._ttl = float(ttl_s)
+        self._lock = threading.Lock()
+        self._cache: OrderedDict = OrderedDict()
+        self._gen = self._generation()
+        self.hits = 0
+        self.misses = 0
+
+    # ------------------------------------------------------------------ #
+
+    def _generation(self):
+        # SwappableEngine exposes .current (the live stack); a plain engine
+        # or BatchingEngine is its own generation.
+        return id(getattr(self._inner, "current", self._inner))
+
+    def _get(self, key):
+        now = time.time()
+        with self._lock:
+            g = self._generation()
+            if g != self._gen:  # model hot-swapped → all entries stale
+                self._cache.clear()
+                self._gen = g
+            entry = self._cache.get(key)
+            if entry is None:
+                self.misses += 1
+                return None
+            val, ts = entry
+            if self._ttl > 0 and now - ts > self._ttl:
+                del self._cache[key]
+                self.misses += 1
+                return None
+            self._cache.move_to_end(key)
+            self.hits += 1
+            return val
+
+    def _put(self, key, val):
+        with self._lock:
+            if self._generation() != self._gen:
+                return  # raced a reload; don't cache against the old model
+            self._cache[key] = (val, time.time())
+            self._cache.move_to_end(key)
+            while len(self._cache) > self._max:
+                self._cache.popitem(last=False)
+
+    # ---------------- engine surface ---------------- #
+
+    def recommend(self, user_id: int, city: str, mode: str = "friends",
+                  lambda_param: float = 0.7) -> dict:
+        key = (int(user_id), city, mode, float(lambda_param))
+        val = self._get(key)
+        if val is None:
+            val = self._inner.recommend(user_id, city, mode, lambda_param)
+            self._put(key, val)
+        return val
+
+    def recommend_many(self, requests: list, pad_to: int | None = None) -> list:
+        """Hits served from cache; only the misses go to the wrapped stack
+        (still as ONE batched program). All-hit batches never touch the
+        device."""
+        keys = [(int(u), c, m, float(l)) for u, c, m, l in requests]
+        out = [self._get(k) for k in keys]
+        miss = [i for i, v in enumerate(out) if v is None]
+        if miss:
+            fresh = self._inner.recommend_many(
+                [requests[i] for i in miss], pad_to=pad_to
+            )
+            for i, r in zip(miss, fresh):
+                out[i] = r
+                self._put(keys[i], r)
+        return out
+
+    def cache_stats(self) -> dict:
+        with self._lock:
+            return {"entries": len(self._cache), "hits": self.hits,
+                    "misses": self.misses}
+
+    def __getattr__(self, name):
+        return getattr(self._inner, name)

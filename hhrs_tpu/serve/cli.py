@@ -50,6 +50,10 @@ def main(argv=None) -> int:
                    help=">0: compiled fast path scoring only candidate rows "
                         "when the set fits (exact; overflow uses the full "
                         "program). Worth setting at large catalogs")
+    p.add_argument("--cache-entries", type=int, default=None,
+                   help=">0: LRU response cache (identical requests skip the "
+                        "device; hot reload invalidates; serve.cache_ttl_s "
+                        "adds expiry)")
     p.add_argument("--reload-poll-s", type=float, default=0.0,
                    help="with --artifacts registry:<db>: poll the registry "
                         "every N seconds and hot-swap to a newly activated "
@@ -133,6 +137,16 @@ def main(argv=None) -> int:
                 engine = holder
                 log.info("registry hot reload on: polling every %.1fs",
                          args.reload_poll_s)
+        cache_entries = (args.cache_entries if args.cache_entries is not None
+                         else cfg.cache_entries)
+        if cache_entries > 0:
+            from hhrs_tpu.serve.cache import CachedEngine
+
+            # outermost wrapper: hits skip the batch window AND the device;
+            # generation tracking sees through the SwappableEngine on swap.
+            engine = CachedEngine(engine, cache_entries, cfg.cache_ttl_s)
+            log.info("response cache on: %d entries, ttl %.1fs",
+                     cache_entries, cfg.cache_ttl_s)
         log.info("Artifacts loaded successfully. Server is ready.")
     except Exception as e:
         log.critical("CRITICAL ERROR during startup: %s", e)

@@ -54,6 +54,17 @@ def _prometheus_metrics(engine) -> str:
         v = s.get(key)
         if v is not None and v == v:  # skip NaN before any traffic
             lines.append(f'hhrs_recommend_latency_ms{{quantile="{q}"}} {v:.3f}')
+    stats_fn = getattr(engine, "cache_stats", None)
+    if stats_fn is not None:  # CachedEngine wrapper active
+        cs = stats_fn()
+        lines += [
+            "# TYPE hhrs_response_cache_hits_total counter",
+            f"hhrs_response_cache_hits_total {cs['hits']}",
+            "# TYPE hhrs_response_cache_misses_total counter",
+            f"hhrs_response_cache_misses_total {cs['misses']}",
+            "# TYPE hhrs_response_cache_entries gauge",
+            f"hhrs_response_cache_entries {cs['entries']}",
+        ]
     return "\n".join(lines) + "\n"
 
 
@@ -86,11 +97,15 @@ def make_handler(engine):
                 if url.path == "/similar_items":
                     return self._similar_items(parse_qs(url.query))
                 if url.path == "/healthz":
-                    return self._send(200, {
+                    payload = {
                         "status": "ok",
                         "model": getattr(engine, "artifacts_dir", None),
                         "latency": engine.latency.summary(),
-                    })
+                    }
+                    stats_fn = getattr(engine, "cache_stats", None)
+                    if stats_fn is not None:
+                        payload["cache"] = stats_fn()
+                    return self._send(200, payload)
                 if url.path == "/metrics":
                     return self._send(200, _prometheus_metrics(engine), "text/plain; version=0.0.4")
                 if url.path == "/docs":

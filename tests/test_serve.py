@@ -385,6 +385,55 @@ def test_city_bounded_multi_city_item(engine_setup):
     assert hits > 0  # the duplicated-city item surfaced somewhere
 
 
+def test_response_cache(engine_setup):
+    """serve/cache.py: identical requests are memoized exactly; misses in a
+    batch still go to the device as one program; LRU evicts; TTL expires;
+    and a model-generation change (hot swap) invalidates everything."""
+    import time as _time
+
+    from hhrs_tpu.serve.cache import CachedEngine
+    from hhrs_tpu.serve.reload import SwappableEngine
+
+    engine, main_df, friendships, bundle = engine_setup
+    uni = engine.gen.universe
+    u0, u1 = int(uni.user_ids[0]), int(uni.user_ids[1])
+    city = uni.cities[0]
+
+    cached = CachedEngine(engine, max_entries=2)
+    a = cached.recommend(u0, city, "friends", 0.7)
+    b = cached.recommend(u0, city, "friends", 0.7)
+    assert a is b  # the literal cached object — no device call
+    assert a == engine.recommend(u0, city, "friends", 0.7)
+    assert cached.cache_stats()["hits"] == 1
+
+    # batched: one hit + one miss — parity with the raw engine
+    reqs = [(u0, city, "friends", 0.7), (u1, city, "personal", 1.0)]
+    out = cached.recommend_many(reqs)
+    assert out == engine.recommend_many(reqs)
+    assert cached.cache_stats()["hits"] == 2  # the u0 entry
+
+    # LRU: a third distinct key evicts the oldest (max_entries=2)
+    cached.recommend(u1, city, "friends", 0.5)
+    assert cached.cache_stats()["entries"] == 2
+
+    # TTL expiry
+    ttl = CachedEngine(engine, max_entries=8, ttl_s=0.01)
+    ttl.recommend(u0, city, "friends", 0.7)
+    _time.sleep(0.05)
+    ttl.recommend(u0, city, "friends", 0.7)
+    assert ttl.cache_stats() == {"entries": 1, "hits": 0, "misses": 2}
+
+    # hot-swap invalidation: generation = identity of holder.current
+    holder = SwappableEngine(engine)
+    swapped = CachedEngine(holder, max_entries=8)
+    r1 = swapped.recommend(u0, city, "friends", 0.7)
+    holder.swap(RecommendationEngine(bundle, main_df, friendships))
+    r2 = swapped.recommend(u0, city, "friends", 0.7)
+    assert r1 == r2  # same model → same response...
+    assert r1 is not r2  # ...but recomputed: the swap cleared the cache
+    assert swapped.cache_stats()["misses"] == 2
+
+
 def test_city_bounded_composes_with_candidate_cap(engine_setup):
     """candidate_cap nests inside the city-bounded program (lax.cond in
     rows space) — responses stay identical to the unbounded engine."""
