@@ -25,6 +25,8 @@ import threading
 import time
 from collections import OrderedDict
 
+_NONE = object()  # cached "unknown item" marker (None itself means miss)
+
 
 class CachedEngine:
     """LRU response cache wrapping any engine-like stack (plain engine,
@@ -103,6 +105,18 @@ class CachedEngine:
                 out[i] = r
                 self._put(keys[i], r)
         return out
+
+    def similar_items(self, item_id: int, n: int = 10):
+        """Deterministic like recommend (kNN over the fixed item table) —
+        same memoization; None (unknown item → 404) is cached via a
+        sentinel so repeat 404s don't recompute."""
+        key = ("sim", int(item_id), int(n))
+        val = self._get(key)
+        if val is None:
+            val = self._inner.similar_items(item_id, n)
+            self._put(key, _NONE if val is None else val)
+            return val
+        return None if val is _NONE else val
 
     def cache_stats(self) -> dict:
         with self._lock:

@@ -423,6 +423,16 @@ def test_response_cache(engine_setup):
     ttl.recommend(u0, city, "friends", 0.7)
     assert ttl.cache_stats() == {"entries": 1, "hits": 0, "misses": 2}
 
+    # similar_items memoized too, incl. the unknown-item None (404) case
+    sim = CachedEngine(engine, max_entries=8)
+    some_item = int(next(iter(bundle.preproc.item_id_mapping)))
+    s1 = sim.similar_items(some_item, 5)
+    s2 = sim.similar_items(some_item, 5)
+    assert s1 == s2 and sim.cache_stats()["hits"] == 1
+    assert sim.similar_items(-12345, 5) is None
+    assert sim.similar_items(-12345, 5) is None  # served from the sentinel
+    assert sim.cache_stats()["hits"] == 2
+
     # hot-swap invalidation: generation = identity of holder.current
     holder = SwappableEngine(engine)
     swapped = CachedEngine(holder, max_entries=8)
