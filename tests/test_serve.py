@@ -444,6 +444,32 @@ def test_response_cache(engine_setup):
     assert swapped.cache_stats()["misses"] == 2
 
 
+def test_city_bounded_fuzz_random_universes(engine_setup):
+    """Randomized serve universes against the SAME trained bundle: review
+    rows reassigned to random cities (items spanning several cities, small
+    cities, items unknown to the bundle → internal id 0). Bounded and
+    unbounded engines must agree on every response."""
+    engine, _main_df, _friendships, bundle = engine_setup
+    for seed in range(3):
+        ds = generate_synthetic_dataset(
+            n_users=60, n_items=30, n_reviews=400, seed=100 + seed
+        )
+        df = add_engineered_features(
+            ds.reviews.rename(columns={"guest_id": "user_id", "hotel_id": "item_id"})
+        )
+        r = np.random.default_rng(seed)
+        df["city"] = r.choice(["A", "B", "C", "D"], len(df))
+        bounded = RecommendationEngine(bundle, df, ds.friendships, city_bounded=True)
+        unbounded = RecommendationEngine(bundle, df, ds.friendships, city_bounded=False)
+        uni = bounded.gen.universe
+        for uid in [int(x) for x in uni.user_ids[:5]]:
+            for city in ("A", "D", "Zzz"):
+                for mode, lam in (("friends", 1.0), ("personal", 0.5)):
+                    a = bounded.recommend(uid, city, mode, lam)
+                    b = unbounded.recommend(uid, city, mode, lam)
+                    assert a == b, (seed, uid, city, mode, lam)
+
+
 def test_city_bounded_composes_with_candidate_cap(engine_setup):
     """candidate_cap nests inside the city-bounded program (lax.cond in
     rows space) — responses stay identical to the unbounded engine."""
