@@ -81,6 +81,8 @@ def main(argv=None) -> int:
         resolve_artifacts_dir(args.artifacts), args.data,
         retrieval_cfg=cfg.retrieval,
         quantize_tables=args.quantize_tables or cfg.serve.quantize_tables,
+        candidate_cap=cfg.serve.candidate_cap,
+        city_bounded=cfg.serve.city_bounded,
         bf16=args.bf16)
 
     uni = engine.gen.universe

@@ -34,46 +34,62 @@ class CachedEngine:
     the wrapped stack, mirroring SwappableEngine's pattern."""
 
     def __init__(self, inner, max_entries: int = 4096, ttl_s: float = 0.0):
+        import weakref
+
         self._inner = inner
         self._max = int(max_entries)
         self._ttl = float(ttl_s)
         self._lock = threading.Lock()
         self._cache: OrderedDict = OrderedDict()
-        self._gen = self._generation()
+        # Generation = IDENTITY of the live stack, held as a weakref (a
+        # bare id() could be reused by a later allocation after the old
+        # stack is freed, silently resurrecting stale entries). A dead
+        # weakref compares `is not` to any live object, so address reuse
+        # can never alias generations.
+        self._weakref = weakref.ref
+        self._gen_ref = weakref.ref(self._current())
         self.hits = 0
         self.misses = 0
 
     # ------------------------------------------------------------------ #
 
-    def _generation(self):
+    def _current(self):
         # SwappableEngine exposes .current (the live stack); a plain engine
         # or BatchingEngine is its own generation.
-        return id(getattr(self._inner, "current", self._inner))
+        return getattr(self._inner, "current", self._inner)
 
     def _get(self, key):
+        """Returns (cached_value_or_None, generation_object). Callers that
+        miss must compute against THAT generation (they hold the only
+        guaranteed-live reference to it) and hand it back to _put — closing
+        the swap race where a response computed against the old model
+        could otherwise be cached after the new one went live."""
         now = time.time()
         with self._lock:
-            g = self._generation()
-            if g != self._gen:  # model hot-swapped → all entries stale
+            cur = self._current()
+            if self._gen_ref() is not cur:  # model hot-swapped → all stale
                 self._cache.clear()
-                self._gen = g
+                self._gen_ref = self._weakref(cur)
             entry = self._cache.get(key)
             if entry is None:
                 self.misses += 1
-                return None
+                return None, cur
             val, ts = entry
             if self._ttl > 0 and now - ts > self._ttl:
                 del self._cache[key]
                 self.misses += 1
-                return None
+                return None, cur
             self._cache.move_to_end(key)
             self.hits += 1
-            return val
+            return val, cur
 
-    def _put(self, key, val):
+    def _put(self, key, val, gen):
         with self._lock:
-            if self._generation() != self._gen:
-                return  # raced a reload; don't cache against the old model
+            # cache only if the stack the response was computed against is
+            # STILL the live one (gen is the object _get observed at miss
+            # time; the caller's strong reference kept it un-collectable)
+            if self._gen_ref() is not gen or self._current() is not gen:
+                return  # raced a reload; don't cache the old model's answer
             self._cache[key] = (val, time.time())
             self._cache.move_to_end(key)
             while len(self._cache) > self._max:
@@ -84,10 +100,10 @@ class CachedEngine:
     def recommend(self, user_id: int, city: str, mode: str = "friends",
                   lambda_param: float = 0.7) -> dict:
         key = (int(user_id), city, mode, float(lambda_param))
-        val = self._get(key)
+        val, gen = self._get(key)
         if val is None:
             val = self._inner.recommend(user_id, city, mode, lambda_param)
-            self._put(key, val)
+            self._put(key, val, gen)
         return val
 
     def recommend_many(self, requests: list, pad_to: int | None = None) -> list:
@@ -95,7 +111,8 @@ class CachedEngine:
         (still as ONE batched program). All-hit batches never touch the
         device."""
         keys = [(int(u), c, m, float(l)) for u, c, m, l in requests]
-        out = [self._get(k) for k in keys]
+        looked = [self._get(k) for k in keys]
+        out = [v for v, _ in looked]
         miss = [i for i, v in enumerate(out) if v is None]
         if miss:
             fresh = self._inner.recommend_many(
@@ -103,7 +120,7 @@ class CachedEngine:
             )
             for i, r in zip(miss, fresh):
                 out[i] = r
-                self._put(keys[i], r)
+                self._put(keys[i], r, looked[i][1])
         return out
 
     def similar_items(self, item_id: int, n: int = 10):
@@ -111,10 +128,10 @@ class CachedEngine:
         same memoization; None (unknown item → 404) is cached via a
         sentinel so repeat 404s don't recompute."""
         key = ("sim", int(item_id), int(n))
-        val = self._get(key)
+        val, gen = self._get(key)
         if val is None:
             val = self._inner.similar_items(item_id, n)
-            self._put(key, _NONE if val is None else val)
+            self._put(key, _NONE if val is None else val, gen)
             return val
         return None if val is _NONE else val
 

@@ -66,6 +66,15 @@ class RecommendationEngine:
         self.latency = LatencyHistogram()
         self.use_pallas = use_pallas
         self.mesh = mesh
+        if mesh is not None and candidate_cap:
+            # The capped branch gathers feature rows at arbitrary
+            # nonzero(cand) indices — out of row-sharded arrays that would
+            # insert cross-device collectives into every request program
+            # (the same pathology city-bounding auto-disables itself for).
+            log.warning("candidate_cap is ignored under --mesh (arbitrary-row "
+                        "gathers from sharded arrays); the row-sharded "
+                        "full-universe program is the mesh fast path")
+            candidate_cap = 0
         self._cap = int(candidate_cap)
         if quantize_tables:
             # Opt-in: hold the model's embedding tables (user/item/cats) as
@@ -290,9 +299,10 @@ class RecommendationEngine:
         cand, _neg, count = self.gen._generate_impl(dev["gen"], padded_sources, city_idx)
         cap = self._cap
         if use_cap and 0 < cap < self.gen._M:
+            M = self.gen._M
             return jax.lax.cond(
                 count <= cap,
-                lambda: self._rank_capped(dev, cand, count, user_internal, lam),
+                lambda: self._rank_capped(dev, cand, count, user_internal, lam, M),
                 lambda: self._rank_full(dev, cand, count, user_internal, lam),
             )
         return self._rank_full(dev, cand, count, user_internal, lam)
@@ -330,17 +340,17 @@ class RecommendationEngine:
             count.astype(jnp.int32)[None],
         ])
 
-    def _rank_capped(self, dev, cand, count, user_internal, lam):
-        """Candidate-only ranking for the full program's lax.cond: gather
-        the ≤cap candidate rows via nonzero, rank in capped space, pad the
-        order section back to M (the cond's shape contract with
-        _rank_full). The host reads only the first `count` order entries
-        and the ≥0 MMR picks, so the padding never surfaces."""
-        M = self.gen._M
+    def _rank_capped(self, dev, cand, count, user_internal, lam, width):
+        """Candidate-only ranking for a lax.cond fast branch: gather the
+        ≤cap candidate rows via nonzero, rank in capped space, pad the
+        order section back to ``width`` (the cond's shape contract with
+        the other branch — M for the full program, W for the city-bounded
+        one). The host reads only the first `count` order entries and the
+        ≥0 MMR picks, so the padding never surfaces."""
         cap = self._cap
-        idx = jnp.nonzero(cand, size=cap, fill_value=M)[0]  # ascending serve idx
+        idx = jnp.nonzero(cand, size=cap, fill_value=self.gen._M)[0]  # ascending
         packed = self._rank_rows(dev, cand, count, user_internal, lam, idx)
-        order = jnp.zeros((M,), jnp.int32).at[:cap].set(packed[:cap])
+        order = jnp.zeros((width,), jnp.int32).at[:cap].set(packed[:cap])
         return jnp.concatenate([order, packed[cap:]])
 
     def _recommend_rows_impl(self, dev, padded_sources, city_idx, user_internal,
@@ -360,15 +370,9 @@ class RecommendationEngine:
         W = rows.shape[0]
         cap = self._cap
         if use_cap and 0 < cap < W:
-            def capped():
-                idx = jnp.nonzero(cand, size=cap, fill_value=self.gen._M)[0]
-                packed = self._rank_rows(dev, cand, count, user_internal, lam, idx)
-                order = jnp.zeros((W,), jnp.int32).at[:cap].set(packed[:cap])
-                return jnp.concatenate([order, packed[cap:]])
-
             return jax.lax.cond(
                 count <= cap,
-                capped,
+                lambda: self._rank_capped(dev, cand, count, user_internal, lam, W),
                 lambda: self._rank_rows(dev, cand, count, user_internal, lam, rows),
             )
         return self._rank_rows(dev, cand, count, user_internal, lam, rows)

@@ -311,7 +311,14 @@ def test_candidate_cap_responses_identical(engine_setup):
     every request — including requests whose candidate set overflows the
     cap (lax.cond falls back to the exact full branch) and empty sets."""
     engine, main_df, friendships, bundle = engine_setup
+    # cap inside the (default) city-bounded program AND the cap over the
+    # full-universe program (_recommend_impl's cond / M-width _rank_capped
+    # padding — the path production reaches via serve.city_bounded=false
+    # or a single-city catalog)
     capped = RecommendationEngine(bundle, main_df, friendships, candidate_cap=16)
+    capped_nb = RecommendationEngine(bundle, main_df, friendships,
+                                     candidate_cap=16, city_bounded=False)
+    assert capped._city_bounded and not capped_nb._city_bounded
     uni = engine.gen.universe
     took_fast = took_full = 0
     for u in [int(x) for x in uni.user_ids[:12]]:
@@ -320,7 +327,8 @@ def test_candidate_cap_responses_identical(engine_setup):
                 for lam in (1.0, 0.5):
                     a = engine.recommend(u, city, mode, lam)
                     b = capped.recommend(u, city, mode, lam)
-                    assert a == b, (u, city, mode, lam)
+                    c = capped_nb.recommend(u, city, mode, lam)
+                    assert a == b == c, (u, city, mode, lam)
                     n = len(a.get("ranked_hotels", []))
                     if 0 < n <= 16:
                         took_fast += 1
@@ -452,15 +460,24 @@ def test_city_bounded_fuzz_random_universes(engine_setup):
     engine, _main_df, _friendships, bundle = engine_setup
     for seed in range(3):
         ds = generate_synthetic_dataset(
-            n_users=60, n_items=30, n_reviews=400, seed=100 + seed
+            n_users=60, n_items=100, n_reviews=700, seed=100 + seed
         )
         df = add_engineered_features(
             ds.reviews.rename(columns={"guest_id": "user_id", "hotel_id": "item_id"})
         )
         r = np.random.default_rng(seed)
-        df["city"] = r.choice(["A", "B", "C", "D"], len(df))
+        # per-ITEM home city + 5% per-row spill into random cities: items
+        # stay city-concentrated (so W < Mp and the rows path engages) while
+        # some items still span multiple cities (the tricky case)
+        cities = np.array(["A", "B", "C", "D"])
+        home = {it: cities[r.integers(4)] for it in df["item_id"].unique()}
+        city_col = df["item_id"].map(home).to_numpy(object)
+        spill = r.random(len(df)) < 0.05
+        city_col[spill] = cities[r.integers(0, 4, int(spill.sum()))]
+        df["city"] = city_col
         bounded = RecommendationEngine(bundle, df, ds.friendships, city_bounded=True)
         unbounded = RecommendationEngine(bundle, df, ds.friendships, city_bounded=False)
+        assert bounded._city_bounded  # the rows path really runs (W < Mp)
         uni = bounded.gen.universe
         for uid in [int(x) for x in uni.user_ids[:5]]:
             for city in ("A", "D", "Zzz"):

@@ -63,6 +63,21 @@ def test_mesh_engine_identical_responses(engines, mode, lam):
     assert checked == len(users) * len(cities)
 
 
+def test_mesh_disables_cap_and_city_bounding(engines):
+    """Under a mesh, candidate_cap and city_bounded both auto-disable —
+    arbitrary-row gathers from row-sharded feature arrays would insert
+    collectives into every request; the row-sharded full-universe program
+    is the mesh fast path. Responses stay identical regardless."""
+    single, _meshed, (bundle, main_df, friendships, mesh) = engines
+    eng = RecommendationEngine(bundle, main_df, friendships, mesh=mesh,
+                               candidate_cap=16, city_bounded=True)
+    assert eng._cap == 0 and not eng._city_bounded
+    uni = single.gen.universe
+    u = int(uni.user_ids[0])
+    assert eng.recommend(u, uni.cities[0], "friends", 0.7) == \
+        single.recommend(u, uni.cities[0], "friends", 0.7)
+
+
 def test_mesh_engine_edge_cases(engines):
     single, meshed, _setup = engines
     uni = single.gen.universe
