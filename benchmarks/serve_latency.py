@@ -31,6 +31,10 @@ def main(argv=None) -> int:
                    help="bf16 catalog scoring (the serve CLI's --bf16)")
     p.add_argument("--quantize", action="store_true",
                    help="int8 embedding tables (the serve CLI's --quantize-tables)")
+    p.add_argument("--cache-entries", type=int, default=0,
+                   help=">0: wrap in the LRU response cache; with the default "
+                        "request mix repeats appear once users*cities cycles, "
+                        "so the p50 shows the cache-hit path")
     args = p.parse_args(argv)
 
     import tempfile
@@ -67,6 +71,13 @@ def main(argv=None) -> int:
     uni = engine.gen.universe
     users = uni.user_ids
     cities = uni.cities
+    if args.cache_entries > 0:
+        from hhrs_tpu.serve.cache import CachedEngine
+
+        # cycle a small user pool so most requests are repeats (the
+        # cache's target workload); first pass populates, the rest hit
+        users = users[:8]
+        engine = CachedEngine(engine, max_entries=args.cache_entries)
 
     def req_args(i):
         return int(users[i % len(users)]), cities[i % len(cities)], "friends", 0.7
@@ -119,6 +130,7 @@ def main(argv=None) -> int:
         "concurrency": args.concurrency,
         "bf16": args.bf16,
         "quantized_tables": args.quantize,
+        "cache_entries": args.cache_entries,
         "unit": "ms",
     }))
     return 0
