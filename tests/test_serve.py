@@ -338,6 +338,38 @@ def test_candidate_cap_responses_identical(engine_setup):
     assert took_fast > 0 and took_full > 0, (took_fast, took_full)
 
 
+def test_cache_never_serves_preswap_response():
+    """Swap race regression: a response computed against the pre-swap model
+    must never be cached after the swap (cache.py's _get/_put generation
+    handshake). The in-flight thread deterministically lands its _put
+    AFTER the swap; without the handshake the stale entry would be served."""
+    import threading as _threading
+    import time as _time
+
+    from hhrs_tpu.serve.cache import CachedEngine
+    from hhrs_tpu.serve.reload import SwappableEngine
+
+    class Fake:
+        def __init__(self, tag):
+            self.tag = tag
+
+        def recommend(self, u, c, m, l):
+            _time.sleep(0.002)  # widen the miss→put window past the swap
+            return {"tag": self.tag}
+
+    holder = SwappableEngine(Fake("gen0"))
+    cached = CachedEngine(holder, max_entries=8)
+    for i in range(1, 50):
+        t = _threading.Thread(
+            target=lambda: cached.recommend(1, "X", "friends", 0.7)
+        )
+        t.start()
+        _time.sleep(0.001)  # thread is inside the old model's compute
+        holder.swap(Fake(f"gen{i}"))
+        t.join()  # its _put lands after the swap → must be refused
+        assert cached.recommend(1, "X", "friends", 0.7)["tag"] == f"gen{i}", i
+
+
 def test_city_bounded_engine_parity(engine_setup):
     """serve.city_bounded (default on): ranking only the request city's
     rows must return responses IDENTICAL to the full-universe program —
