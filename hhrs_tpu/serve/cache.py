@@ -48,6 +48,10 @@ class CachedEngine:
         # can never alias generations.
         self._weakref = weakref.ref
         self._gen_ref = weakref.ref(self._current())
+        # single-flight: key -> Event of the in-progress computation, so a
+        # stampede of identical misses (cold start, post-swap burst) costs
+        # ONE device program instead of one per concurrent caller
+        self._inflight: dict = {}
         self.hits = 0
         self.misses = 0
 
@@ -100,10 +104,42 @@ class CachedEngine:
     def recommend(self, user_id: int, city: str, mode: str = "friends",
                   lambda_param: float = 0.7) -> dict:
         key = (int(user_id), city, mode, float(lambda_param))
+        return self._single_flight(
+            key, lambda: self._inner.recommend(user_id, city, mode, lambda_param)
+        )
+
+    def _single_flight(self, key, compute):
+        """Memoized compute with stampede protection: concurrent identical
+        misses elect one leader; followers wait on its Event, then re-read
+        the cache. A follower whose leader failed (exception, or _put
+        refused across a swap) computes for itself — correctness never
+        depends on the leader."""
         val, gen = self._get(key)
-        if val is None:
-            val = self._inner.recommend(user_id, city, mode, lambda_param)
-            self._put(key, val, gen)
+        if val is not None:
+            return val
+        leader = False
+        with self._lock:
+            ev = self._inflight.get(key)
+            if ev is None:
+                ev = self._inflight[key] = threading.Event()
+                leader = True
+        if leader:
+            try:
+                val = compute()
+                self._put(key, val, gen)
+            finally:
+                with self._lock:
+                    self._inflight.pop(key, None)
+                ev.set()
+            return val
+        ev.wait(timeout=60.0)
+        val, gen = self._get(key)
+        if val is not None:
+            with self._lock:  # a wait-then-hit shouldn't count as a miss too
+                self.misses -= 1
+            return val
+        val = compute()  # leader failed or swap raced — compute directly
+        self._put(key, val, gen)
         return val
 
     def recommend_many(self, requests: list, pad_to: int | None = None) -> list:

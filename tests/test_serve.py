@@ -370,6 +370,67 @@ def test_cache_never_serves_preswap_response():
         assert cached.recommend(1, "X", "friends", 0.7)["tag"] == f"gen{i}", i
 
 
+def test_cache_single_flight():
+    """A stampede of identical misses computes ONCE (leader) while the
+    followers wait and serve the cached result; distinct keys still
+    compute independently; a failing leader doesn't poison followers."""
+    import threading as _threading
+    import time as _time
+
+    from hhrs_tpu.serve.cache import CachedEngine
+
+    calls = []
+    barrier = _threading.Barrier(8)
+
+    class Slow:
+        def recommend(self, u, c, m, l):
+            calls.append((u, c))
+            _time.sleep(0.05)
+            return {"u": u, "c": c}
+
+    cached = CachedEngine(Slow(), max_entries=32)
+
+    def hit(u):
+        barrier.wait()
+        return cached.recommend(u, "X", "friends", 0.7)
+
+    with __import__("concurrent.futures", fromlist=["ThreadPoolExecutor"]) \
+            .ThreadPoolExecutor(max_workers=8) as ex:
+        res = list(ex.map(hit, [1] * 6 + [2, 3]))
+    assert all(r == {"u": 1, "c": "X"} for r in res[:6])
+    assert res[6] == {"u": 2, "c": "X"} and res[7] == {"u": 3, "c": "X"}
+    # 3 distinct keys → exactly 3 computations despite 6 concurrent dupes
+    assert sorted(calls) == [(1, "X"), (2, "X"), (3, "X")], calls
+
+    # a leader that raises must not deadlock or poison followers
+    class Flaky:
+        def __init__(self):
+            self.n = 0
+
+        def recommend(self, u, c, m, l):
+            self.n += 1
+            if self.n == 1:
+                _time.sleep(0.02)
+                raise RuntimeError("transient")
+            return {"ok": self.n}
+
+    flaky = CachedEngine(Flaky(), max_entries=8)
+    start = _threading.Barrier(2)
+    results, errors = [], []
+
+    def try_hit():
+        start.wait()
+        try:
+            results.append(flaky.recommend(9, "Y", "friends", 0.7))
+        except RuntimeError:
+            errors.append(1)
+
+    ts = [_threading.Thread(target=try_hit) for _ in range(2)]
+    [t.start() for t in ts]
+    [t.join(10) for t in ts]
+    assert len(errors) == 1 and results == [{"ok": 2}]
+
+
 def test_city_bounded_engine_parity(engine_setup):
     """serve.city_bounded (default on): ranking only the request city's
     rows must return responses IDENTICAL to the full-universe program —
