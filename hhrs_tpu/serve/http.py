@@ -110,6 +110,9 @@ def make_handler(engine):
                     return self._send(200, _prometheus_metrics(engine), "text/plain; version=0.0.4")
                 if url.path == "/docs":
                     return self._send(200, DOCS_HTML, "text/html")
+                if url.path in ("/recommendations", "/recommendations/batch"):
+                    # known POST route hit with GET — FastAPI answers 405
+                    return self._send(405, {"detail": "Method Not Allowed"})
                 return self._send(404, {"detail": "Not Found"})
             except Exception as e:  # 500 + traceback log (reference main.py:354-357)
                 log.error("CRITICAL ERROR during %s request: %s", url.path, e)
@@ -162,6 +165,9 @@ def make_handler(engine):
                         pad_to=HTTP_BATCH_PAD,
                     )
                     return self._send(200, {"responses": results})
+                if url.path in ("/similar_items", "/healthz", "/metrics", "/docs"):
+                    # known GET route hit with POST — FastAPI answers 405
+                    return self._send(405, {"detail": "Method Not Allowed"})
                 return self._send(404, {"detail": "Not Found"})
             except Exception as e:
                 log.error("CRITICAL ERROR during %s request: %s", url.path, e)

@@ -184,6 +184,23 @@ def test_http_validation_errors(http_server):
     assert status == 422
 
 
+def test_http_method_not_allowed(http_server):
+    """FastAPI-contract parity: known routes hit with the wrong method
+    answer 405, unknown paths 404."""
+    status, _ = _get(http_server + "/recommendations")
+    assert status == 405
+    status, _ = _get(http_server + "/recommendations/batch")
+    assert status == 405
+    status, _ = _post(http_server + "/similar_items", {})
+    assert status == 405
+    status, _ = _post(http_server + "/healthz", {})
+    assert status == 405
+    status, _ = _get(http_server + "/nope")
+    assert status == 404
+    status, _ = _post(http_server + "/nope", {})
+    assert status == 404
+
+
 def test_http_similar_items(http_server, engine_setup):
     engine, _, _, bundle = engine_setup
     some_item = next(iter(bundle.preproc.item_id_mapping))
