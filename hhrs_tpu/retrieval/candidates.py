@@ -23,7 +23,6 @@ trips, no dynamic shapes.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -117,7 +116,9 @@ class CandidateGenerator:
         # train internal -> serve index (every train item exists in the serve
         # universe since the train vocab is a filtered subset of the CSV)
         reverse = {v: k for k, v in item_id_mapping.items()}
-        t2s = np.full(n_train, M, np.int32)  # M = dump slot
+        # slot n_train is the dump for build_neighbor_table's tiny-catalog
+        # padding (neighbor index n_train → serve dump M)
+        t2s = np.full(n_train + 1, M, np.int32)  # M = dump slot
         for ti in range(n_train):
             ext = reverse.get(ti)
             if ext is not None and ext in uni.item_index:
@@ -127,16 +128,24 @@ class CandidateGenerator:
         nbr_by_serve[s2t_valid] = nbr_serve_by_train[s2t[s2t_valid]]
         self.nbr_by_serve_np = nbr_by_serve
 
-        # --- per-city masks: membership + popularity fallback pool ---
+        # --- per-city masks: membership + popularity fallback pool.
+        # Built in O(R log R), not O(C·R): one vectorized scatter for
+        # membership, one stable argsort + searchsorted split for the
+        # per-city row groups (identical rows/order to the per-city
+        # nonzero scans this replaces — stable sort keeps frame order
+        # within a city, which the top-100 tie-break depends on).
         city_item_mask = np.zeros((C + 1, M), bool)  # last row = unknown city
         city_pop_mask = np.zeros((C + 1, M), bool)
         counts = main_df["user_reviews_count"].to_numpy(np.float64)
         city_codes = main_df["city"].map(uni.city_index).fillna(C).to_numpy(np.int32)
+        city_item_mask[city_codes, r_item] = True
+        city_item_mask[C] = False  # NaN-city rows never form a servable city
+        row_order = np.argsort(city_codes, kind="stable")
+        bounds = np.searchsorted(city_codes[row_order], np.arange(C + 1))
         for c in range(C):
-            rows = np.nonzero(city_codes == c)[0]
-            city_item_mask[c, np.unique(r_item[rows])] = True
+            rows = row_order[bounds[c]: bounds[c + 1]]
             top_rows = rows[np.argsort(-counts[rows], kind="stable")[: self.cfg.popular_pool]]
-            city_pop_mask[c, np.unique(r_item[top_rows])] = True
+            city_pop_mask[c, r_item[top_rows]] = True
 
         # --- pad to the mesh size (uneven explicit shardings are not
         #     supported by device_put) and build the device state dict ---
@@ -173,13 +182,13 @@ class CandidateGenerator:
         # with an EXACT city-bounded program (engine._rank_rows) that is
         # O(max city size) instead of O(catalog). Width rounds up for
         # compile-shape stability across restarts with similar catalogs.
-        city_counts = city_item_mask.sum(axis=1)
+        cc, items_in_city = np.nonzero(city_item_mask)  # row-major → per-city ascending
+        city_counts = np.bincount(cc, minlength=C + 1)
         maxc = int(city_counts.max()) if city_counts.size else 0
         W = min(Mp, max(64, -(-maxc // 64) * 64))
         city_rows = np.full((C + 1, W), Mp, np.int32)
-        for c in range(C + 1):
-            rows_c = np.nonzero(city_item_mask[c])[0]
-            city_rows[c, : len(rows_c)] = rows_c
+        starts = np.concatenate([[0], np.cumsum(city_counts)[:-1]])
+        city_rows[cc, np.arange(len(cc)) - starts[cc]] = items_in_city
         self.city_rows_np = city_rows
         self.max_city_items = maxc
 
@@ -223,7 +232,7 @@ class CandidateGenerator:
         cand = pos_mask | expanded
         count_before = jnp.sum(cand)
         pop = dev["city_pop"][city_idx]
-        cand = cand | (jnp.where(count_before < self.cfg.min_candidates, True, False) & pop)
+        cand = cand | ((count_before < self.cfg.min_candidates) & pop)
 
         cand = cand & dev["city_item"][city_idx] & ~neg_mask
         return cand, neg_mask, jnp.sum(cand)

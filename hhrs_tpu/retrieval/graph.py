@@ -53,8 +53,18 @@ class FriendGraph:
 
     def padded_friend_indices(self, user_id: int, pad: int, dump: int) -> np.ndarray:
         """Fixed-width friend index list; unused slots point at `dump`
-        (a scatter slot past the last real user, dropped on device)."""
-        idx = self.friend_indices(user_id)[:pad]
+        (a scatter slot past the last real user, dropped on device).
+
+        Raises rather than truncate: dropping overflow friends would
+        silently lose their positives AND negatives (the reference uses
+        ALL friends, main.py:172-178). Callers size `pad` from
+        `max_degree` (serve/engine.py does)."""
+        idx = self.friend_indices(user_id)
+        if len(idx) > pad:
+            raise ValueError(
+                f"user {user_id} has {len(idx)} friends > source width {pad}; "
+                f"size max_sources from graph.max_degree ({self.max_degree})"
+            )
         out = np.full(pad, dump, dtype=np.int32)
         out[: len(idx)] = idx
         return out

@@ -89,14 +89,19 @@ def sharded_cosine_topk(
     return best_vals, best_idx
 
 
-def make_sharded_topk_fn(mesh: Mesh, k: int, model_axis: str = "model"):
-    """Jitted closure with the table placed row-sharded on the mesh."""
+def make_sharded_topk_fn(mesh: Mesh, k: int, model_axis: str | tuple = "model",
+                         n_valid: int | None = None):
+    """Jitted closure with the table placed row-sharded on the mesh.
+    ``n_valid`` MUST be passed whenever the table was padded up to the
+    shard count (pad_to_shards) — otherwise zero-vector padding rows
+    (cosine 0.0) would beat any true all-negative neighborhood."""
     from jax.sharding import NamedSharding
 
     table_sharding = NamedSharding(mesh, P(model_axis, None))
 
     @partial(jax.jit, static_argnames=())
     def fn(table_norm, queries):
-        return sharded_cosine_topk(mesh, table_norm, queries, k, model_axis)
+        return sharded_cosine_topk(mesh, table_norm, queries, k, model_axis,
+                                   n_valid=n_valid)
 
     return fn, table_sharding

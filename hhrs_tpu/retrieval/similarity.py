@@ -37,12 +37,24 @@ def build_neighbor_table(embeddings: np.ndarray, k: int, batch: int = 1024) -> n
     """All-pairs neighbor table: for each item, its top-k neighbors
     *excluding the first hit* (the reference drops element 0 of the kNN
     result assuming it is self — main.py:201,301 — we reproduce that exact
-    drop-first semantics). Returns [N, k] int32 indices."""
+    drop-first semantics). Returns [N, k] int32 indices.
+
+    Catalogs with ≤ k items (or none) can't supply k+1 hits — lax.top_k
+    would reject k+1 > N at engine STARTUP (the reference only failed
+    lazily per request); the short columns pad with N, the caller's dump
+    slot (candidates.py maps N → the inert Mp row)."""
     emb = jnp.asarray(embeddings, jnp.float32)
+    n = int(emb.shape[0])
+    if n == 0:
+        return np.zeros((0, k), np.int32)
+    kk = min(k + 1, n)
     table_norm = normalize_rows(emb)
     out = []
-    n = emb.shape[0]
     for s in range(0, n, batch):
-        _, idx = cosine_topk(table_norm, emb[s : s + batch], k + 1)
+        _, idx = cosine_topk(table_norm, emb[s : s + batch], kk)
         out.append(np.asarray(idx[:, 1:]))
-    return np.concatenate(out, axis=0).astype(np.int32)
+    table = np.concatenate(out, axis=0).astype(np.int32)
+    if table.shape[1] < k:  # tiny catalog: pad missing neighbors with N
+        pad = np.full((n, k - table.shape[1]), n, np.int32)
+        table = np.concatenate([table, pad], axis=1)
+    return table

@@ -226,3 +226,29 @@ def test_mmr_no_candidates():
         )
     )
     assert (out == -1).all()
+
+
+def test_neighbor_table_tiny_catalog():
+    """Catalogs with <= expand_neighbors trained items must not crash at
+    startup (lax.top_k k > N); missing neighbor columns pad with the dump
+    slot N (similarity.build_neighbor_table)."""
+    from hhrs_tpu.retrieval.similarity import build_neighbor_table
+
+    emb = np.random.default_rng(0).normal(size=(4, 8)).astype(np.float32)
+    t = build_neighbor_table(emb, 10)
+    assert t.shape == (4, 10)
+    assert (t[:, :3] < 4).all()  # the 3 real non-self neighbors
+    assert (t[:, 3:] == 4).all()  # padding -> dump slot N
+    assert build_neighbor_table(np.zeros((0, 8), np.float32), 10).shape == (0, 10)
+
+
+def test_padded_friend_indices_raises_on_overflow():
+    """Truncating a friend list would silently drop positives AND
+    negatives (the reference uses ALL friends) — the helper refuses."""
+    from hhrs_tpu.retrieval.graph import FriendGraph
+
+    pairs = pd.DataFrame({"user_id_1": [1, 1, 1], "user_id_2": [2, 3, 4]})
+    g = FriendGraph.from_pairs(pairs, {1: 0, 2: 1, 3: 2, 4: 3})
+    assert len(g.padded_friend_indices(1, pad=4, dump=9)) == 4
+    with pytest.raises(ValueError, match="friends > source width"):
+        g.padded_friend_indices(1, pad=2, dump=9)
