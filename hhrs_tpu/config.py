@@ -234,5 +234,17 @@ def _coerce(raw: str, like: Any) -> Any:
     return raw
 
 
+def check_overrides(tokens: list) -> list:
+    """Validate positional config overrides: every token must be
+    section.field=value. A typo'd token (e.g. a space instead of '=')
+    must fail loudly — silently dropping it would run with defaults."""
+    bad = [t for t in tokens if "=" not in t]
+    if bad:
+        raise SystemExit(
+            f"invalid config override(s) {bad}: use section.field=value"
+        )
+    return tokens
+
+
 def from_cli(argv: list[str]) -> Config:
-    return Config().apply_overrides([a for a in argv if "=" in a])
+    return Config().apply_overrides(check_overrides(list(argv)))

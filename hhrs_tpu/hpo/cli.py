@@ -15,7 +15,7 @@ import dataclasses
 import logging
 import sys
 
-from hhrs_tpu.config import Config, ModelConfig, TrainConfig
+from hhrs_tpu.config import Config, check_overrides, ModelConfig, TrainConfig
 from hhrs_tpu.hpo.space import reference_search_space
 from hhrs_tpu.hpo.study import TrialPruned, create_study
 from hhrs_tpu.utils.logging import enable_compilation_cache, setup_logging
@@ -83,7 +83,7 @@ def main(argv=None) -> int:
         except ValueError as e:
             p.error(str(e))
 
-    cfg = Config().apply_overrides([a for a in args.overrides if "=" in a])
+    cfg = Config().apply_overrides(check_overrides(args.overrides))
     if args.epochs is not None:
         cfg.train.n_epochs = args.epochs
 

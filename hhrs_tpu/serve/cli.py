@@ -15,7 +15,7 @@ import argparse
 import logging
 import sys
 
-from hhrs_tpu.config import Config
+from hhrs_tpu.config import Config, check_overrides
 from hhrs_tpu.utils.logging import enable_compilation_cache, setup_logging
 
 log = logging.getLogger("hhrs_tpu.serve")
@@ -66,7 +66,7 @@ def main(argv=None) -> int:
     p.add_argument("overrides", nargs="*", help="section.field=value config overrides")
     args = p.parse_args(argv)
 
-    cfg = Config().apply_overrides([a for a in args.overrides if "=" in a]).serve
+    cfg = Config().apply_overrides(check_overrides(args.overrides)).serve
     artifacts = args.artifacts if args.artifacts is not None else cfg.artifacts_dir
     data_dir = args.data if args.data is not None else cfg.data_dir
     host = args.host if args.host is not None else cfg.host

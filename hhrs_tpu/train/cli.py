@@ -13,7 +13,7 @@ import logging
 import os
 import sys
 
-from hhrs_tpu.config import Config
+from hhrs_tpu.config import Config, check_overrides
 from hhrs_tpu.utils.logging import MetricsLogger, enable_compilation_cache, setup_logging
 
 log = logging.getLogger("hhrs_tpu.train")
@@ -101,7 +101,7 @@ def main(argv=None) -> int:
     p.add_argument("overrides", nargs="*", help="section.field=value config overrides")
     args = p.parse_args(argv)
 
-    cfg = Config().apply_overrides([a for a in args.overrides if "=" in a])
+    cfg = Config().apply_overrides(check_overrides(args.overrides))
     if args.epochs is not None:
         cfg.train.n_epochs = args.epochs
 

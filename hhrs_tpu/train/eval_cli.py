@@ -46,7 +46,7 @@ def main(argv=None) -> int:
     import jax.numpy as jnp
     import numpy as np
 
-    from hhrs_tpu.config import Config
+    from hhrs_tpu.config import Config, check_overrides
     from hhrs_tpu.data import add_engineered_features, load_reviews_csv
     from hhrs_tpu.data.ingest import noise_filter
     from hhrs_tpu.data.preprocess import transform_with_artifacts
@@ -60,7 +60,7 @@ def main(argv=None) -> int:
     )
     from hhrs_tpu.train.trainer import make_eval_fn
 
-    cfg = Config().apply_overrides([a for a in args.overrides if "=" in a])
+    cfg = Config().apply_overrides(check_overrides(args.overrides))
 
     artifacts_dir = resolve_artifacts_dir(args.artifacts)
     bundle = load_artifact_bundle(artifacts_dir)

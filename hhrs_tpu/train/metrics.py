@@ -32,19 +32,17 @@ def auc_score(labels: np.ndarray, scores: np.ndarray) -> float:
     if n_pos == 0 or n_neg == 0:
         return float("nan")
     order = np.argsort(scores, kind="mergesort")
-    ranks = np.empty(len(scores), dtype=np.float64)
+    # tie-averaged ranks, vectorized: for each run of equal sorted scores,
+    # every member gets the mean of its 1-based rank range
     sorted_scores = scores[order]
-    # average ranks for ties
-    i = 0
-    r = 1.0
-    while i < len(sorted_scores):
-        j = i
-        while j + 1 < len(sorted_scores) and sorted_scores[j + 1] == sorted_scores[i]:
-            j += 1
-        avg = (r + r + (j - i)) / 2.0
-        ranks[order[i : j + 1]] = avg
-        r += j - i + 1
-        i = j + 1
+    n = len(sorted_scores)
+    starts = np.flatnonzero(
+        np.concatenate([[True], sorted_scores[1:] != sorted_scores[:-1]])
+    )
+    ends = np.append(starts[1:], n)  # exclusive
+    avg = (starts + 1 + ends) / 2.0  # mean of ranks start+1 .. end
+    ranks = np.empty(n, dtype=np.float64)
+    ranks[order] = np.repeat(avg, ends - starts)
     sum_pos_ranks = ranks[labels > 0.5].sum()
     return float((sum_pos_ranks - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg))
 
@@ -61,7 +59,6 @@ def auc_score_jnp(labels: jnp.ndarray, scores: jnp.ndarray, mask=None) -> jnp.nd
     neg_inf = jnp.asarray(-jnp.inf, scores.dtype)
     s = jnp.where(mask > 0, scores, neg_inf)
     order = jnp.argsort(s)
-    ranks_ordinal = jnp.zeros(n).at[order].set(jnp.arange(1, n + 1, dtype=jnp.float32))
     # tie averaging: group equal scores via segment means over sorted runs
     s_sorted = s[order]
     new_group = jnp.concatenate([jnp.ones(1, jnp.int32), (s_sorted[1:] != s_sorted[:-1]).astype(jnp.int32)])

@@ -33,7 +33,6 @@ import logging
 import statistics
 import time
 from dataclasses import dataclass, field
-from functools import partial
 from typing import Callable
 
 import jax
@@ -46,7 +45,6 @@ from hhrs_tpu.models.dcn import ModelDims, apply_dcn, init_dcn
 from hhrs_tpu.train.metrics import auc_score, bce_with_logits, recall_at_k, rmse_of_probs
 from hhrs_tpu.train.optimizers import (
     PlateauScheduler,
-    get_learning_rate,
     make_optimizer,
     set_learning_rate,
 )
@@ -66,8 +64,8 @@ class TrainResult:
     pruned: bool = False
 
 
-def _device_put_splits(splits: DatasetSplits, sharding=None):
-    put = partial(jax.device_put, device=sharding) if sharding is not None else jax.device_put
+def _device_put_splits(splits: DatasetSplits):
+    put = jax.device_put
     train = {
         "user": put(jnp.asarray(splits.train_user, jnp.int32)),
         "item": put(jnp.asarray(splits.train_item, jnp.int32)),
@@ -453,6 +451,7 @@ def train_dcn(
             result.best_val_loss = meta["best_val_loss"]
             result.best_epoch = meta["best_epoch"]
             epochs_no_improve = meta["epochs_no_improve"]
+            result.pruned = bool(meta.get("pruned", False))
             plateau.lr = meta["plateau"]["lr"]
             plateau.best = meta["plateau"]["best"]
             plateau.num_bad = meta["plateau"]["num_bad"]
@@ -471,139 +470,162 @@ def train_dcn(
     epochs_run = 0
     epoch_times: list = []
 
-    for epoch in range(start_epoch, train_cfg.n_epochs):
-        t_epoch = time.perf_counter()
-        # ONE host→device upload per epoch: the shuffled index vector
-        # (resident mode) or the permuted epoch tensor itself, shard-aligned
-        # over the mesh (streaming mode); steps then run with zero H2D
-        # traffic (device-carried counter).
-        perm_host = shuffle_rng.permutation(n_train)
-        if perm_len > n_train:
-            perm_host = np.resize(perm_host, perm_len)  # wrap-pad ragged tail
-        rng, epoch_rng = jax.random.split(rng)
-        if streaming:
-            S = steps_per_epoch
-            # exactly S*B rows stream (drop_remainder truncates the tail
-            # here, exactly like the resident path's dynamic_slice never
-            # reaching it)
-            perm_host = perm_host[:perm_len]
-            # One BATCHED device_put of the whole epoch pytree (a single
-            # dispatch; the per-array transfers are issued together and
-            # overlap) — on the tunneled backend per-call fixed latency
-            # dominates bytes, so five independent puts would pay it 5x.
-            epoch_host = {
-                "user": np.asarray(splits.train_user, np.int32)[perm_host].reshape(S, B),
-                "item": np.asarray(splits.train_item, np.int32)[perm_host].reshape(S, B),
-                "cat": np.asarray(splits.train_cat, np.int32)[perm_host].reshape(
-                    S, B, splits.train_cat.shape[1]),
-                "num": np.asarray(splits.train_num, np.float32)[perm_host].reshape(
-                    S, B, splits.train_num.shape[1]),
-                "y": np.asarray(splits.train_y, np.float32)[perm_host].reshape(S, B),
+    # A resumed run that had already early-stopped (or been pruned) must
+    # not train extra epochs — the loop checks these conditions only at
+    # the END of an epoch, so re-check them before entering.
+    if epochs_no_improve >= train_cfg.early_stop_patience:
+        log.info("resumed run had already early-stopped; skipping training loop")
+        start_epoch = train_cfg.n_epochs
+    if result.pruned:
+        log.info("resumed run had been pruned; skipping training loop")
+        start_epoch = train_cfg.n_epochs
+
+    cur_lr = plateau.lr  # host-side LR mirror: no per-epoch D2H to compare
+    try:
+        for epoch in range(start_epoch, train_cfg.n_epochs):
+            t_epoch = time.perf_counter()
+            # ONE host→device upload per epoch: the shuffled index vector
+            # (resident mode) or the permuted epoch tensor itself, shard-aligned
+            # over the mesh (streaming mode); steps then run with zero H2D
+            # traffic (device-carried counter).
+            perm_host = shuffle_rng.permutation(n_train)
+            if perm_len > n_train:
+                perm_host = np.resize(perm_host, perm_len)  # wrap-pad ragged tail
+            rng, epoch_rng = jax.random.split(rng)
+            if streaming:
+                S = steps_per_epoch
+                # exactly S*B rows stream (drop_remainder truncates the tail
+                # here, exactly like the resident path's dynamic_slice never
+                # reaching it)
+                perm_host = perm_host[:perm_len]
+                # One BATCHED device_put of the whole epoch pytree (a single
+                # dispatch; the per-array transfers are issued together and
+                # overlap) — on the tunneled backend per-call fixed latency
+                # dominates bytes, so five independent puts would pay it 5x.
+                epoch_host = {
+                    "user": np.asarray(splits.train_user, np.int32)[perm_host].reshape(S, B),
+                    "item": np.asarray(splits.train_item, np.int32)[perm_host].reshape(S, B),
+                    "cat": np.asarray(splits.train_cat, np.int32)[perm_host].reshape(
+                        S, B, splits.train_cat.shape[1]),
+                    "num": np.asarray(splits.train_num, np.float32)[perm_host].reshape(
+                        S, B, splits.train_num.shape[1]),
+                    "y": np.asarray(splits.train_y, np.float32)[perm_host].reshape(S, B),
+                }
+                epoch_dev = jax.device_put(
+                    epoch_host,
+                    {k: epoch_sharding(v.ndim) for k, v in epoch_host.items()},
+                )
+                epoch_losses = []
+                s = jnp.asarray(0, jnp.int32)
+                for _ in range(steps_per_epoch):
+                    params, bn_state, opt_state, loss, s = step_fn(
+                        params, bn_state, opt_state, epoch_dev, s, epoch_rng
+                    )
+                    if sync_each_step:
+                        loss.block_until_ready()
+                    epoch_losses.append(loss)
+                mean_loss = jnp.mean(jnp.stack(epoch_losses))
+            elif fused:
+                perm_dev = jnp.asarray(perm_host, jnp.int32)
+                params, bn_state, opt_state, mean_loss = epoch_fn(
+                    params, bn_state, opt_state, train_data, perm_dev, epoch_rng
+                )
+            else:
+                perm_dev = jnp.asarray(perm_host, jnp.int32)
+                epoch_losses = []
+                s = jnp.asarray(0, jnp.int32)
+                for _ in range(steps_per_epoch):
+                    params, bn_state, opt_state, loss, s = step_fn(
+                        params, bn_state, opt_state, train_data, perm_dev, s, epoch_rng
+                    )
+                    epoch_losses.append(loss)
+                mean_loss = jnp.mean(jnp.stack(epoch_losses))
+
+            # One D2H for both epoch scalars (each transfer pays the tunnel's
+            # fixed latency).
+            val_loss, train_loss = (
+                float(x) for x in jax.device_get(
+                    (eval_loss_fn(params, bn_state, val_data), mean_loss)
+                )
+            )
+
+            epochs_run += 1
+            lr = plateau.step(val_loss)
+            if lr != cur_lr:  # host-side mirror: no per-epoch D2H to compare
+                opt_state = set_learning_rate(opt_state, lr)
+                cur_lr = lr
+
+            rec = {
+                "epoch": epoch,
+                "train_loss": train_loss,
+                "val_loss": val_loss,
+                "lr": lr,
             }
-            epoch_dev = jax.device_put(
-                epoch_host,
-                {k: epoch_sharding(v.ndim) for k, v in epoch_host.items()},
-            )
-            epoch_losses = []
-            s = jnp.asarray(0, jnp.int32)
-            for _ in range(steps_per_epoch):
-                params, bn_state, opt_state, loss, s = step_fn(
-                    params, bn_state, opt_state, epoch_dev, s, epoch_rng
-                )
-                if sync_each_step:
-                    loss.block_until_ready()
-                epoch_losses.append(loss)
-            mean_loss = jnp.mean(jnp.stack(epoch_losses))
-        elif fused:
-            perm_dev = jnp.asarray(perm_host, jnp.int32)
-            params, bn_state, opt_state, mean_loss = epoch_fn(
-                params, bn_state, opt_state, train_data, perm_dev, epoch_rng
-            )
-        else:
-            perm_dev = jnp.asarray(perm_host, jnp.int32)
-            epoch_losses = []
-            s = jnp.asarray(0, jnp.int32)
-            for _ in range(steps_per_epoch):
-                params, bn_state, opt_state, loss, s = step_fn(
-                    params, bn_state, opt_state, train_data, perm_dev, s, epoch_rng
-                )
-                epoch_losses.append(loss)
-            mean_loss = jnp.mean(jnp.stack(epoch_losses))
+            result.history.append(rec)
+            if metrics_logger is not None:
+                metrics_logger.log(**rec)
+            log.info("epoch %d: train_loss %.4f val_loss %.4f lr %.2e", epoch, train_loss, val_loss, lr)
 
-        # One D2H for both epoch scalars (each transfer pays the tunnel's
-        # fixed latency).
-        val_loss, train_loss = (
-            float(x) for x in jax.device_get(
-                (eval_loss_fn(params, bn_state, val_data), mean_loss)
-            )
-        )
+            if val_loss < result.best_val_loss:
+                result.best_val_loss = val_loss
+                result.best_epoch = epoch
+                epochs_no_improve = 0
+                best_snapshot = snapshot_fn((params, bn_state))  # stays on device
+            else:
+                epochs_no_improve += 1
 
-        epochs_run += 1
-        lr = plateau.step(val_loss)
-        if lr != get_learning_rate(opt_state):
-            opt_state = set_learning_rate(opt_state, lr)
+            # Prune decision BEFORE the periodic save so the persisted meta
+            # records it — a resumed pruned run must not keep training.
+            pruned_now = report_fn is not None and report_fn(epoch, val_loss)
+            if pruned_now:
+                result.pruned = True
 
-        rec = {
-            "epoch": epoch,
-            "train_loss": train_loss,
-            "val_loss": val_loss,
-            "lr": lr,
-        }
-        result.history.append(rec)
-        if metrics_logger is not None:
-            metrics_logger.log(**rec)
-        log.info("epoch %d: train_loss %.4f val_loss %.4f lr %.2e", epoch, train_loss, val_loss, lr)
-
-        if val_loss < result.best_val_loss:
-            result.best_val_loss = val_loss
-            result.best_epoch = epoch
-            epochs_no_improve = 0
-            best_snapshot = snapshot_fn((params, bn_state))  # stays on device
-        else:
-            epochs_no_improve += 1
-
-        if ckpt is not None and (epoch + 1) % checkpoint_every == 0:
-            bp, bb = best_snapshot if best_snapshot is not None else (params, bn_state)
-            ckpt.save(
-                epoch,
-                jax.device_get(
+            if ckpt is not None and (epoch + 1) % checkpoint_every == 0:
+                bp, bb = best_snapshot if best_snapshot is not None else (params, bn_state)
+                ckpt.save(
+                    epoch,
+                    jax.device_get(
+                        {
+                            "params": params,
+                            "bn_state": bn_state,
+                            "opt_state": opt_state,
+                            "best_params": bp,
+                            "best_bn": bb,
+                            "rng": rng,
+                        }
+                    ),
                     {
-                        "params": params,
-                        "bn_state": bn_state,
-                        "opt_state": opt_state,
-                        "best_params": bp,
-                        "best_bn": bb,
-                        "rng": rng,
-                    }
-                ),
-                {
-                    "has_best": best_snapshot is not None,
-                    "history": result.history,
-                    "best_val_loss": result.best_val_loss,
-                    "best_epoch": result.best_epoch,
-                    "epochs_no_improve": epochs_no_improve,
-                    "plateau": {"lr": plateau.lr, "best": plateau.best, "num_bad": plateau.num_bad},
-                    "shuffle_rng_state": shuffle_rng.bit_generator.state,
-                },
-            )
+                        "has_best": best_snapshot is not None,
+                        # SNAPSHOT: orbax json-saves meta in a background
+                        # commit thread — the live list could pick up
+                        # later-epoch entries before serialization
+                        "history": list(result.history),
+                        "pruned": result.pruned,
+                        "best_val_loss": result.best_val_loss,
+                        "best_epoch": result.best_epoch,
+                        "epochs_no_improve": epochs_no_improve,
+                        "plateau": {"lr": plateau.lr, "best": plateau.best, "num_bad": plateau.num_bad},
+                        "shuffle_rng_state": shuffle_rng.bit_generator.state,
+                    },
+                )
 
-        # Timed here — after the checkpoint save — so periodic save cost
-        # (synchronous device_get of the full state + disk write) stays
-        # inside the reported per-epoch rate.
-        if epochs_run > 1:
-            epoch_times.append(time.perf_counter() - t_epoch)
+            # Timed here — after the checkpoint save — so periodic save cost
+            # (synchronous device_get of the full state + disk write) stays
+            # inside the reported per-epoch rate.
+            if epochs_run > 1:
+                epoch_times.append(time.perf_counter() - t_epoch)
 
-        if report_fn is not None and report_fn(epoch, val_loss):
-            log.info("trial pruned at epoch %d", epoch)
-            result.pruned = True
-            break
+            if pruned_now:
+                log.info("trial pruned at epoch %d", epoch)
+                break
 
-        if epochs_no_improve >= train_cfg.early_stop_patience:
-            log.info("early stopping at epoch %d", epoch + 1)
-            break
+            if epochs_no_improve >= train_cfg.early_stop_patience:
+                log.info("early stopping at epoch %d", epoch + 1)
+                break
 
-    if ckpt is not None:
-        ckpt.close()
+    finally:
+        if ckpt is not None:
+            ckpt.close()
 
     # 0.0 for single-epoch runs: there is no post-compile epoch to measure.
     if epoch_times:

@@ -92,3 +92,24 @@ def test_resume_noop_when_complete(small_splits, tmp_path):
     again = train_dcn(splits, dims, MCFG, cfg3, checkpoint_dir=ckpt_dir)
     assert [h["epoch"] for h in again.history] == [0, 1, 2]
     np.testing.assert_allclose(first.best_val_loss, again.best_val_loss, rtol=1e-6)
+
+
+def test_resume_after_early_stop_trains_no_extra_epochs(small_splits, tmp_path):
+    """A resumed run whose checkpoint already satisfied early stopping must
+    not train further (the loop's stop conditions are re-checked BEFORE
+    entering, trainer.py) — re-invoking the same command after a crash
+    during artifact export must be a no-op on the model."""
+    splits, art = small_splits
+    dims = ModelDims.from_artifacts(art)
+    ckpt_dir = str(tmp_path / "ckpt_es")
+    # patience 0: the first non-improving epoch stops the run
+    cfg = dataclasses.replace(TCFG, early_stop_patience=0, n_epochs=6)
+    first = train_dcn(splits, dims, MCFG, cfg, checkpoint_dir=ckpt_dir)
+    stopped_at = len(first.history)
+    assert stopped_at < 6  # early stop actually triggered
+
+    second = train_dcn(splits, dims, MCFG, cfg, checkpoint_dir=ckpt_dir)
+    assert [h["epoch"] for h in second.history] == [h["epoch"] for h in first.history]
+    np.testing.assert_allclose(
+        second.best_val_loss, first.best_val_loss, rtol=0, atol=0
+    )
