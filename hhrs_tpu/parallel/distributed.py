@@ -43,12 +43,20 @@ def initialize_distributed(
 
     on_tpu_pod = os.environ.get("TPU_WORKER_HOSTNAMES") or os.environ.get("MEGASCALE_COORDINATOR_ADDRESS")
     if coordinator_address is None and not on_tpu_pod:
+        if num_processes is not None or process_id is not None:
+            # Partial config is the dangerous case: this host would train
+            # ALONE and write artifacts while its peers block on the
+            # coordinator until timeout — exactly the silent divergence
+            # this wrapper exists to prevent. Fail loudly instead.
+            raise RuntimeError(
+                "NUM_PROCESSES/PROCESS_ID configured "
+                f"(n={num_processes}, id={process_id}) but no "
+                "COORDINATOR_ADDRESS — refusing to fall back to a "
+                "single-process run on a multi-host launch"
+            )
         log.info("single-process run (no coordinator configured)")
         return False
 
-    os.environ.setdefault(
-        "JAX_COORDINATION_SERVICE_TIMEOUT_SECONDS", str(timeout_s)
-    )
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,

@@ -13,15 +13,24 @@ large state in this model family, so they live row-sharded across the
 
   * ``all_to_all_lookup`` — the classic two-hop ID/vector exchange: the ID
     vector is sharded over the model axis too, each shard buckets its IDs by
-    owning shard (fixed capacity, no dynamic shapes), ``all_to_all`` sends
-    IDs to their owners, owners gather locally, a second ``all_to_all``
-    returns the vectors; the result stays sharded over both axes. Moves
-    O(B·D) through the network regardless of m — the right shape for
-    multi-host tables where the psum variant's m·B·D doesn't fit DCN/ICI.
+    owning shard, ``all_to_all`` sends IDs to their owners, owners gather
+    locally, a second ``all_to_all`` returns the vectors; the result stays
+    sharded over both axes. Traffic honesty: XLA's untyped all_to_all needs
+    STATIC bucket shapes, and this implementation sizes every bucket at the
+    worst case (capacity b = all local ids owned by one shard), so its
+    wire bytes are the same m·B·D as the psum variant — what it avoids is
+    the psum's m-fold [B, D] compute/reduction work per shard and its
+    result replication (the output here stays sharded over both axes).
+    A bandwidth-optimal exchange needs skew-bounded buckets (capacity
+    ≈ B/m with load balancing) — noted as the production extension for
+    tables too big for this; the exactness contract below is why the
+    worst-case capacity is the default.
 
 Both are exact: they produce bit-identical results to an unsharded
 ``table[ids]`` gather (tests/test_parallel.py asserts this on an 8-device
-CPU mesh).
+CPU mesh) — for ids in ``[0, rows)``. Out-of-range ids are a caller bug
+and the three paths (unsharded clamp, psum zeros, all_to_all clamped row)
+intentionally do NOT agree on them.
 """
 
 from __future__ import annotations

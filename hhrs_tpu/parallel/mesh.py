@@ -14,9 +14,13 @@ reshape of ``jax.devices()`` is used.
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 import jax
 from jax.sharding import Mesh
+
+log = logging.getLogger(__name__)
 
 
 def mesh_shape_for(n_devices: int, model_axis: int | None = None) -> tuple[int, int]:
@@ -40,31 +44,44 @@ def make_mesh(
     n_model: int = 1,
     axis_names: tuple = ("data", "model"),
     devices=None,
-    hardware_order: bool = False,
+    hardware_order: bool | str = "auto",
 ) -> Mesh:
     """Build a 2-D mesh. ``n_data=-1`` → use every device not on model.
 
-    ``hardware_order=True`` lays the grid out with
+    ``hardware_order`` lays the grid out with
     ``mesh_utils.create_device_mesh`` so neighboring mesh coordinates map
-    to ICI-adjacent chips (the right choice on a real slice — the model
-    axis's all-to-all/psum then rides nearest-neighbor links); the default
-    plain reshape is deterministic and is what the virtual CPU tests use.
+    to ICI-adjacent chips — the right choice on a real slice: the model
+    axis's all-to-all/psum then rides nearest-neighbor links. The default
+    ``"auto"`` uses it on TPU backends and falls back to a plain
+    deterministic reshape elsewhere (virtual CPU tests) or if the topology
+    helper rejects the shape.
     """
     if devices is None:
         devices = jax.devices()
     n = len(devices)
+    if n_model < 1 or (n_data < 1 and n_data != -1):
+        raise ValueError(f"mesh axes must be >= 1, got {n_data}x{n_model}")
     if n_data == -1:
         if n % n_model != 0:
             raise ValueError(f"{n} devices not divisible by model axis {n_model}")
         n_data = n // n_model
     if n_data * n_model > n:
         raise ValueError(f"mesh {n_data}x{n_model} needs {n_data * n_model} devices, have {n}")
+    if n_data * n_model < n:
+        log.warning("mesh %dx%d uses %d of %d available devices — the rest idle",
+                    n_data, n_model, n_data * n_model, n)
+    if hardware_order == "auto":
+        hardware_order = devices[0].platform == "tpu"
     if hardware_order:
         from jax.experimental import mesh_utils
 
-        grid = mesh_utils.create_device_mesh(
-            (n_data, n_model), devices=devices[: n_data * n_model]
-        )
+        try:
+            grid = mesh_utils.create_device_mesh(
+                (n_data, n_model), devices=devices[: n_data * n_model]
+            )
+        except Exception as e:  # odd shapes the topology helper rejects
+            log.warning("create_device_mesh failed (%s); plain reshape layout", e)
+            grid = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
     else:
         grid = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
     return Mesh(grid, axis_names)
@@ -116,6 +133,6 @@ def mesh_from_spec(spec: str, **kwargs) -> Mesh:
     import re
 
     m = re.fullmatch(r"(\d+)(?:[xX](\d+))?", spec.strip())
-    if not m:
+    if not m or int(m.group(1)) < 1 or int(m.group(2) or 1) < 1:
         raise ValueError(f"--mesh must be DATA or DATAxMODEL (e.g. 4x2), got {spec!r}")
     return make_mesh(int(m.group(1)), int(m.group(2) or 1), **kwargs)

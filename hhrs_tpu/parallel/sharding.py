@@ -82,21 +82,34 @@ def shard_pytree(tree, shardings):
 
 
 def opt_state_shardings(opt_state, params, params_shardings, mesh: Mesh):
-    """Optimizer state mirrors param shardings where leaves match param
-    shapes (Adam m/v moments); scalars and step counters replicate."""
-    flat_params, _ = jax.tree_util.tree_flatten(params)
-    flat_shard, _ = jax.tree_util.tree_flatten(
-        params_shardings, is_leaf=lambda x: isinstance(x, NamedSharding)
-    )
-    shape_to_sharding = {}
-    for p, s in zip(flat_params, flat_shard):
-        shape_to_sharding.setdefault((p.shape, p.dtype), s)
+    """Optimizer state mirrors param shardings by TREE PATH: optax moment
+    subtrees (Adam mu/nu — and LazyOptState's m/v table dicts) replicate
+    the param tree's structure, so a state leaf whose path SUFFIX equals a
+    param's full path takes that param's sharding (longest suffix wins).
+    Matching by (shape, dtype) instead would silently replicate a table's
+    moments — the two largest optimizer arrays — whenever any dense param
+    happened to share its shape. Scalars/step counters replicate."""
 
-    def of(leaf):
+    def path_key(path):
+        return tuple(str(e) for e in path)
+
+    param_leaves = jax.tree_util.tree_flatten_with_path(params)[0]
+    shard_leaves = jax.tree_util.tree_flatten_with_path(
+        params_shardings, is_leaf=lambda x: isinstance(x, NamedSharding)
+    )[0]
+    param_map = {
+        path_key(pp): s for (pp, _), (_, s) in zip(param_leaves, shard_leaves)
+    }
+    max_len = max((len(k) for k in param_map), default=0)
+
+    def of(path, leaf):
         if hasattr(leaf, "shape"):
-            hit = shape_to_sharding.get((leaf.shape, leaf.dtype))
-            if hit is not None:
-                return hit
+            keys = path_key(path)
+            # longest matching suffix first
+            for start in range(max(0, len(keys) - max_len), len(keys)):
+                hit = param_map.get(keys[start:])
+                if hit is not None:
+                    return hit
         return NamedSharding(mesh, P())
 
-    return jax.tree.map(of, opt_state)
+    return jax.tree_util.tree_map_with_path(of, opt_state)

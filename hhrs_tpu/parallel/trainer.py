@@ -122,28 +122,3 @@ def make_parallel_train_step(
         )
 
     return jit_for
-
-
-def make_parallel_eval_step(mesh: Mesh, model_cfg: ModelConfig, state: ParallelTrainState,
-                            data_axis: str = "data"):
-    """Jitted inference over a data-sharded batch → replicated logits."""
-    rep = NamedSharding(mesh, P())
-
-    def fwd(params, bn_state, batch):
-        logits, _ = apply_dcn(
-            params, bn_state, batch["user"], batch["item"], batch["cat"], batch["num"],
-            cfg=model_cfg, train=False,
-        )
-        return logits
-
-    def jit_for(batch_example):
-        b_sh = jax.tree.map(
-            lambda x: NamedSharding(mesh, batch_pspec(x.ndim, data_axis)), batch_example
-        )
-        return jax.jit(
-            fwd,
-            in_shardings=(state.shardings["params"], state.shardings["bn_state"], b_sh),
-            out_shardings=rep,
-        )
-
-    return jit_for
