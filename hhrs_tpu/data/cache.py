@@ -30,11 +30,26 @@ _SPLIT_FIELDS = (
 )
 
 
+def _code_version() -> str:
+    """Hash of the preprocessing-code sources: a change to the featurizer
+    or encoders must invalidate cached arrays automatically — the CSV and
+    config knobs alone can't see it."""
+    import hhrs_tpu.data.features as _f
+    import hhrs_tpu.data.ingest as _i
+    import hhrs_tpu.data.preprocess as _p
+
+    h = hashlib.sha1()
+    for mod in (_f, _i, _p):
+        with open(mod.__file__, "rb") as fh:
+            h.update(fh.read())
+    return h.hexdigest()[:12]
+
+
 def cache_key(csv_path: str, cfg_knobs: dict) -> str:
     st = os.stat(csv_path)
     blob = json.dumps(
         {"path": os.path.abspath(csv_path), "size": st.st_size,
-         "mtime_ns": st.st_mtime_ns, **cfg_knobs},
+         "mtime_ns": st.st_mtime_ns, "code": _code_version(), **cfg_knobs},
         sort_keys=True,
     )
     return hashlib.sha1(blob.encode()).hexdigest()[:16]

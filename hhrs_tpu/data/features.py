@@ -34,19 +34,3 @@ def add_engineered_features(df: pd.DataFrame) -> pd.DataFrame:
     )
     df["location_premium"] = df["rating_overall"] - df["rating_location"]
     return df
-
-
-def engineered_features_np(
-    price_rub: np.ndarray,
-    stars: np.ndarray,
-    rating_cleanliness: np.ndarray,
-    rating_service: np.ndarray,
-    rating_overall: np.ndarray,
-    rating_location: np.ndarray,
-) -> dict[str, np.ndarray]:
-    """Pure-array variant for callers without a DataFrame (serve hot path)."""
-    return {
-        "price_per_star": _safe_ratio(price_rub, stars),
-        "cleanliness_vs_service": _safe_ratio(rating_cleanliness, rating_service),
-        "location_premium": rating_overall - rating_location,
-    }

@@ -43,10 +43,17 @@ def _read_csv(path: str, engine: str = "auto") -> pd.DataFrame:
 
 
 def load_reviews_csv(path: str, engine: str = "auto") -> pd.DataFrame:
-    """Load the reviews CSV and normalize user/item column names."""
+    """Load the reviews CSV and normalize user/item column names.
+
+    Validates the column contract up front (schema.REVIEWS_CSV_COLUMNS) so
+    a wrong/truncated file fails with a clear error here instead of a bare
+    KeyError deep inside the feature pipeline."""
     if not os.path.exists(path):
         raise FileNotFoundError(path)
     df = _read_csv(path, engine)
+    missing = [c for c in schema.REVIEWS_CSV_COLUMNS if c not in df.columns]
+    if missing:
+        raise ValueError(f"reviews CSV missing columns {missing}")
     df = df.rename(
         columns={schema.RAW_USER_COL: schema.USER_COL, schema.RAW_ITEM_COL: schema.ITEM_COL}
     )

@@ -78,12 +78,23 @@ class PreprocessArtifacts:
         return len(self.user_id_mapping) // 2
 
     def to_json_dict(self) -> dict:
+        def _pairs(m):
+            # Keys as NATIVE JSON values (int/float/str — numpy scalars
+            # unwrapped), stored as [key, value] pairs: JSON object keys
+            # are always strings, and str()-ing e.g. a float id 7.0 used
+            # to come back as the STRING "7.0" (int("7.0") raises), so a
+            # disk-loaded artifact silently missed every lookup that the
+            # in-memory artifact hit. Pairs round-trip the key type.
+            return [
+                [k.item() if hasattr(k, "item") else k, int(v)]
+                for k, v in m.items()
+            ]
+
         return {
-            "user_id_mapping": {str(k): int(v) for k, v in self.user_id_mapping.items()},
-            "item_id_mapping": {str(k): int(v) for k, v in self.item_id_mapping.items()},
+            "user_id_mapping": _pairs(self.user_id_mapping),
+            "item_id_mapping": _pairs(self.item_id_mapping),
             "cat_encoders": {
-                col: {str(k): int(v) for k, v in enc.items()}
-                for col, enc in self.cat_encoders.items()
+                col: _pairs(enc) for col, enc in self.cat_encoders.items()
             },
             "scaler_min": self.scaler.data_min.tolist(),
             "scaler_max": self.scaler.data_max.tolist(),
@@ -94,19 +105,24 @@ class PreprocessArtifacts:
 
     @classmethod
     def from_json_dict(cls, d: dict) -> "PreprocessArtifacts":
-        def _intify(m):
-            out = {}
-            for k, v in m.items():
-                try:
-                    out[int(k)] = int(v)
-                except ValueError:
-                    out[k] = int(v)
-            return out
+        def _map(m):
+            if isinstance(m, dict):  # legacy artifacts: string-keyed object
+                out = {}
+                for k, v in m.items():
+                    try:
+                        out[int(k)] = int(v)
+                    except ValueError:
+                        try:
+                            out[float(k)] = int(v)
+                        except ValueError:
+                            out[k] = int(v)
+                return out
+            return {k: int(v) for k, v in m}  # native-typed pair list
 
         return cls(
-            user_id_mapping=_intify(d["user_id_mapping"]),
-            item_id_mapping=_intify(d["item_id_mapping"]),
-            cat_encoders={col: dict(enc) for col, enc in d["cat_encoders"].items()},
+            user_id_mapping=_map(d["user_id_mapping"]),
+            item_id_mapping=_map(d["item_id_mapping"]),
+            cat_encoders={col: _map(enc) for col, enc in d["cat_encoders"].items()},
             scaler=MinMaxStats(
                 data_min=np.asarray(d["scaler_min"], dtype=np.float64),
                 data_max=np.asarray(d["scaler_max"], dtype=np.float64),
@@ -176,9 +192,25 @@ class Preprocessor:
     def fit_transform(self, df: pd.DataFrame) -> tuple[DatasetSplits, PreprocessArtifacts]:
         df = df.copy()
 
-        medians = df[self.numerical_cols].median()
-        df[self.numerical_cols] = df[self.numerical_cols].fillna(medians)
-        df = df.dropna(subset=self.categorical_cols)
+        if self.leakage_compat:
+            # reference order (train.py:39-54): full-dataset medians AND
+            # scaler, computed before the split — the documented leakage
+            # quirk, reproduced for metric parity
+            medians = df[self.numerical_cols].median()
+            df[self.numerical_cols] = df[self.numerical_cols].fillna(medians)
+            df = df.dropna(subset=self.categorical_cols)
+            pre_idx = None
+        else:
+            # clean variant: NO full-dataset statistics. The cat-NaN drop is
+            # independent of the numeric fill, so the row set (and hence the
+            # seeded split) is identical either way; medians and scaler then
+            # come from TRAIN rows only.
+            df = df.dropna(subset=self.categorical_cols)
+            pre_idx = self._split(
+                len(df), df[self.target_col].to_numpy(dtype=np.float32)
+            )
+            medians = df.iloc[pre_idx[0]][self.numerical_cols].median()
+            df[self.numerical_cols] = df[self.numerical_cols].fillna(medians)
 
         user_map = {orig: i for i, orig in enumerate(df[self.user_col].unique())}
         item_map = {orig: i for i, orig in enumerate(df[self.item_col].unique())}
@@ -201,7 +233,7 @@ class Preprocessor:
             X_num = scaler.transform(X_num_raw).astype(np.float32)
             tr_idx, va_idx = self._split(len(df), y)
         else:
-            tr_idx, va_idx = self._split(len(df), y)
+            tr_idx, va_idx = pre_idx  # computed pre-fill; same rows, same seed
             scaler = MinMaxStats.fit(X_num_raw[tr_idx])
             X_num = scaler.transform(X_num_raw).astype(np.float32)
 
@@ -282,18 +314,21 @@ def transform_with_artifacts(
     return out
 
 
-def encode_items_for_ranking(
+def encode_item_features(
     artifacts: PreprocessArtifacts,
     items_df: pd.DataFrame,
-    user_id: int,
-) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
-    """Serve-time featurization with reference fallback semantics
-    (main.py:215-230): unknown user → n_users//2, unknown item → 0,
-    unknown category → 0. Numericals are scaled with the train scaler.
-    """
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-item featurization with reference fallback semantics (main.py:
+    215-230): unknown item → 0, unknown category → 0; numericals
+    median-filled with the TRAIN medians then scaled with the train
+    scaler. The ONE implementation — used by per-request ranking
+    (encode_items_for_ranking) and the serve engine's startup item matrix
+    (serve/engine.py), so the two can never drift.
+
+    The median fill is a robustness fix over the reference serve path
+    (main.py:228 lets NaN flow into the model) — not a behavior change
+    for clean rows. Returns (items, X_cat, X_num)."""
     n = len(items_df)
-    internal_user = artifacts.user_id_mapping.get(user_id, artifacts.unknown_user_id)
-    users = np.full(n, internal_user, dtype=np.int32)
     items = (
         items_df[schema.ITEM_COL]
         .map(artifacts.item_id_mapping)
@@ -305,11 +340,23 @@ def encode_items_for_ranking(
         enc = artifacts.cat_encoders[col]
         cats.append(items_df[col].map(enc).fillna(0).to_numpy(dtype=np.int32))
     X_cat = np.stack(cats, axis=1) if cats else np.zeros((n, 0), np.int32)
-    raw_num = items_df[artifacts.numerical_cols].to_numpy(dtype=np.float64)
-    # Median-fill with the train-time medians. The reference serve path skips
-    # this (main.py:228) and lets NaN flow into the model — a robustness fix,
-    # not a behavior change for clean rows.
+    raw_num = items_df[list(artifacts.numerical_cols)].to_numpy(dtype=np.float64)
     med = np.asarray([artifacts.medians[c] for c in artifacts.numerical_cols])
     raw_num = np.where(np.isnan(raw_num), med, raw_num)
     X_num = artifacts.scaler.transform(raw_num).astype(np.float32)
+    return items, X_cat, X_num
+
+
+def encode_items_for_ranking(
+    artifacts: PreprocessArtifacts,
+    items_df: pd.DataFrame,
+    user_id: int,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Serve-time featurization with reference fallback semantics
+    (main.py:215-230): unknown user → n_users//2, unknown item → 0,
+    unknown category → 0. Numericals are scaled with the train scaler.
+    """
+    internal_user = artifacts.user_id_mapping.get(user_id, artifacts.unknown_user_id)
+    users = np.full(len(items_df), internal_user, dtype=np.int32)
+    items, X_cat, X_num = encode_item_features(artifacts, items_df)
     return users, items, X_cat, X_num

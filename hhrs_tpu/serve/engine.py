@@ -128,15 +128,11 @@ class RecommendationEngine:
         items_df = items_df.loc[uni.item_ids]  # serve-index order
         self.items_df = items_df
 
-        cats = []
-        for col in art.categorical_cols:
-            enc = art.cat_encoders[col]
-            cats.append(items_df[col].map(enc).fillna(0).to_numpy(np.int32))
-        X_cat = np.stack(cats, axis=1) if cats else np.zeros((M, 0), np.int32)
-        raw_num = items_df[art.numerical_cols].to_numpy(np.float64)
-        med = np.asarray([art.medians[c] for c in art.numerical_cols])
-        raw_num = np.where(np.isnan(raw_num), med, raw_num)
-        X_num = art.scaler.transform(raw_num).astype(np.float32)
+        # ONE featurizer shared with per-request ranking/eval — the
+        # engine's startup item matrix can't drift from it.
+        from hhrs_tpu.data.preprocess import encode_item_features
+
+        _, X_cat, X_num = encode_item_features(art, items_df)
 
         # Program-space item axis is the generator's (mesh-padded) M; pad
         # the ranking-side arrays to match (padded rows are never candidates

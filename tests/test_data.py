@@ -137,3 +137,31 @@ def test_leakage_compat_flag_changes_scaler():
     np.testing.assert_allclose(art_leak.scaler.data_max, raw.max(0))
     np.testing.assert_allclose(art_clean.scaler.data_min, raw[tr].min(0))
     np.testing.assert_allclose(art_clean.scaler.data_max, raw[tr].max(0))
+
+
+def test_artifacts_roundtrip_preserves_key_types(tmp_path):
+    """Non-string mapping keys must survive the JSON round-trip: a NaN in
+    the raw id column upcasts ids to float64 (keys like 7.0 — int("7.0")
+    raises, so the old string-keyed format silently dropped every lookup
+    after load), and a numeric categorical column keys its encoder by
+    floats. Saved artifacts must behave identically to in-memory ones."""
+    import numpy as np
+
+    from hhrs_tpu.data.preprocess import PreprocessArtifacts, MinMaxStats
+
+    art = PreprocessArtifacts(
+        user_id_mapping={7.0: 0, 8.0: 1},
+        item_id_mapping={100: 0, 101: 1},
+        cat_encoders={"stars": {1.0: 0, 4.5: 1}, "city": {"Sochi": 0}},
+        scaler=MinMaxStats(data_min=np.zeros(2), data_max=np.ones(2)),
+        numerical_cols=["a", "b"],
+        categorical_cols=["stars", "city"],
+        medians={"a": 0.5, "b": 1.0},
+    )
+    path = str(tmp_path / "preproc.json")
+    art.save(path)
+    back = PreprocessArtifacts.load(path)
+    assert back.user_id_mapping == {7.0: 0, 8.0: 1}
+    assert back.item_id_mapping == {100: 0, 101: 1}
+    assert back.cat_encoders["stars"] == {1.0: 0, 4.5: 1}
+    assert back.cat_encoders["city"] == {"Sochi": 0}
