@@ -60,7 +60,9 @@ class BatchingEngine:
                     break
                 raise RuntimeError("BatchingEngine worker is gone")
         if p.error is not None:
-            raise p.error
+            # Fresh exception per waiter: N handler threads re-raising the
+            # SAME instance race on its __traceback__ (garbled 500 logs).
+            raise RuntimeError(f"batched recommend failed: {p.error}") from p.error
         return p.result
 
     def __getattr__(self, name):

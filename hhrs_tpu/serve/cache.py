@@ -134,9 +134,11 @@ class CachedEngine:
             return val
         ev.wait(timeout=60.0)
         val, gen = self._get(key)
+        # One request = one stats event: the post-wait re-check must not
+        # add a second miss (or stand as both a miss and a hit).
+        with self._lock:
+            self.misses -= 1
         if val is not None:
-            with self._lock:  # a wait-then-hit shouldn't count as a miss too
-                self.misses -= 1
             return val
         val = compute()  # leader failed or swap raced — compute directly
         self._put(key, val, gen)
@@ -161,14 +163,16 @@ class CachedEngine:
 
     def similar_items(self, item_id: int, n: int = 10):
         """Deterministic like recommend (kNN over the fixed item table) —
-        same memoization; None (unknown item → 404) is cached via a
-        sentinel so repeat 404s don't recompute."""
+        same memoization incl. the single-flight stampede gate; None
+        (unknown item → 404) is cached via a sentinel so repeat 404s
+        don't recompute."""
         key = ("sim", int(item_id), int(n))
-        val, gen = self._get(key)
-        if val is None:
-            val = self._inner.similar_items(item_id, n)
-            self._put(key, _NONE if val is None else val, gen)
-            return val
+
+        def compute():
+            v = self._inner.similar_items(item_id, n)
+            return _NONE if v is None else v
+
+        val = self._single_flight(key, compute)
         return None if val is _NONE else val
 
     def cache_stats(self) -> dict:

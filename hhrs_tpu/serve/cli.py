@@ -66,7 +66,8 @@ def main(argv=None) -> int:
     p.add_argument("overrides", nargs="*", help="section.field=value config overrides")
     args = p.parse_args(argv)
 
-    cfg = Config().apply_overrides(check_overrides(args.overrides)).serve
+    cfg_all = Config().apply_overrides(check_overrides(args.overrides))
+    cfg = cfg_all.serve
     artifacts = args.artifacts if args.artifacts is not None else cfg.artifacts_dir
     data_dir = args.data if args.data is not None else cfg.data_dir
     host = args.host if args.host is not None else cfg.host
@@ -101,6 +102,7 @@ def main(argv=None) -> int:
             cap = args.candidate_cap if args.candidate_cap is not None else cfg.candidate_cap
             eng = RecommendationEngine.from_dirs(
                 adir, data_dir, mesh=mesh, bf16=args.bf16,
+                retrieval_cfg=cfg_all.retrieval,  # retrieval.* overrides apply
                 quantize_tables=args.quantize_tables or cfg.quantize_tables,
                 candidate_cap=cap, city_bounded=cfg.city_bounded,
                 use_pallas=cfg.use_pallas)

@@ -22,6 +22,7 @@ unknown user → n_users//2 model id; empty candidates → message response;
 
 from __future__ import annotations
 
+import dataclasses
 import logging
 import time
 from functools import partial
@@ -86,8 +87,6 @@ class RecommendationEngine:
             # a scale knob, not the parity default. The retrieval-side
             # item_embeddings (kNN/MMR) stay f32: candidate sets and
             # /similar_items remain bit-identical to the f32 engine.
-            import dataclasses
-
             from hhrs_tpu.ops.quant import quantize_embedding_params
 
             bundle = dataclasses.replace(
@@ -99,8 +98,6 @@ class RecommendationEngine:
             # f32; logits accumulate f32). Rankings of near-tied items can
             # differ from the f32 path by design — this is a serve-throughput
             # knob, not the parity default.
-            import dataclasses
-
             bundle = dataclasses.replace(
                 bundle, model_cfg=dataclasses.replace(
                     bundle.model_cfg, compute_dtype="bfloat16")

@@ -122,9 +122,16 @@ def make_handler(engine):
         def do_POST(self):
             url = urlparse(self.path)
             try:
+                if "chunked" in self.headers.get("Transfer-Encoding", "").lower():
+                    # Unsupported framing: answer 411 and drop the
+                    # connection — the unread chunked body would otherwise
+                    # desync every later request on this keep-alive socket.
+                    self.close_connection = True
+                    return self._send(411, {"detail": "Length Required"})
                 try:
                     length = max(0, int(self.headers.get("Content-Length", 0)))
                 except ValueError:
+                    self.close_connection = True  # unread body on the socket
                     return self._send(400, {"detail": "invalid Content-Length"})
                 raw = self.rfile.read(length) if length else b"{}"
                 if url.path == "/recommendations":

@@ -32,6 +32,13 @@ log = logging.getLogger("hhrs_tpu.serve.reload")
 # "closed" error. Far beyond any request latency + batch window.
 OLD_STACK_CLOSE_GRACE_S = 10.0
 
+# Backoff after a FAILED load of a registration: a full engine build is
+# seconds-to-minutes of CSV parsing + device transfers + warmup, so a
+# persistently broken artifact dir must not be re-attempted every poll
+# tick. A registration key change (operator fixed and re-registered)
+# retries immediately; the same broken key retries after this long.
+FAILED_LOAD_RETRY_S = 60.0
+
 
 class SwappableEngine:
     """Forwarding proxy so the HTTP layer (and dynamic batcher) can keep a
@@ -76,6 +83,8 @@ class RegistryReloader(threading.Thread):
         # retrain exported over the SAME directory and re-registered is a
         # new model and must swap (a new snapshot gets a new model_id).
         self.current_key = (None, current_dir)
+        self._failed_key = None
+        self._failed_at = 0.0
         try:
             active = self._active()
             if active[1] == current_dir:
@@ -99,6 +108,8 @@ class RegistryReloader(threading.Thread):
         """One poll: swap if the active registration moved. Returns True
         iff a new model was installed. Never raises — a failed resolve or
         load keeps the current model serving."""
+        import time
+
         try:
             new_key = self._active()
         except Exception as e:
@@ -106,19 +117,29 @@ class RegistryReloader(threading.Thread):
             return False
         if new_key == self.current_key:
             return False
+        if self.current_key[0] is None and new_key[1] == self.current_dir:
+            # Init couldn't read the registry (transient lock) but the
+            # active registration points at the dir ALREADY serving —
+            # adopt its key instead of rebuilding the identical stack.
+            self.current_key = new_key
+            return False
+        if new_key == self._failed_key and (
+            time.monotonic() - self._failed_at < FAILED_LOAD_RETRY_S
+        ):
+            return False  # same broken registration: back off, retry later
         new_dir = new_key[1]
         log.info("registry: active model changed %s -> %s (model_id %s); loading...",
                  self.current_dir, new_dir, new_key[0])
         try:
             new_engine = self.build(new_dir)
         except Exception as e:
-            log.error("hot reload of %s FAILED (%s); keeping %s",
-                      new_dir, e, self.current_dir)
-            # Remember the bad key: re-polling an unchanged broken
-            # registration should not re-attempt a doomed load every tick…
-            # but a FIXED artifact dir at the same registration should. We
-            # retry (cheap resolve, load only on change), so keep the old key.
+            log.error("hot reload of %s FAILED (%s); keeping %s (retry in %.0fs "
+                      "unless the registration changes)",
+                      new_dir, e, self.current_dir, FAILED_LOAD_RETRY_S)
+            self._failed_key = new_key
+            self._failed_at = time.monotonic()
             return False
+        self._failed_key = None
         old = self.holder.swap(new_engine)
         self.current_key = new_key
 

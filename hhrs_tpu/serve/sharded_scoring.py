@@ -14,7 +14,6 @@ gradient sync, so every device can hold catalog rows).
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import numpy as np
