@@ -6,8 +6,8 @@ this image, so this package is a self-contained reimplementation of the
 pieces the workload needs — same trial API (``suggest_categorical`` /
 ``suggest_int`` / ``suggest_float``), a univariate TPE sampler, a median
 pruner, and a crash-safe append-only JSONL journal for resumability. When
-optuna IS importable, ``Study(backend="optuna")`` delegates to it so the
-same objective runs unchanged on either engine.
+optuna IS importable, ``create_study(..., backend="optuna")`` delegates to
+it so the same objective runs unchanged on either engine.
 """
 
 from hhrs_tpu.hpo.pruner import MedianPruner

@@ -26,7 +26,13 @@ class MedianPruner:
             return False
         if len(completed_intermediates) < self.n_startup_trials:
             return False
-        at_step = [im[step] for im in completed_intermediates if step in im]
+        # NaN-safe: a completed trial that posted a NaN at this step (e.g.
+        # diverged then recovered) must not disable pruning forever —
+        # optuna uses nanpercentile for the same reason.
+        at_step = [
+            im[step] for im in completed_intermediates
+            if step in im and not np.isnan(im[step])
+        ]
         if not at_step:
             return False
         return value > float(np.median(at_step))

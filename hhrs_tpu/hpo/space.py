@@ -9,7 +9,7 @@ batch size, optimizer family, and the plateau-scheduler knobs.
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 
 @dataclass(frozen=True)
@@ -54,8 +54,9 @@ class Dim:
             return self.choices[round(u * (len(self.choices) - 1))]
         if self.kind == "int":
             raw = self.low + u * (self.high - self.low)
-            stepped = round((raw - self.low) / self.step) * self.step + self.low
-            return int(min(max(stepped, self.low), self.high))
+            k = round((raw - self.low) / self.step)
+            k = min(max(k, 0), int((self.high - self.low) // self.step))
+            return int(self.low + k * self.step)  # always ON the step grid
         if self.log:
             return float(
                 math.exp(math.log(self.low) + u * (math.log(self.high) - math.log(self.low)))

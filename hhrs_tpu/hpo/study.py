@@ -71,15 +71,23 @@ class Trial:
         # optuna MedianPruner semantics: the trial's BEST intermediate so
         # far (minimize direction) is compared against the median, so a
         # trial that already posted a good epoch is not pruned on a later
-        # regression.
+        # regression. A NaN best (diverged trial) prunes IMMEDIATELY —
+        # optuna does the same; letting it run would burn epochs until
+        # early-stop and poison future medians.
+        best = min(self.intermediates.values())
+        if math.isnan(best):
+            return True
         return self._study._pruner.should_prune(
             self._last_step,
-            min(self.intermediates.values()),
+            best,
             [t["intermediates_by_step"] for t in self._study.trials if t["state"] == "complete"],
         )
 
     def set_user_attr(self, key: str, value) -> None:
         self.user_attrs[key] = value
+        fwd = getattr(self._study, "_set_user_attr", None)
+        if fwd is not None:  # optuna backend: persist on the real trial
+            fwd(key, value)
 
 
 class Study:
@@ -131,17 +139,32 @@ class Study:
         """Run until the study holds ``n_trials`` total (resume-aware)."""
         while len(self.trials) < n_trials:
             number = len(self.trials)
-            history = [
-                (t["params"], t.get("value"))
-                for t in self.trials
-                if t["state"] == "complete"
-            ]
+            # Completed trials contribute their value; PRUNED trials
+            # contribute their best intermediate — without this, TPE never
+            # accumulates "bad" evidence in pruning-heavy regions and keeps
+            # re-proposing them (optuna's TPE uses pruned trials the same way).
+            history = []
+            for t in self.trials:
+                if t["state"] == "complete":
+                    history.append((t["params"], t.get("value")))
+                elif t["state"] == "pruned":
+                    vals = [v for v in t.get("intermediates_by_step", {}).values()
+                            if not math.isnan(v)]
+                    if vals:
+                        history.append((t["params"], min(vals)))
             params = self.sampler.sample(space, history)
             trial = Trial(number, space, params, self)
             rec = {"number": number, "params": params, "state": "running"}
             try:
-                value = objective(trial)
-                rec.update(state="complete", value=float(value))
+                value = float(objective(trial))
+                if math.isfinite(value):
+                    rec.update(state="complete", value=value)
+                else:
+                    # never-finite val loss: record as failed — inf/nan as a
+                    # "complete" value is useless to minimize over and
+                    # json.dumps would emit non-standard Infinity tokens
+                    rec.update(state="failed", value=None,
+                               error=f"non-finite objective ({value})")
             except TrialPruned:
                 rec.update(state="pruned", value=None)
             except Exception as e:  # noqa: BLE001 — a failed trial must not kill the study
@@ -184,7 +207,9 @@ class Study:
 def create_study(journal_path=None, seed=0, backend="auto", **kwargs):
     """Load-or-create. backend='optuna' (or 'auto' with optuna installed
     and HHRS_HPO_OPTUNA=1) wraps a real optuna study via OptunaStudyAdapter."""
-    if backend in ("optuna", "auto") and os.environ.get("HHRS_HPO_OPTUNA") == "1":
+    if backend == "optuna" or (
+        backend == "auto" and os.environ.get("HHRS_HPO_OPTUNA") == "1"
+    ):
         try:
             return OptunaStudyAdapter(journal_path, seed=seed)
         except ImportError:
@@ -233,7 +258,12 @@ class OptunaStudyAdapter:
             except TrialPruned:
                 raise optuna.TrialPruned()
 
-        self._study.optimize(wrapped, n_trials=n_trials)
+        # Resume-aware (run until the study HOLDS n_trials, matching the
+        # built-in Study) and failure-isolated (a failed trial is recorded,
+        # not fatal to the remaining sweep).
+        remaining = max(0, n_trials - len(self._study.trials))
+        if remaining:
+            self._study.optimize(wrapped, n_trials=remaining, catch=(Exception,))
 
     @property
     def best_params(self):
@@ -249,7 +279,7 @@ class OptunaStudyAdapter:
         # built-in Study's 'complete'/'pruned'/'failed' vocabulary.
         return [
             {"number": t.number, "params": t.params, "state": t.state.name.lower(),
-             "value": t.value}
+             "value": t.value, "user_attrs": dict(t.user_attrs)}
             for t in self._study.trials
         ]
 
@@ -264,6 +294,7 @@ class _OptunaShimStudy:
         # then only ASKS optuna (which applies its own best-over-steps
         # PercentilePruner semantics to the faithfully recorded curve).
         self._report_to_backend = otrial.report
+        self._set_user_attr = otrial.set_user_attr
 
         class _P:
             def __init__(self, ot):

@@ -186,3 +186,37 @@ def test_hpo_cli_smoke(tmp_path):
     assert rc == 0
     assert os.path.exists(tmp_path / "journal.jsonl")
     assert os.path.exists(tmp_path / "artifacts" / "manifest.json")
+
+
+def test_int_from_unit_stays_on_grid():
+    """A non-divisible int range must still snap to the declared step grid
+    (from_unit(1.0) on low=0,high=11,step=3 is 9, not the off-grid 11)."""
+    from hhrs_tpu.hpo.space import int_range
+
+    d = int_range(0, 11, step=3)
+    assert d.from_unit(1.0) == 9
+    assert all(d.from_unit(u / 10) in (0, 3, 6, 9) for u in range(11))
+
+
+def test_nan_intermediate_prunes_and_median_ignores_nan():
+    """A diverged (NaN) trial prunes at its first report; a NaN posted at
+    some step by a completed trial must not disable the median there."""
+    import math
+
+    from hhrs_tpu.hpo.pruner import MedianPruner
+    from hhrs_tpu.hpo.study import Study, Trial
+
+    study = Study(None, pruner=MedianPruner(n_startup_trials=0))
+    study.trials = [
+        {"state": "complete", "intermediates_by_step": {0: 0.5}},
+        {"state": "complete", "intermediates_by_step": {0: math.nan}},
+    ]
+    t = Trial(0, {}, {}, study)
+    t.report(math.nan, 0)
+    assert t.should_prune()  # NaN best → prune immediately
+    t2 = Trial(1, {}, {}, study)
+    t2.report(0.9, 0)
+    assert t2.should_prune()  # 0.9 > median(0.5) — the NaN didn't poison it
+    t3 = Trial(2, {}, {}, study)
+    t3.report(0.1, 0)
+    assert not t3.should_prune()
