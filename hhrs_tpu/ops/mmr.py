@@ -46,6 +46,15 @@ def mmr_rerank(
     first = jnp.argmax(masked_scores)
     have_any = n_cand > 0
 
+    # Reference tie-break: the loop iterates candidates in DESCENDING
+    # relevance order (stable) and keeps the first strict improvement
+    # (main.py:148-166), so among equal-MMR candidates the earlier one in
+    # that order wins — not the lowest index, which is what a bare argmax
+    # would pick. rank = each item's position in that iteration order.
+    rank = jnp.zeros(M, jnp.int32).at[jnp.argsort(-masked_scores)].set(
+        jnp.arange(M, dtype=jnp.int32)
+    )
+
     selected = jnp.zeros(M, bool).at[first].set(have_any)
     out = jnp.full((top_k,), -1, jnp.int32)
     out = out.at[0].set(jnp.where(have_any, first.astype(jnp.int32), -1))
@@ -59,7 +68,8 @@ def mmr_rerank(
         selectable = cand_mask & ~selected & embedded
         mmr = lambda_param * scores - (1.0 - lambda_param) * max_sim
         mmr = jnp.where(selectable, mmr, NEG_INF)
-        j = jnp.argmax(mmr)
+        # lexicographic argmax: max MMR, ties by earliest reference-order rank
+        j = jnp.argmin(jnp.where(mmr == jnp.max(mmr), rank, M + 1))
         ok = (t < n_select) & jnp.any(selectable)
         out = out.at[t].set(jnp.where(ok, j.astype(jnp.int32), -1))
         selected = selected.at[j].set(selected[j] | ok)

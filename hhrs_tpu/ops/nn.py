@@ -61,6 +61,15 @@ def batchnorm_apply(
 ) -> tuple[jnp.ndarray, dict]:
     if train:
         n_local = x.shape[0]
+        if n_local <= 1 and axis_name is None:
+            # torch BatchNorm1d raises 'Expected more than 1 value per
+            # channel' here; clamping the Bessel factor instead would
+            # silently decay running var toward 0. Batch size is static
+            # under jit, so parity can fail loudly at trace time.
+            raise ValueError(
+                "BatchNorm training needs >1 example per batch "
+                "(torch BatchNorm1d parity)"
+            )
         mean = jnp.mean(x, axis=0)
         mean_sq = jnp.mean(jnp.square(x), axis=0)
         n_total = n_local

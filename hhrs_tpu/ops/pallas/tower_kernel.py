@@ -36,6 +36,13 @@ def fold_eval_params(params: dict, state: dict, eps: float = 1e-5) -> dict:
     Returns a flat dict of folded weights for the tower kernel.
     """
 
+    if "initial_deep" not in params or "res_blocks" not in params:
+        raise ValueError(
+            "fold_eval_params supports arch='dcnr' params only (needs "
+            "initial_deep/res_blocks/cross/final; got keys "
+            f"{sorted(params)})"
+        )
+
     def fold(lin, bn_p, bn_s):
         a = bn_p["scale"] / jnp.sqrt(bn_s["var"] + eps)
         c = bn_p["bias"] - bn_s["mean"] * a
@@ -142,8 +149,12 @@ def dcnr_tower_eval_pallas(folded: dict, x0: jnp.ndarray, variant: str = "code",
 
 def build_x0(params: dict, user_ids, item_ids, cat_features, num_features) -> jnp.ndarray:
     """The embedding-gather + concat front half (XLA handles gathers well;
-    the kernel covers the FLOP-dense tower). Mirrors apply_dcn's x0."""
-    user_emb = params["user_embedding"][user_ids]
-    item_emb = params["item_embedding"][item_ids]
-    cat_embs = [tab[cat_features[:, i]] for i, tab in enumerate(params["cat_embeddings"])]
+    the kernel covers the FLOP-dense tower). Mirrors apply_dcn's x0 via
+    the SAME table_lookup dispatch, so quantized tables work here too."""
+    from hhrs_tpu.ops.quant import table_lookup
+
+    user_emb = table_lookup(params["user_embedding"], user_ids)
+    item_emb = table_lookup(params["item_embedding"], item_ids)
+    cat_embs = [table_lookup(tab, cat_features[:, i])
+                for i, tab in enumerate(params["cat_embeddings"])]
     return jnp.concatenate([user_emb, item_emb, *cat_embs, num_features], axis=1)

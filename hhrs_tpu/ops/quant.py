@@ -56,9 +56,10 @@ def dequantize(qt: QuantizedTable) -> jnp.ndarray:
 
 
 def quantized_lookup(qt: QuantizedTable, ids: jnp.ndarray) -> jnp.ndarray:
-    """Gather + dequantize rows; the scale multiply fuses into the consumer."""
+    """Gather + dequantize rows; the scale multiply fuses into the consumer.
+    ids may have any shape — scales broadcast along the embedding axis."""
     rows = qt.values[ids].astype(jnp.float32)
-    return rows * qt.scales[ids][:, None]
+    return rows * qt.scales[ids][..., None]
 
 
 def table_lookup(table, ids: jnp.ndarray) -> jnp.ndarray:

@@ -48,7 +48,7 @@ def resblock_apply(
         params["bn1"], state["bn1"], h, train=train, momentum=momentum, eps=eps, axis_name=axis_name
     )
     h = jax.nn.relu(h)
-    if train and dropout_rate > 0.0:
+    if train and dropout_rate > 0.0 and rng is not None:
         h = dropout(h, dropout_rate, rng)
     h = linear_apply(params["layer2"], h, compute_dtype)
     h, bn2_s = batchnorm_apply(

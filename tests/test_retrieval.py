@@ -252,3 +252,42 @@ def test_padded_friend_indices_raises_on_overflow():
     assert len(g.padded_friend_indices(1, pad=4, dump=9)) == 4
     with pytest.raises(ValueError, match="friends > source width"):
         g.padded_friend_indices(1, pad=2, dump=9)
+
+
+def test_mmr_tie_breaks_by_relevance_order():
+    """Equal-MMR candidates must resolve like the reference loop (descending
+    relevance, first strict improvement wins — main.py:148-166), not by
+    lowest index. λ=0 with mutually orthogonal embeddings makes every
+    unselected candidate's MMR exactly 0 → pure tie."""
+    e = jnp.eye(3, 4)
+    scores = jnp.array([5.0, 1.0, 2.0])
+    out = np.asarray(
+        mmr_rerank(scores, e, jnp.ones(3, bool), jnp.ones(3, bool),
+                   jnp.float32(0.0), top_k=3)
+    )
+    assert out.tolist() == [0, 2, 1]  # ties follow relevance, not index
+
+
+def test_quantized_lookup_2d_ids():
+    """table_lookup with [B, K] ids must scale along the embedding axis."""
+    from hhrs_tpu.ops.quant import quantize_table, table_lookup, dequantize
+
+    rng = np.random.default_rng(0)
+    table = jnp.asarray(rng.normal(size=(10, 4)).astype(np.float32) * 3)
+    qt = quantize_table(table)
+    ids = jnp.asarray([[1, 2, 3], [4, 5, 6]])
+    got = table_lookup(qt, ids)
+    want = dequantize(qt)[ids]
+    assert got.shape == (2, 3, 4)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=0, atol=0)
+
+
+def test_batchnorm_batch_of_one_raises():
+    """torch BatchNorm1d parity: training on a single-example batch fails
+    loudly instead of silently decaying running var toward zero."""
+    from hhrs_tpu.ops.nn import batchnorm_apply
+
+    params = {"scale": jnp.ones(4), "bias": jnp.zeros(4)}
+    state = {"mean": jnp.zeros(4), "var": jnp.ones(4)}
+    with pytest.raises(ValueError, match=">1 example"):
+        batchnorm_apply(params, state, jnp.ones((1, 4)), train=True)
