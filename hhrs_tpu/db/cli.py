@@ -55,15 +55,16 @@ def main(argv=None) -> int:
             manifest_path = os.path.join(args.artifacts, "manifest.json")
             with open(manifest_path) as f:
                 manifest = json.load(f)
-            version = args.version or f"v{len(ModelRegistry(args.db).list()) + 1}"
-            mid = ModelRegistry(args.db).register(
-                version,
+            reg = ModelRegistry(args.db, create=True)
+            mid = reg.register(
+                args.version or None,
                 args.artifacts,
                 metrics=manifest.get("metrics", {}),
                 hyperparams=manifest.get("model_config", {}),
                 activate=not args.no_activate,
             )
-            log.info("registered model_id=%d version=%s", mid, version)
+            log.info("registered model_id=%d version=%s", mid,
+                     next(m["version"] for m in reg.list() if m["model_id"] == mid))
         elif args.cmd == "activate":
             ModelRegistry(args.db).activate(args.model_id)
             log.info("model %d is now active", args.model_id)
@@ -72,7 +73,7 @@ def main(argv=None) -> int:
                 print(json.dumps(m))
         return 0
     except Exception as e:
-        log.error("An error occurred: %s. Rolled back.", e)
+        log.error("An error occurred: %s", e, exc_info=True)
         return 1
 
 

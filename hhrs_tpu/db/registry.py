@@ -21,10 +21,10 @@ from hhrs_tpu.data import schema as dschema
 log = logging.getLogger(__name__)
 
 DDL = """
-CREATE TABLE users (
+CREATE TABLE IF NOT EXISTS users (
     user_id INTEGER PRIMARY KEY
 );
-CREATE TABLE hotels (
+CREATE TABLE IF NOT EXISTS hotels (
     hotel_id INTEGER PRIMARY KEY,
     city TEXT,
     hotel_type TEXT,
@@ -32,7 +32,7 @@ CREATE TABLE hotels (
     stars REAL,
     user_reviews_count REAL
 );
-CREATE TABLE reviews (
+CREATE TABLE IF NOT EXISTS reviews (
     review_id INTEGER PRIMARY KEY AUTOINCREMENT,
     user_id INTEGER NOT NULL REFERENCES users(user_id),
     hotel_id INTEGER NOT NULL REFERENCES hotels(hotel_id),
@@ -43,7 +43,7 @@ CREATE TABLE reviews (
     rating_service REAL,
     was_booked INTEGER
 );
-CREATE TABLE friendships (
+CREATE TABLE IF NOT EXISTS friendships (
     user_id_1 INTEGER NOT NULL REFERENCES users(user_id),
     user_id_2 INTEGER NOT NULL REFERENCES users(user_id),
     PRIMARY KEY (user_id_1, user_id_2)
@@ -51,9 +51,9 @@ CREATE TABLE friendships (
 """
 
 ML_MODELS_DDL = """
-CREATE TABLE ml_models (
+CREATE TABLE IF NOT EXISTS ml_models (
     model_id INTEGER PRIMARY KEY AUTOINCREMENT,
-    version TEXT NOT NULL,
+    version TEXT NOT NULL UNIQUE,
     created_at REAL NOT NULL,
     metrics_json TEXT,
     hyperparams_json TEXT,
@@ -98,52 +98,55 @@ def seed_database(db_path: str, data_dir: str) -> dict:
     )
     friends = pd.read_csv(os.path.join(data_dir, "friendships.csv"))
 
-    conn = connect(db_path)
-    try:
-        create_schema(conn, drop=True)
-        cur = conn.cursor()
+    def _text(v):  # NaN text → SQL NULL (the reference's to_dict path)
+        return None if pd.isna(v) else str(v)
 
-        user_ids = sorted(
+    # Convert/validate EVERY row before the destructive drop below — a
+    # malformed CSV must fail here, while the previously seeded tables are
+    # still intact (the old code dropped first, so a bad file emptied the db
+    # despite the rollback).
+    user_rows = [
+        (u,) for u in sorted(
             set(reviews["user_id"].astype(int))
             | set(friends["user_id_1"].astype(int))
             | set(friends["user_id_2"].astype(int))
         )
-        cur.executemany("INSERT INTO users (user_id) VALUES (?)", [(u,) for u in user_ids])
-
-        hotels = reviews.drop_duplicates(subset=["hotel_id"])
-        cur.executemany(
-            "INSERT INTO hotels VALUES (?,?,?,?,?,?)",
-            [
-                (
-                    int(r.hotel_id), str(r.city), str(r.hotel_type),
-                    float(r.price_rub), float(r.stars), float(r.user_reviews_count),
-                )
-                for r in hotels.itertuples()
-            ],
+    ]
+    hotel_rows = [
+        (
+            int(r.hotel_id), _text(r.city), _text(r.hotel_type),
+            float(r.price_rub), float(r.stars), float(r.user_reviews_count),
         )
+        for r in reviews.drop_duplicates(subset=["hotel_id"]).itertuples()
+    ]
+    review_rows = [
+        (
+            int(r.user_id), int(r.hotel_id), float(r.rating_overall),
+            float(r.rating_location), float(r.rating_cleanliness),
+            float(r.rating_food), float(r.rating_service), int(r.was_booked),
+        )
+        for r in reviews.itertuples()
+    ]
+    # Sorted-pair dedup (reference database_setup.py:105-110).
+    pairs = sorted({
+        (min(int(a), int(b)), max(int(a), int(b)))
+        for a, b in zip(friends["user_id_1"], friends["user_id_2"])
+        if int(a) != int(b)
+    })
 
+    conn = connect(db_path)
+    try:
+        create_schema(conn, drop=True)
+        cur = conn.cursor()
+        cur.executemany("INSERT INTO users (user_id) VALUES (?)", user_rows)
+        cur.executemany("INSERT INTO hotels VALUES (?,?,?,?,?,?)", hotel_rows)
         cur.executemany(
             "INSERT INTO reviews (user_id, hotel_id, rating_overall, rating_location,"
             " rating_cleanliness, rating_food, rating_service, was_booked)"
             " VALUES (?,?,?,?,?,?,?,?)",
-            [
-                (
-                    int(r.user_id), int(r.hotel_id), float(r.rating_overall),
-                    float(r.rating_location), float(r.rating_cleanliness),
-                    float(r.rating_food), float(r.rating_service), int(r.was_booked),
-                )
-                for r in reviews.itertuples()
-            ],
+            review_rows,
         )
-
-        # Sorted-pair dedup (reference database_setup.py:105-110).
-        pairs = {
-            (min(int(a), int(b)), max(int(a), int(b)))
-            for a, b in zip(friends["user_id_1"], friends["user_id_2"])
-            if int(a) != int(b)
-        }
-        cur.executemany("INSERT INTO friendships VALUES (?,?)", sorted(pairs))
-
+        cur.executemany("INSERT INTO friendships VALUES (?,?)", pairs)
         conn.commit()
         counts = {
             t: cur.execute(f"SELECT COUNT(*) FROM {t}").fetchone()[0] for t in TABLES
@@ -161,7 +164,13 @@ class ModelRegistry:
     """The ml_models registry, made functional (the reference never reads
     its own registry table — SURVEY.md §1)."""
 
-    def __init__(self, db_path: str):
+    def __init__(self, db_path: str, create: bool = False):
+        """``create=False`` (the serving/resolve default) refuses to invent
+        an empty database for a missing path — a typo'd registry:<db> spec
+        must say 'no such file', not 'no active model' (and must not leave
+        junk db files behind). Registration paths pass create=True."""
+        if not create and not os.path.exists(db_path):
+            raise FileNotFoundError(f"registry database not found: {db_path}")
         self.db_path = db_path
         conn = connect(db_path)
         have = {
@@ -177,15 +186,23 @@ class ModelRegistry:
 
     def register(
         self,
-        version: str,
+        version: str | None,
         artifact_path: str,
         metrics: dict | None = None,
         hyperparams: dict | None = None,
         activate: bool = True,
     ) -> int:
+        """``version=None`` auto-numbers (v<max_id+1> — collision-free even
+        after deletions); explicit duplicates violate the UNIQUE constraint
+        the reference schema declares (database_setup.py:58)."""
         conn = connect(self.db_path)
         try:
             cur = conn.cursor()
+            if version is None:
+                nxt = cur.execute(
+                    "SELECT COALESCE(MAX(model_id), 0) + 1 FROM ml_models"
+                ).fetchone()[0]
+                version = f"v{nxt}"
             if activate:
                 cur.execute("UPDATE ml_models SET is_active = 0")
             cur.execute(

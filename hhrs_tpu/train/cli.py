@@ -166,9 +166,9 @@ def main(argv=None) -> int:
 
         from hhrs_tpu.db.registry import ModelRegistry
 
-        reg = ModelRegistry(args.register_db)
+        reg = ModelRegistry(args.register_db, create=True)
         mid = reg.register(
-            f"v{len(reg.list()) + 1}", args.out,
+            None, args.out,
             metrics=m, hyperparams=dataclasses.asdict(cfg.model),
         )
         log.info("registered model_id=%d in %s", mid, args.register_db)

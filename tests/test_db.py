@@ -44,7 +44,12 @@ def test_seed_rollback_on_missing_data(tmp_path):
 
 def test_registry_lifecycle(tmp_path):
     db = str(tmp_path / "reg.sqlite")
-    reg = ModelRegistry(db)
+    # a missing db is an error unless explicitly creating (typo'd
+    # registry:<db> specs must not invent empty databases)
+    import pytest as _pytest
+    with _pytest.raises(FileNotFoundError):
+        ModelRegistry(db)
+    reg = ModelRegistry(db, create=True)
     assert reg.active() is None
 
     a = reg.register("v1", str(tmp_path / "art1"), metrics={"val_auc": 0.91})
