@@ -26,7 +26,7 @@ import jax.numpy as jnp
 
 from hhrs_tpu.config import ModelConfig
 from hhrs_tpu.ops.cross import cross_stack_apply, cross_stack_init
-from hhrs_tpu.ops.nn import dropout, embedding_init, linear_apply, linear_init
+from hhrs_tpu.ops.nn import batchnorm_init, dropout, embedding_init, linear_apply, linear_init
 from hhrs_tpu.ops.quant import table_lookup
 from hhrs_tpu.ops.resblock import resblock_apply, resblock_init
 
@@ -70,9 +70,14 @@ def input_dim_of(dims: ModelDims, cfg: ModelConfig) -> int:
     return cfg.emb_dim * 2 + cat_sum + dims.n_num_features
 
 
+_ARCHS = ("dcnr", "cross_only", "deep_only", "dcn_mlp")
+
+
 def init_dcn(rng, dims: ModelDims, cfg: ModelConfig) -> tuple[dict, dict]:
     keys = jax.random.split(rng, 6 + len(dims.cat_dims) + cfg.n_res_blocks)
     ki = iter(range(len(keys)))
+    if cfg.arch not in _ARCHS:
+        raise ValueError(f"unknown model.arch {cfg.arch!r}; expected one of {_ARCHS}")
     has_deep = cfg.arch in ("dcnr", "deep_only", "dcn_mlp")
     has_cross = cfg.arch in ("dcnr", "cross_only", "dcn_mlp")
 
@@ -118,7 +123,6 @@ def init_bn_state(cfg: ModelConfig) -> dict:
     tower → no blocks; 'dcn_mlp' blocks are stateless (empty dicts). This
     keeps flax ``batch_stats`` structurally stable across train steps.
     """
-    from hhrs_tpu.ops.nn import batchnorm_init
 
     has_deep = cfg.arch in ("dcnr", "deep_only", "dcn_mlp")
     if not has_deep:
@@ -180,10 +184,19 @@ def apply_dcn_from_x0(
     needs only the tower entries (initial_deep/res_blocks/cross/final);
     table entries are ignored if present.
     """
+    if cfg.compute_dtype not in ("float32", "bfloat16"):
+        raise ValueError(
+            f"unknown model.compute_dtype {cfg.compute_dtype!r}; "
+            "expected 'float32' or 'bfloat16'"
+        )
     compute_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
 
     towers = []
     new_res_state = []
+    if train and cfg.dropout > 0.0 and rng is None and "initial_deep" in params:
+        # Silently training unregularized (dropout gated on rng presence)
+        # would diverge from torch semantics with no signal — fail at trace.
+        raise ValueError("train=True with cfg.dropout > 0 requires an rng")
     if "initial_deep" in params:
         deep = linear_apply(params["initial_deep"], x0, compute_dtype)
         blocks = params["res_blocks"]
@@ -191,8 +204,17 @@ def apply_dcn_from_x0(
             block_rngs = jax.random.split(rng, max(len(blocks), 1))
         else:
             block_rngs = [None] * max(len(blocks), 1)
+        if len(blocks) != len(state["res_blocks"]):
+            raise ValueError(
+                f"params have {len(blocks)} deep blocks but bn_state has "
+                f"{len(state['res_blocks'])} — params/state from different configs"
+            )
         for i, (bp, bs) in enumerate(zip(blocks, state["res_blocks"])):
-            if cfg.arch == "dcn_mlp":
+            # Dispatch on the PARAMS structure, not cfg.arch: a cfg/params
+            # mismatch (dcnr checkpoint + dcn_mlp override or vice versa)
+            # must fail on the params' own keys, never silently skip
+            # BN/residual math.
+            if "layer" in bp:
                 # plain-MLP ablation block: Linear → ReLU → Dropout
                 deep = jax.nn.relu(linear_apply(bp["layer"], deep, compute_dtype))
                 if train and cfg.dropout > 0.0 and block_rngs[i] is not None:
@@ -215,7 +237,9 @@ def apply_dcn_from_x0(
         towers.append(deep)
 
     if "cross" in params:
-        towers.append(cross_stack_apply(params["cross"], x0, variant=cfg.cross_variant))
+        towers.append(cross_stack_apply(params["cross"], x0,
+                                        variant=cfg.cross_variant,
+                                        compute_dtype=compute_dtype))
 
     final_in = jnp.concatenate(towers, axis=1)
     logits = linear_apply(params["final"], final_in, compute_dtype)[:, 0]

@@ -20,6 +20,10 @@ from hhrs_tpu.models.dcn import ModelDims, apply_dcn, init_bn_state, init_dcn
 class DCNR(nn.Module):
     dims: ModelDims
     cfg: ModelConfig
+    # Mesh/pmap axis for sync-BN: the native trainer psum-averages batch
+    # stats across data-parallel shards; set this so the flax face does
+    # the same at DP degree > 1 (None = single-device semantics).
+    axis_name: str | None = None
 
     @nn.compact
     def __call__(self, user_ids, item_ids, cat_features, num_features, train: bool = False):
@@ -34,7 +38,7 @@ class DCNR(nn.Module):
         rng = self.make_rng("dropout") if train and self.cfg.dropout > 0 else None
         logits, new_state = apply_dcn(
             params, bn.value, user_ids, item_ids, cat_features, num_features,
-            cfg=self.cfg, train=train, rng=rng,
+            cfg=self.cfg, train=train, rng=rng, axis_name=self.axis_name,
         )
         if train and not self.is_initializing():
             bn.value = new_state

@@ -36,10 +36,17 @@ def cross_stack_init(rng, n_layers: int, input_dim: int, dtype=jnp.float32) -> d
 
 
 def cross_stack_apply(
-    params: dict, x0: jnp.ndarray, variant: str = "code"
+    params: dict, x0: jnp.ndarray, variant: str = "code", compute_dtype=None
 ) -> jnp.ndarray:
-    """Apply the full cross stack. x0: [B, d] → [B, d]."""
+    """Apply the full cross stack. x0: [B, d] → [B, d]. ``compute_dtype``
+    casts inputs/params for the gate einsum and elementwise work (bf16 on
+    the MXU/VPU) like linear_apply does — so the bf16 knob covers the
+    cross tower too, not just the deep/final matmuls."""
     w, b = params["w"], params["b"]
+    if compute_dtype is not None:
+        x0 = x0.astype(compute_dtype)
+        w = w.astype(compute_dtype)
+        b = b.astype(compute_dtype)
     n_layers = w.shape[0]
     x = x0
     for l in range(n_layers):
