@@ -11,6 +11,16 @@ numeric-classified column → NaN; short rows → dropped). Both events are
 counted by the C++ side; ``strict=True`` turns them into
 ``NativeParseMismatch`` so auto-mode ingest falls back to pandas, and
 non-strict callers get a warning with the counts.
+
+The wrapper extends that divergence net to the CATEGORICAL direction and
+edge shapes the C++ counters cannot see — in strict mode any of these
+raises ``NativeParseMismatch`` (→ pandas fallback): empty frames,
+duplicate or BOM-carrying headers, non-UTF-8 bytes (e.g. a .gz file
+pandas would transparently decompress), single-column files (blank-line
+handling is chunk-layout-dependent there), a non-'.' LC_NUMERIC locale,
+int64 columns beyond 2^53 (the double round-trip loses exactness), and
+string columns whose sampled tokens all look numeric/boolean/NA (pandas
+would have typed them).
 """
 
 from __future__ import annotations
@@ -30,6 +40,31 @@ class NativeParseMismatch(RuntimeError):
     dropped rows); callers should re-read with pandas."""
 
 
+# Tokens pandas treats as NA or bool; a "categorical" column sampled as
+# only these + numerics means pandas would NOT have typed it string.
+_PANDAS_TYPED_TOKENS = {
+    "", "nan", "na", "n/a", "null", "none", "true", "false",
+    "#n/a", "#n/a n/a", "#na", "-nan", "<na>",
+}
+
+
+def _looks_pandas_typed(values: np.ndarray) -> bool:
+    """True if every sampled non-NaN string is numeric/bool/NA-ish —
+    i.e. pandas inference would have produced a non-object column."""
+    sample = [v for v in values[:1000] if isinstance(v, str)]
+    if not sample:
+        return False
+    for v in sample:
+        t = v.strip().lower()
+        if t in _PANDAS_TYPED_TOKENS:
+            continue
+        try:
+            float(t)
+        except ValueError:
+            return False
+    return True
+
+
 def read_csv_native(path: str, n_threads: int = 0, strict: bool = False) -> pd.DataFrame:
     """Parse with the C++ reader; raises RuntimeError if it is unavailable
     (callers gate on runtime.native_available())."""
@@ -37,12 +72,31 @@ def read_csv_native(path: str, n_threads: int = 0, strict: bool = False) -> pd.D
     if lib is None:
         raise RuntimeError("native runtime not available")
 
+    import locale
+
+    if (locale.localeconv().get("decimal_point") or ".") != ".":
+        # strtod is locale-sensitive; pandas' parser is not
+        raise NativeParseMismatch("non-'.' LC_NUMERIC locale")
+
     handle = lib.csv_load(path.encode(), n_threads)
     try:
         err = lib.csv_error(handle)
         if err:
             raise RuntimeError(f"csv_load: {err.decode()}")
         n = lib.csv_n_rows(handle)
+        n_cols = lib.csv_n_cols(handle)
+        if n == 0 or n_cols <= 1:
+            # empty frames need no speedup; single-column files have
+            # chunk-layout-dependent blank-line semantics in the reader
+            raise NativeParseMismatch("empty or single-column CSV")
+        try:
+            names = [lib.csv_col_name(handle, i).decode() for i in range(n_cols)]
+        except UnicodeDecodeError as e:  # e.g. a .gz pandas would decompress
+            raise NativeParseMismatch(f"non-UTF-8 header bytes: {e}") from e
+        if len(set(names)) != len(names):
+            raise NativeParseMismatch("duplicate header names (pandas mangles)")
+        if names and names[0].startswith("\ufeff"):
+            raise NativeParseMismatch("UTF-8 BOM in header (pandas strips)")
         bad_rows = lib.csv_n_bad_rows(handle)
         coerced = {
             lib.csv_col_name(handle, i).decode(): int(lib.csv_col_n_coerced(handle, i))
@@ -59,13 +113,18 @@ def read_csv_native(path: str, n_threads: int = 0, strict: bool = False) -> pd.D
                 raise NativeParseMismatch(msg)
             log.warning("%s", msg)
         cols = {}
-        for i in range(lib.csv_n_cols(handle)):
-            name = lib.csv_col_name(handle, i).decode()
+        for i in range(n_cols):
+            name = names[i]
             if lib.csv_col_kind(handle, i) == 0:
                 buf = np.ctypeslib.as_array(lib.csv_col_f64(handle, i), shape=(n,))
                 arr = np.array(buf, dtype=np.float64)  # copy out before free
                 if arr.size and lib.csv_col_int_like(handle, i):
                     # pandas int64 inference: every token was plain integer text
+                    if strict and np.any(np.abs(arr) >= 2.0**53):
+                        raise NativeParseMismatch(
+                            f"column {name!r} has integers beyond 2^53 — the "
+                            "double round-trip loses exactness vs pandas int64"
+                        )
                     arr = arr.astype(np.int64)
                 cols[name] = arr
             else:
@@ -74,11 +133,21 @@ def read_csv_native(path: str, n_threads: int = 0, strict: bool = False) -> pd.D
                     dtype=np.int32,
                 )
                 nv = lib.csv_col_vocab_size(handle, i)
-                vocab = (
-                    lib.csv_col_vocab(handle, i).decode().split("\n") if nv else []
-                )
+                try:
+                    vocab = (
+                        lib.csv_col_vocab(handle, i).decode().split("\n") if nv else []
+                    )
+                except UnicodeDecodeError as e:
+                    raise NativeParseMismatch(f"non-UTF-8 cell bytes: {e}") from e
                 lookup = np.asarray(vocab + [np.nan], dtype=object)  # -1 → NaN slot
-                cols[name] = lookup[codes]
+                col = lookup[codes]
+                if strict and _looks_pandas_typed(col):
+                    raise NativeParseMismatch(
+                        f"column {name!r} classified categorical but every "
+                        "sampled token is numeric/bool/NA — pandas would "
+                        "have typed it"
+                    )
+                cols[name] = col
         # copy=False: every array above is freshly owned, and the dict path
         # skips pandas' per-column consolidation copy (~800ms at 500k rows).
         return pd.DataFrame(cols, copy=False)

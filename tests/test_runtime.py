@@ -75,3 +75,45 @@ def test_ingest_uses_native_with_parity(tmp_path):
     nat = load_reviews_csv(path, engine="native")
     ref = load_reviews_csv(path, engine="pandas")
     _assert_frames_match(ref, nat)
+
+
+def test_native_strict_divergence_net(tmp_path):
+    """Cases where the native parse would silently diverge from pandas must
+    raise NativeParseMismatch in strict mode (auto-ingest then falls back):
+    NA/bool tokens typed categorical, >2^53 ints, duplicate headers, BOM,
+    empty frames, non-UTF-8 bytes."""
+    import pytest
+    from hhrs_tpu import runtime
+    from hhrs_tpu.data.ingest import _read_csv
+
+    if not runtime.native_available():
+        pytest.skip("native runtime not built")
+    from hhrs_tpu.runtime.csv import NativeParseMismatch, read_csv_native
+
+    def case(name, content, mode="w"):
+        p = tmp_path / name
+        with open(p, mode) as f:
+            f.write(content)
+        return str(p)
+
+    cases = {
+        "na_tokens": case("na.csv", "a,b\n" + "\n".join(f"{i},NA" for i in range(1200))),
+        "bools": case("bool.csv", "a,b\n" + "\n".join(f"{i},True" for i in range(1200))),
+        "big_ints": case("big.csv", "a,b\n9007199254740993,1\n9007199254740995,2\n"),
+        "dup_header": case("dup.csv", "a,a\n1,2\n"),
+        "bom": case("bom.csv", "﻿a,b\n1,2\n"),
+        "empty": case("empty.csv", "a,b\n"),
+        "binary": case("bin.csv", b"\x1f\x8b\x08\x00junk\xff\xfe\n", "wb"),
+    }
+    for label, path in cases.items():
+        with pytest.raises((NativeParseMismatch, RuntimeError)):
+            read_csv_native(path, strict=True)
+        # auto-mode ingest must survive via the pandas fallback wherever
+        # pandas itself can read the file
+        if label in ("na_tokens", "bools", "big_ints", "dup_header", "bom", "empty"):
+            df = _read_csv(path, engine="auto")
+            import pandas as pd
+
+            expected = pd.read_csv(path)
+            assert list(df.columns) == list(expected.columns), label
+            assert len(df) == len(expected), label
