@@ -152,6 +152,13 @@ def train_reference_loop(
     Returns {'history': [per-epoch dicts], 'best_val_loss', 'best_epoch',
     'final_metrics': {...}} shaped like our TrainResult.
     """
+    if model_cfg.arch != "dcnr" or model_cfg.cross_variant != "code":
+        raise ValueError(
+            "the torch oracle implements the reference architecture only "
+            f"(arch='dcnr', cross_variant='code'); got arch={model_cfg.arch!r}, "
+            f"cross_variant={model_cfg.cross_variant!r}"
+        )
+
     torch.manual_seed(train_cfg.seed)
     model = TorchDCN(dims, model_cfg)
     if init_params is not None:

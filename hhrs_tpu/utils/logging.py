@@ -64,23 +64,32 @@ class MetricsLogger:
 class LatencyHistogram:
     """Rolling-window latency quantiles (serve path): bounded memory
     (last `window` samples), lifetime request counter, one sort per
-    summary."""
+    summary. Thread-safe: request-handler threads observe() while
+    /metrics//healthz scrapes summary() concurrently (iterating a deque
+    another thread appends to raises RuntimeError). Quantiles are None
+    (JSON null) before any traffic — NaN is not valid strict JSON."""
 
     def __init__(self, window: int = 10_000):
+        import threading
+
         self.samples = deque(maxlen=window)
         self.total = 0
+        self._lock = threading.Lock()
 
     def observe(self, seconds: float) -> None:
-        self.samples.append(seconds)
-        self.total += 1
+        with self._lock:
+            self.samples.append(seconds)
+            self.total += 1
 
     def summary(self) -> dict:
-        if not self.samples:
-            return {"count": 0, "p50_ms": float("nan"), "p90_ms": float("nan"),
-                    "p99_ms": float("nan")}
-        s = sorted(self.samples)
+        with self._lock:
+            if not self.samples:
+                return {"count": 0, "p50_ms": None, "p90_ms": None,
+                        "p99_ms": None}
+            s = sorted(self.samples)
+            total = self.total
 
         def q(p):
             return s[min(int(len(s) * p / 100.0), len(s) - 1)] * 1e3
 
-        return {"count": self.total, "p50_ms": q(50), "p90_ms": q(90), "p99_ms": q(99)}
+        return {"count": total, "p50_ms": q(50), "p90_ms": q(90), "p99_ms": q(99)}

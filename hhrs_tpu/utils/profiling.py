@@ -12,16 +12,13 @@
 
 from __future__ import annotations
 
-import contextlib
 import time
 
 import jax
 
 
-@contextlib.contextmanager
-def trace(log_dir: str):
-    with jax.profiler.trace(log_dir):
-        yield
+# jax.profiler.trace is already a context manager — re-exported, not wrapped
+trace = jax.profiler.trace
 
 
 def start_server(port: int = 9999):
@@ -33,8 +30,10 @@ def hlo_dump_env(dump_dir: str) -> dict:
 
 
 class StepTimer:
-    """Accumulates per-step wall times; blocking is the caller's business
-    (time after block_until_ready for honest numbers)."""
+    """Accumulates per-step wall times; syncing is the caller's business.
+    On this image's tunneled TPU backend, sync on a VALUE fetch
+    (float(x)/np.asarray) — block_until_ready can return before the work
+    completes (RESULTS.md), which silently fabricates step times."""
 
     def __init__(self):
         self._t0 = None
@@ -44,7 +43,10 @@ class StepTimer:
         self._t0 = time.perf_counter()
 
     def stop(self) -> float:
+        if self._t0 is None:
+            raise RuntimeError("StepTimer.stop() without a prior start()")
         dt = time.perf_counter() - self._t0
+        self._t0 = None  # a second stop() must not record a stale duration
         self.times.append(dt)
         return dt
 
