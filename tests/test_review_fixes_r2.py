@@ -17,9 +17,13 @@ class _FakeOptunaTrial:
         self.number = 0
         self.reported = []
         self.prune_calls = 0
+        self.user_attrs = {}
 
     def report(self, value, step):
         self.reported.append((step, float(value)))
+
+    def set_user_attr(self, key, value):  # forwarded by the shim
+        self.user_attrs[key] = value
 
     def should_prune(self):
         self.prune_calls += 1
