@@ -597,6 +597,23 @@ def test_city_bounded_fuzz_random_universes(engine_setup):
                     assert a == b, (seed, uid, city, mode, lam)
 
 
+def test_city_bounded_composes_with_quantized_tables(engine_setup):
+    """int8 tables change scores (vs f32) but bounded and unbounded
+    engines must still agree with EACH OTHER under quantization — the
+    rows program gathers through the same table_lookup dispatch."""
+    engine, main_df, friendships, bundle = engine_setup
+    uni = engine.gen.universe
+    qb = RecommendationEngine(bundle, main_df, friendships,
+                              quantize_tables=True, city_bounded=True)
+    qu = RecommendationEngine(bundle, main_df, friendships,
+                              quantize_tables=True, city_bounded=False)
+    assert qb._city_bounded and not qu._city_bounded
+    for u in [int(x) for x in uni.user_ids[:6]]:
+        for mode, lam in (("friends", 0.7), ("personal", 1.0)):
+            assert qb.recommend(u, uni.cities[0], mode, lam) == \
+                qu.recommend(u, uni.cities[0], mode, lam), (u, mode, lam)
+
+
 def test_city_bounded_composes_with_candidate_cap(engine_setup):
     """candidate_cap nests inside the city-bounded program (lax.cond in
     rows space) — responses stay identical to the unbounded engine."""
