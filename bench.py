@@ -59,12 +59,15 @@ def flagship_setup():
     unroll_ab) so they measure the bench's ACTUAL program by construction
     instead of drifting copies.
     """
-    import jax
-
-    jax.config.update("jax_compilation_cache_dir", "/tmp/hhrs_jax_cache")
     from hhrs_tpu.config import ModelConfig
     from hhrs_tpu.models.dcn import ModelDims
     from hhrs_tpu.train.optimizers import make_optimizer
+    from hhrs_tpu.utils.logging import enable_compilation_cache
+
+    # gated: CPU backends must NOT share the persistent cache (stale CPU
+    # AOT entries with mismatched machine features SIGILL-warn and have
+    # hung mesh runs — utils/logging.py)
+    enable_compilation_cache()
 
     dims = ModelDims(N_USERS, N_ITEMS, CAT_DIMS, N_NUM)
     cfg = ModelConfig(

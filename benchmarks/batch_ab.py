@@ -31,18 +31,17 @@ def run(step, dims, cfg, tx, B, total_examples=200 * 16384):
     batch = {k: jnp.asarray(v) for k, v in nb.items()}
     params, bn = init_dcn(jax.random.PRNGKey(0), dims, cfg)
     opt = tx.init(params)
-    rng = jax.random.PRNGKey(1)
+    rng0 = jax.random.PRNGKey(1)
+    s = jnp.zeros((), jnp.int32)
     steps = max(50, total_examples // B)
     for _ in range(20):
-        rng, k = jax.random.split(rng)
-        params, bn, opt, loss = step(params, bn, opt, batch, k)
+        params, bn, opt, loss, s = step(params, bn, opt, batch, s, rng0)
     float(loss)
     rates = []
     for _ in range(3):
         t0 = time.perf_counter()
         for _ in range(steps):
-            rng, k = jax.random.split(rng)
-            params, bn, opt, loss = step(params, bn, opt, batch, k)
+            params, bn, opt, loss, s = step(params, bn, opt, batch, s, rng0)
         float(loss)
         rates.append(steps * B / (time.perf_counter() - t0))
     return sorted(rates)[1]
@@ -51,7 +50,7 @@ def run(step, dims, cfg, tx, B, total_examples=200 * 16384):
 if __name__ == "__main__":
     order = sys.argv[1] if len(sys.argv) > 1 else "012"
     dims, cfg, tx = bench.flagship_setup()
-    step = bench.make_flagship_step(cfg, tx)  # shapes differ per B; one cache
+    step = bench.make_flagship_step(cfg, tx, fold_rng=True)  # bench's ACTUAL variant
     for c in order:
         B = BATCHES[int(c)]
         print(f"B={B}: {run(step, dims, cfg, tx, B) / 1e6:.3f}M ex/s", flush=True)

@@ -69,9 +69,13 @@ def main(argv=None) -> int:
     folded = fold_eval_params(params, state, eps=cfg.bn_eps)
     x0 = build_x0(params, user, item, cat, num)
 
+    # params/state as jit ARGUMENTS on both sides — a closed-over table
+    # lowers as an HLO constant and changes the measured program
+    # (the protocol violation RESULTS.md documents; kernels_scaled.py
+    # measures the same way).
     t_ref = timeit(jax.jit(
-        lambda u, i, c, n: apply_dcn(params, state, u, i, c, n, cfg=cfg, train=False)[0]
-    ), user, item, cat, num)
+        lambda p_, s_, u, i, c, n: apply_dcn(p_, s_, u, i, c, n, cfg=cfg, train=False)[0]
+    ), params, state, user, item, cat, num)
     t_pal = timeit(jax.jit(
         lambda f, x: dcnr_tower_eval_pallas(f, x, interpret=interpret)
     ), folded, x0)

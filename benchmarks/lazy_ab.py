@@ -49,11 +49,9 @@ def main(argv=None) -> int:
     bench.N_USERS, bench.N_ITEMS = args.users, args.items
     dims, cfg, tx = bench.flagship_setup()
 
+    # bench.N_USERS/N_ITEMS were overridden above, so _np_batch already
+    # draws ids spanning the big tables (no cache-toy id range)
     nb = bench._np_batch(np.random.default_rng(0), bench.BATCH)
-    # ids must span the big table so the gather/scatter isn't cache-toy
-    rng0 = np.random.default_rng(1)
-    nb["user"] = rng0.integers(0, args.users, bench.BATCH).astype(np.int32)
-    nb["item"] = rng0.integers(0, args.items, bench.BATCH).astype(np.int32)
     batch = {k: jnp.asarray(v) for k, v in nb.items()}
 
     def run(lazy: bool) -> float:

@@ -41,7 +41,9 @@ def main(argv=None) -> int:
     import jax
     import numpy as np
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/hhrs_jax_cache")
+    from hhrs_tpu.utils.logging import enable_compilation_cache
+
+    enable_compilation_cache()  # gated: never cache CPU AOT (SIGILL hazard)
 
     from hhrs_tpu.config import ModelConfig
     from hhrs_tpu.data import Preprocessor, add_engineered_features

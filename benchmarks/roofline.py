@@ -2,7 +2,7 @@
 
 The north star demands hot paths at speed-of-light — this script shows
 WHERE the light is for the bench.py flagship config (DCN-R emb16/h128,
-B=16384, bf16): XLA's own cost model (flops + bytes accessed per compiled
+B=32768, bf16): XLA's own cost model (flops + bytes accessed per compiled
 step) combined with the measured examples/s gives achieved FLOP/s and
 HBM traffic, their fraction of peak for known TPU generations, and the
 arithmetic intensity vs. each generation's ridge point.
@@ -45,47 +45,27 @@ PEAKS = {
 
 
 def build_step():
-    """The bench.py flagship train step (same model/optimizer/batch)."""
+    """The bench.py flagship train step — built via the SHARED factory
+    (bench.flagship_setup/make_flagship_step, fold_rng like bench.py),
+    so the analyzed program IS the headline program, not a drifted copy."""
     import jax
     import jax.numpy as jnp
 
-    from hhrs_tpu.config import ModelConfig
-    from hhrs_tpu.models.dcn import ModelDims, apply_dcn, init_dcn
-    from hhrs_tpu.train.metrics import bce_with_logits
-    from hhrs_tpu.train.optimizers import make_optimizer
+    from hhrs_tpu.models.dcn import init_dcn
 
-    dims = ModelDims(bench.N_USERS, bench.N_ITEMS, bench.CAT_DIMS, bench.N_NUM)
-    cfg = ModelConfig(
-        emb_dim=bench.EMB_DIM, hidden_dim=bench.HIDDEN,
-        n_cross_layers=bench.N_CROSS, n_res_blocks=bench.N_RES,
-        dropout=0.6, compute_dtype="bfloat16",
-    )
+    dims, cfg, tx = bench.flagship_setup()
     params, bn = init_dcn(jax.random.PRNGKey(0), dims, cfg)
-    tx = make_optimizer("adamw", 1e-3, 1e-4)
     opt = tx.init(params)
     nb = bench._np_batch(np.random.default_rng(0), bench.BATCH)
     batch = {k: jnp.asarray(v) for k, v in nb.items()}
-
-    @partial(jax.jit, donate_argnums=(0, 2))
-    def step(params, bn, opt, batch, rng):
-        def loss_fn(p):
-            logits, nbn = apply_dcn(
-                p, bn, batch["user"], batch["item"], batch["cat"], batch["num"],
-                cfg=cfg, train=True, rng=rng,
-            )
-            return bce_with_logits(logits, batch["y"]), nbn
-
-        (loss, nbn), g = jax.value_and_grad(loss_fn, has_aux=True)(params)
-        up, no = tx.update(g, opt, params)
-        return jax.tree.map(lambda a, u: a + u, params, up), nbn, no, loss
-
-    return step, (params, bn, opt, batch)
+    step = bench.make_flagship_step(cfg, tx, fold_rng=True)
+    s0 = jnp.zeros((), jnp.int32)
+    return step, (params, bn, opt, batch, s0, jax.random.PRNGKey(1))
 
 
 def cost_analysis(step, args):
-    import jax
-
-    lowered = step.lower(*args, jax.random.PRNGKey(1))
+    # args already include the step counter and rng0
+    lowered = step.lower(*args)
     compiled = lowered.compile()
     ca = compiled.cost_analysis()
     if isinstance(ca, (list, tuple)):  # older jax returns [dict]
@@ -94,21 +74,21 @@ def cost_analysis(step, args):
 
 
 def measure_eps(step, args) -> float:
-    import jax
-
-    params, bn, opt, batch = args
-    rng = jax.random.PRNGKey(1)
+    """Median of 3 windows (the repo's timing protocol vs tunnel load
+    fluctuation), value-forced syncs."""
+    params, bn, opt, batch, s0, rng0 = args
     for _ in range(10):
-        rng, k = jax.random.split(rng)
-        params, bn, opt, loss = step(params, bn, opt, batch, k)
+        params, bn, opt, loss, s0 = step(params, bn, opt, batch, s0, rng0)
     float(loss)
-    t0 = time.perf_counter()
+    rates = []
     n = 50
-    for _ in range(n):
-        rng, k = jax.random.split(rng)
-        params, bn, opt, loss = step(params, bn, opt, batch, k)
-    float(loss)  # value fetch — the only true sync on the tunneled backend
-    return n * bench.BATCH / (time.perf_counter() - t0)
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(n):
+            params, bn, opt, loss, s0 = step(params, bn, opt, batch, s0, rng0)
+        float(loss)  # value fetch — the only true sync on the tunneled backend
+        rates.append(n * bench.BATCH / (time.perf_counter() - t0))
+    return sorted(rates)[1]
 
 
 def main():
@@ -122,9 +102,12 @@ def main():
     step, sargs = build_step()
     flops, bytes_acc = cost_analysis(step, sargs)
     B = bench.BATCH
-    eps = args.eps or 11.5e6  # RESULTS.md headline (real chip, B=16384)
+    if args.measure and args.eps is not None:
+        p.error("--measure and --eps are mutually exclusive")
     if args.measure:
         eps = measure_eps(step, sargs)
+    else:
+        eps = args.eps or 14.0e6  # RESULTS.md headline (real chip, B=32768)
 
     steps_per_s = eps / B
     out = {

@@ -72,18 +72,19 @@ def main(argv=None) -> int:
     users = uni.user_ids
     cities = uni.cities
     if args.cache_entries > 0:
-        from hhrs_tpu.serve.cache import CachedEngine
-
         # cycle a small user pool so most requests are repeats (the
-        # cache's target workload); first pass populates, the rest hit
+        # cache's target workload); first pass populates, the rest hit.
+        # Working set = lcm(|users|, |cities|) keys — keep cache_entries
+        # >= that or the LRU cycles at 0% hits (stats in the output
+        # expose it either way).
         users = users[:8]
-        engine = CachedEngine(engine, max_entries=args.cache_entries)
 
     def req_args(i):
         return int(users[i % len(users)]), cities[i % len(cities)], "friends", 0.7
 
     t_all = []
     wall = None
+    cached = None
     if args.concurrency > 1:
         from concurrent.futures import ThreadPoolExecutor
 
@@ -91,6 +92,12 @@ def main(argv=None) -> int:
 
         front = BatchingEngine(engine, max_batch=args.concurrency,
                                window_ms=args.batch_window_ms)
+        if args.cache_entries > 0:
+            # cache OUTSIDE the batcher (the serve CLI's stack order):
+            # hits skip the batch window and the device entirely
+            from hhrs_tpu.serve.cache import CachedEngine
+
+            front = cached = CachedEngine(front, max_entries=args.cache_entries)
         # compile the single batched shape the batcher uses
         engine.recommend_many([req_args(0)], pad_to=args.concurrency)
 
@@ -103,13 +110,18 @@ def main(argv=None) -> int:
         with ThreadPoolExecutor(max_workers=args.concurrency) as ex:
             t_all = list(ex.map(hit, range(args.requests)))
         wall = time.perf_counter() - t_wall
-        front.close()
+        (front._inner if cached is not None else front).close()
     else:
+        serve = engine
+        if args.cache_entries > 0:
+            from hhrs_tpu.serve.cache import CachedEngine
+
+            serve = cached = CachedEngine(engine, max_entries=args.cache_entries)
         t_wall = time.perf_counter()
         for i in range(args.requests):
             u, c, m, l = req_args(i)
             t0 = time.perf_counter()
-            engine.recommend(u, c, m, l)
+            serve.recommend(u, c, m, l)
             t_all.append(time.perf_counter() - t0)
         wall = time.perf_counter() - t_wall
 
@@ -131,6 +143,7 @@ def main(argv=None) -> int:
         "bf16": args.bf16,
         "quantized_tables": args.quantize,
         "cache_entries": args.cache_entries,
+        "cache": cached.cache_stats() if cached is not None else None,
         "unit": "ms",
     }))
     return 0
