@@ -28,7 +28,8 @@ EMB_DIM = 16
 HIDDEN = 128
 N_CROSS = 2
 N_RES = 1
-OPTIMIZER, LR, WD = "adamw", 1e-3, 1e-4  # single source for tx AND the lazy table rows
+OPTIMIZER, LR, WD = "adamw", 1e-3, 1e-4  # single source: tx, lazy rows, torch baseline
+DROPOUT = 0.6
 # Dispatch-amortizing batch: throughput rises ~3.5x from 4096 to 16384 and
 # another ~20-25% to 32768; 32768 and 65536 are statistically tied in a
 # back-to-back both-orders A/B (each won one order by <1%, RESULTS.md), so
@@ -72,7 +73,7 @@ def flagship_setup():
     dims = ModelDims(N_USERS, N_ITEMS, CAT_DIMS, N_NUM)
     cfg = ModelConfig(
         emb_dim=EMB_DIM, hidden_dim=HIDDEN, n_cross_layers=N_CROSS,
-        n_res_blocks=N_RES, dropout=0.6, compute_dtype="bfloat16",
+        n_res_blocks=N_RES, dropout=DROPOUT, compute_dtype="bfloat16",
     )
     tx = make_optimizer(OPTIMIZER, LR, WD)
     return dims, cfg, tx
@@ -255,7 +256,7 @@ def bench_torch_reference() -> float:
             )
             d_in = 2 * EMB_DIM + sum(int(d**0.5) + 1 for _, d in CAT_DIMS) + N_NUM
             self.deep0 = nn.Linear(d_in, HIDDEN)
-            self.res = nn.ModuleList([Res(HIDDEN, 0.6) for _ in range(N_RES)])
+            self.res = nn.ModuleList([Res(HIDDEN, DROPOUT) for _ in range(N_RES)])
             self.cross = nn.ModuleList([Cross(d_in) for _ in range(N_CROSS)])
             self.final = nn.Linear(HIDDEN + d_in, 1)
 
@@ -271,7 +272,7 @@ def bench_torch_reference() -> float:
             return self.final(torch.cat([deep, xc], dim=1)).squeeze(-1)
 
     model = DCN().to(dev)
-    optim = torch.optim.AdamW(model.parameters(), lr=1e-3, weight_decay=1e-4)
+    optim = torch.optim.AdamW(model.parameters(), lr=LR, weight_decay=WD)
     lossf = nn.BCEWithLogitsLoss()
     nb = _np_batch(np.random.default_rng(0), BATCH)
     u = torch.from_numpy(nb["user"]).long().to(dev)
@@ -285,11 +286,13 @@ def bench_torch_reference() -> float:
         loss = lossf(model(u, i, c, n), y)
         loss.backward()
         optim.step()
+        return loss
 
-    step()  # warmup
+    float(step())  # warmup; .item() is the sync (matters on CUDA hosts)
     t0 = time.perf_counter()
     for _ in range(TORCH_STEPS):
-        step()
+        loss = step()
+    float(loss)  # value fetch synchronizes async CUDA queues too
     dt = time.perf_counter() - t0
     return TORCH_STEPS * BATCH / dt
 
@@ -298,16 +301,21 @@ def main():
     jax_eps = bench_jax()
     try:
         torch_eps = bench_torch_reference()
-        vs = jax_eps / torch_eps
-    except Exception:
-        vs = 1.0
+        vs = round(jax_eps / torch_eps, 2)
+    except Exception as e:  # noqa: BLE001
+        # null, NOT 1.0: a failed baseline must be distinguishable from a
+        # measured exact tie
+        import sys
+
+        print(f"torch baseline failed: {e!r}", file=sys.stderr)
+        vs = None
     print(
         json.dumps(
             {
                 "metric": "dcnr_train_throughput",
                 "value": round(jax_eps, 1),
                 "unit": "examples/s/chip",
-                "vs_baseline": round(vs, 2),
+                "vs_baseline": vs,
             }
         )
     )

@@ -9,10 +9,16 @@ for real, per SURVEY.md §4.
 """
 
 import os
+import re
 
-os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
-if "xla_force_host_platform_device_count" not in os.environ.get("XLA_FLAGS", ""):
-    os.environ["XLA_FLAGS"] += " --xla_force_host_platform_device_count=8"
+# Force EXACTLY 8 virtual devices — an inherited XLA_FLAGS with a
+# different count would silently skip the eight_devices-gated tests and
+# hard-fail the unguarded 4x2-mesh ones, so replace any existing value
+# rather than merely checking the flag name's presence.
+_flags = os.environ.get("XLA_FLAGS", "")
+if "--xla_force_host_platform_device_count=8" not in _flags:
+    _flags = re.sub(r"--xla_force_host_platform_device_count=\d+", "", _flags)
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax
 
