@@ -26,7 +26,7 @@ import argparse
 import json
 import sys
 import time
-from functools import partial
+
 from pathlib import Path
 
 import numpy as np

@@ -19,7 +19,7 @@ unknown user → ``len(user_map)//2``, unknown item → 0, unknown category → 
 from __future__ import annotations
 
 import json
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 import pandas as pd

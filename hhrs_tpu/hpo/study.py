@@ -18,7 +18,7 @@ import logging
 import math
 import os
 
-from hhrs_tpu.hpo.pruner import MedianPruner, NopPruner
+from hhrs_tpu.hpo.pruner import MedianPruner
 from hhrs_tpu.hpo.sampler import TPESampler
 
 log = logging.getLogger(__name__)

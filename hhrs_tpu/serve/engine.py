@@ -25,7 +25,7 @@ from __future__ import annotations
 import dataclasses
 import logging
 import time
-from functools import partial
+
 
 import jax
 import jax.numpy as jnp
