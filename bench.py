@@ -190,7 +190,15 @@ def bench_jax() -> float:
     # Python-side split serializes a tiny host program into every dispatch.
     step = make_flagship_step(cfg, tx, fold_rng=True)
 
-    rng0 = jax.random.PRNGKey(1)
+    # Hardware RBG dropout bits: threefry generates the [B, H] dropout masks
+    # with a long vector-ALU chain that competes with the fused elementwise
+    # pipeline; impl='rbg' lowers to one XLA RngBitGenerator pass on the
+    # TPU's hardware generator. Won BOTH orders of the intra-process A/B:
+    # 18.2–18.5M vs 14.2M ex/s, +28–30% (benchmarks/prng_ab.py, artifact
+    # benchmarks/results/pending_ab/). Statistically equivalent bits, not
+    # bit-identical to threefry — a throughput knob, same as the trainer's
+    # opt-in train.rng_impl=rbg.
+    rng0 = jax.random.key(1, impl="rbg")
     s = jnp.zeros((), jnp.int32)
     for _ in range(WARMUP_STEPS):
         params, bn, opt, loss, s = step(params, bn, opt, batch, s, rng0)

@@ -65,10 +65,23 @@ class TrainConfig:
     # Lazy (sparse-row) embedding-table updates (train/lazy.py): Adam/AdamW
     # moments and params update only the rows touched by the batch —
     # O(B·d) table HBM traffic per step instead of the dense optimizer's
-    # O(n_rows·d). Identical to dense when every row is touched every step;
-    # at production table sizes it removes the dominant step cost. Off by
-    # default (dense = reference-parity semantics, like torch dense Adam).
+    # O(n_rows·d). Identical to dense when every row is touched every step.
+    # Measured (benchmarks/lazy_ab.py, both orders, real chip): dense WINS
+    # at 1M rows (3.6x) and still at 10M rows (1.55x) — the dense moment
+    # sweep streams at full HBM bandwidth while lazy pays random
+    # gather/scatter; lazy's rate is size-flat (~1.6M ex/s), so it only
+    # pays past the extrapolated ~30M-row crossover (or when dense moments
+    # don't fit HBM). Off by default.
     lazy_table_updates: bool = False
+    # PRNG impl for the IN-STEP randomness (dropout masks): 'threefry2x32'
+    # (JAX default — sharding-invariant bits, mesh-vs-single-device
+    # trajectories bit-identical) or 'rbg' (XLA RngBitGenerator on the
+    # TPU's hardware generator — won both orders of the flagship A/B by
+    # +28-30%, benchmarks/prng_ab.py, statistically equivalent but not
+    # bit-equal masks; rbg bits are not guaranteed sharding-invariant, so
+    # prefer threefry when exact mesh/single-device parity matters).
+    # The run's top-level/checkpointed key stays threefry either way.
+    rng_impl: str = "threefry2x32"
     # Numeric sanitizer: raise FloatingPointError the moment any jitted
     # computation produces a NaN (jax_debug_nans; SURVEY.md §5 — this is
     # the CI-grade replacement for a race/memory sanitizer in a

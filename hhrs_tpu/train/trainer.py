@@ -283,6 +283,12 @@ def train_dcn(
         # Sticky for the process by design: a NaN aborts the run anyway.
         jax.config.update("jax_debug_nans", True)
 
+    if train_cfg.rng_impl not in ("threefry2x32", "rbg"):
+        raise ValueError(
+            f"unknown train.rng_impl {train_cfg.rng_impl!r}; "
+            "expected 'threefry2x32' or 'rbg'"
+        )
+
     rng = jax.random.PRNGKey(train_cfg.seed)
     init_rng, rng = jax.random.split(rng)
     params, bn_state = init_dcn(init_rng, dims, model_cfg)
@@ -492,6 +498,16 @@ def train_dcn(
             if perm_len > n_train:
                 perm_host = np.resize(perm_host, perm_len)  # wrap-pad ragged tail
             rng, epoch_rng = jax.random.split(rng)
+            if train_cfg.rng_impl != "threefry2x32":
+                # Re-wrap the per-epoch key in the configured impl (e.g. the
+                # TPU hardware RBG, +28-30% flagship step throughput —
+                # benchmarks/prng_ab.py). The top-level/checkpointed `rng`
+                # stays legacy threefry uint32[2] so checkpoint state is
+                # impl-independent; only the key handed to the jitted step
+                # changes representation (rbg key data is uint32[4] — derive
+                # it deterministically from the threefry epoch key).
+                epoch_rng = jax.random.wrap_key_data(
+                    jnp.tile(epoch_rng, 2), impl=train_cfg.rng_impl)
             if streaming:
                 S = steps_per_epoch
                 # exactly S*B rows stream (drop_remainder truncates the tail

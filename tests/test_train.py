@@ -102,6 +102,34 @@ def test_pruning_hook_stops_training():
     assert len(result.history) == 2
 
 
+def test_rng_impl_rbg_trains_deterministically():
+    """train.rng_impl=rbg (TPU hardware RBG dropout bits, +28-30% on the
+    flagship step — benchmarks/prng_ab.py) runs the full loop, is
+    deterministic for a fixed seed, and draws genuinely different masks
+    than threefry (statistically equivalent, not bit-equal)."""
+    ds = generate_synthetic_dataset(n_users=100, n_items=50, n_reviews=2000, seed=7)
+    df = add_engineered_features(
+        ds.reviews.rename(columns={"guest_id": "user_id", "hotel_id": "item_id"})
+    )
+    splits, art = Preprocessor().fit_transform(df)
+    dims = ModelDims.from_artifacts(art)
+    mcfg = ModelConfig(emb_dim=4, hidden_dim=16, n_cross_layers=1, n_res_blocks=1,
+                       dropout=0.5)
+
+    def run(impl):
+        tcfg = TrainConfig(lr=1e-3, batch_size=256, n_epochs=2, rng_impl=impl)
+        return [h["train_loss"] for h in
+                train_dcn(splits, dims, mcfg, tcfg).history]
+
+    a, b = run("rbg"), run("rbg")
+    assert all(np.isfinite(a))
+    assert a == b  # fixed seed → bit-identical rerun
+    assert a != run("threefry2x32")  # different impl → different masks
+
+    with pytest.raises(ValueError, match="rng_impl"):
+        run("philox")
+
+
 def test_artifact_roundtrip(tmp_path, trained):
     from hhrs_tpu.train.artifacts import export_artifacts, load_artifact_bundle
     from hhrs_tpu.models.dcn import apply_dcn
