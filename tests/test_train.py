@@ -130,6 +130,27 @@ def test_rng_impl_rbg_trains_deterministically():
         run("philox")
 
 
+def test_rng_impl_rbg_mesh_runs(eight_devices):
+    """rbg composes with the mesh trainer (typed key through the streamed
+    sharded step; GSPMD partitions RngBitGenerator). Bits are NOT asserted
+    equal to single-device — only threefry guarantees sharding-invariant
+    streams (config docstring)."""
+    from jax.sharding import Mesh
+
+    ds = generate_synthetic_dataset(n_users=100, n_items=50, n_reviews=4000, seed=7)
+    df = add_engineered_features(
+        ds.reviews.rename(columns={"guest_id": "user_id", "hotel_id": "item_id"})
+    )
+    splits, art = Preprocessor().fit_transform(df)
+    dims = ModelDims.from_artifacts(art)
+    mcfg = ModelConfig(emb_dim=4, hidden_dim=16, n_cross_layers=1, n_res_blocks=1,
+                       dropout=0.5)
+    tcfg = TrainConfig(lr=1e-3, batch_size=256, n_epochs=1, rng_impl="rbg")
+    mesh = Mesh(np.array(jax.devices()).reshape(4, 2), ("data", "model"))
+    result = train_dcn(splits, dims, mcfg, tcfg, mesh=mesh)
+    assert np.isfinite(result.history[0]["train_loss"])
+
+
 def test_artifact_roundtrip(tmp_path, trained):
     from hhrs_tpu.train.artifacts import export_artifacts, load_artifact_bundle
     from hhrs_tpu.models.dcn import apply_dcn
