@@ -324,6 +324,10 @@ def main():
                 "value": round(jax_eps, 1),
                 "unit": "examples/s/chip",
                 "vs_baseline": vs,
+                # adopted 2026-08-19: hardware-RBG dropout bits (+28-30%,
+                # benchmarks/prng_ab.py) — emitted so downstream comparisons
+                # can tell pre/post-switch numbers apart (ADVICE r2)
+                "rng_impl": "rbg",
             }
         )
     )

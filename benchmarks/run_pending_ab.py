@@ -80,7 +80,10 @@ def main(argv=None) -> int:
 
     defaults = (bench.N_USERS, bench.N_ITEMS)
 
-    def job(name, fn):
+    def job(name, fn, ext="json"):
+        # ext: the captured stdout's actual format — harnesses that print
+        # JSON lines get .json; anything printing prose gets .txt (a
+        # .json-named plain-text artifact was an ADVICE r2 finding)
         done = os.path.join(args.out, f"{name}.done")
         if os.path.exists(done):
             note(f"SKIP {name} (done)")
@@ -96,18 +99,20 @@ def main(argv=None) -> int:
         except Exception:  # noqa: BLE001 — continue to the next job
             buf.write("\nEXCEPTION:\n" + traceback.format_exc())
             ok = False
-        with open(os.path.join(args.out, f"{name}.json"), "w") as f:
+        with open(os.path.join(args.out, f"{name}.{ext}"), "w") as f:
             f.write(buf.getvalue())
         if ok:
             open(done, "w").close()
         note(f"END {name} {'ok' if ok else 'FAILED'} ({time.time() - t0:.0f}s)")
 
     def prng(order):
+        import json
+
         dims, cfg, tx = bench.flagship_setup()
         names = {"t": "threefry2x32", "r": "rbg"}
         for c in order:
             r = prng_ab.run(dims, cfg, tx, names[c])
-            print("%s: %.3fM ex/s" % (names[c], r / 1e6))
+            print(json.dumps({"impl": names[c], "examples_per_s": round(r, 1)}))
 
     job("lazy_dl_1m", lambda: lazy_ab.main(["dl", "--users", "1000000"]))
     job("lazy_ld_1m", lambda: lazy_ab.main(["ld", "--users", "1000000"]))

@@ -26,7 +26,14 @@ import jax.numpy as jnp
 
 from hhrs_tpu.config import ModelConfig
 from hhrs_tpu.ops.cross import cross_stack_apply, cross_stack_init
-from hhrs_tpu.ops.nn import batchnorm_init, dropout, embedding_init, linear_apply, linear_init
+from hhrs_tpu.ops.nn import (
+    batchnorm_init,
+    dropout,
+    embedding_init,
+    linear_apply,
+    linear_init,
+    rate_may_be_positive,
+)
 from hhrs_tpu.ops.quant import table_lookup
 from hhrs_tpu.ops.resblock import resblock_apply, resblock_init
 
@@ -149,6 +156,7 @@ def apply_dcn(
     train: bool = False,
     rng=None,
     axis_name: str | None = None,
+    dropout_rate=None,
 ) -> tuple[jnp.ndarray, dict]:
     """Forward pass → ([B] logits, new batch-norm state)."""
     # table_lookup dispatches on the table type, so the same program serves
@@ -161,7 +169,8 @@ def apply_dcn(
     ]
     x0 = jnp.concatenate([user_emb, item_emb, *cat_embs, num_features], axis=1)
     return apply_dcn_from_x0(
-        params, state, x0, cfg=cfg, train=train, rng=rng, axis_name=axis_name
+        params, state, x0, cfg=cfg, train=train, rng=rng, axis_name=axis_name,
+        dropout_rate=dropout_rate,
     )
 
 
@@ -174,6 +183,7 @@ def apply_dcn_from_x0(
     train: bool = False,
     rng=None,
     axis_name: str | None = None,
+    dropout_rate=None,
 ) -> tuple[jnp.ndarray, dict]:
     """The tower half of the forward pass, from an already-assembled x0.
 
@@ -183,6 +193,12 @@ def apply_dcn_from_x0(
     roofline shows is pure HBM traffic at production table sizes. ``params``
     needs only the tower entries (initial_deep/res_blocks/cross/final);
     table entries are ignored if present.
+
+    ``dropout_rate`` overrides ``cfg.dropout`` and may be a TRACED scalar —
+    the vectorized-HPO runner (hpo/vectorized.py) vmaps it across trials so
+    one compiled program trains K trials with K different dropout
+    probabilities. ``None`` → the static ``cfg.dropout`` (every existing
+    path, byte-identical programs).
     """
     if cfg.compute_dtype not in ("float32", "bfloat16"):
         raise ValueError(
@@ -190,13 +206,15 @@ def apply_dcn_from_x0(
             "expected 'float32' or 'bfloat16'"
         )
     compute_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
+    drop_rate = cfg.dropout if dropout_rate is None else dropout_rate
+    drop_on = rate_may_be_positive(drop_rate)
 
     towers = []
     new_res_state = []
-    if train and cfg.dropout > 0.0 and rng is None and "initial_deep" in params:
+    if train and drop_on and rng is None and "initial_deep" in params:
         # Silently training unregularized (dropout gated on rng presence)
         # would diverge from torch semantics with no signal — fail at trace.
-        raise ValueError("train=True with cfg.dropout > 0 requires an rng")
+        raise ValueError("train=True with dropout > 0 requires an rng")
     if "initial_deep" in params:
         deep = linear_apply(params["initial_deep"], x0, compute_dtype)
         blocks = params["res_blocks"]
@@ -217,8 +235,8 @@ def apply_dcn_from_x0(
             if "layer" in bp:
                 # plain-MLP ablation block: Linear → ReLU → Dropout
                 deep = jax.nn.relu(linear_apply(bp["layer"], deep, compute_dtype))
-                if train and cfg.dropout > 0.0 and block_rngs[i] is not None:
-                    deep = dropout(deep, cfg.dropout, block_rngs[i])
+                if train and drop_on and block_rngs[i] is not None:
+                    deep = dropout(deep, drop_rate, block_rngs[i])
                 ns = {}
             else:
                 deep, ns = resblock_apply(
@@ -226,7 +244,7 @@ def apply_dcn_from_x0(
                     bs,
                     deep,
                     train=train,
-                    dropout_rate=cfg.dropout,
+                    dropout_rate=drop_rate,
                     rng=block_rngs[i],
                     momentum=cfg.bn_momentum,
                     eps=cfg.bn_eps,

@@ -92,8 +92,17 @@ def batchnorm_apply(
     return y, state
 
 
+def rate_may_be_positive(rate) -> bool:
+    """Python-level gate for dropout branches: True when ``rate`` could be
+    positive at runtime. A traced rate (the vectorized-HPO path vmaps the
+    dropout probability across trials, hpo/vectorized.py) can't be compared
+    under ``if`` — the branch stays in the program and rate 0.0 degrades to
+    an exact identity inside ``dropout`` (keep=1 → all-true mask, x/1)."""
+    return isinstance(rate, jnp.ndarray) or rate > 0.0
+
+
 def dropout(x: jnp.ndarray, rate: float, rng) -> jnp.ndarray:
-    if rate <= 0.0:
+    if not rate_may_be_positive(rate):
         return x
     keep = 1.0 - rate
     mask = jax.random.bernoulli(rng, keep, x.shape)

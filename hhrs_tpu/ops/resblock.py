@@ -12,7 +12,14 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from hhrs_tpu.ops.nn import batchnorm_apply, batchnorm_init, dropout, linear_apply, linear_init
+from hhrs_tpu.ops.nn import (
+    batchnorm_apply,
+    batchnorm_init,
+    dropout,
+    linear_apply,
+    linear_init,
+    rate_may_be_positive,
+)
 
 
 def resblock_init(rng, hidden_dim: int, dtype=jnp.float32) -> tuple[dict, dict]:
@@ -48,7 +55,7 @@ def resblock_apply(
         params["bn1"], state["bn1"], h, train=train, momentum=momentum, eps=eps, axis_name=axis_name
     )
     h = jax.nn.relu(h)
-    if train and dropout_rate > 0.0 and rng is not None:
+    if train and rng is not None and rate_may_be_positive(dropout_rate):
         h = dropout(h, dropout_rate, rng)
     h = linear_apply(params["layer2"], h, compute_dtype)
     h, bn2_s = batchnorm_apply(

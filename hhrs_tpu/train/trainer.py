@@ -64,6 +64,20 @@ class TrainResult:
     pruned: bool = False
 
 
+def derive_impl_key(epoch_rng, impl: str):
+    """Re-wrap a legacy threefry uint32[2] epoch key in ``impl``'s key format.
+
+    rbg/unsafe_rbg key data is uint32[4]; the four words are derived by
+    SPLITTING the threefry key once and concatenating both child keys, so
+    the two 64-bit halves are independent threefry outputs. (Tiling the
+    same 64 bits into both halves — the round-2 version — confined keys
+    to a correlated 64-bit subspace; ADVICE r2.) Deterministic: same
+    epoch key → same derived key.
+    """
+    return jax.random.wrap_key_data(
+        jnp.concatenate(jax.random.split(epoch_rng)), impl=impl)
+
+
 def _device_put_splits(splits: DatasetSplits):
     put = jax.device_put
     train = {
@@ -504,10 +518,9 @@ def train_dcn(
                 # benchmarks/prng_ab.py). The top-level/checkpointed `rng`
                 # stays legacy threefry uint32[2] so checkpoint state is
                 # impl-independent; only the key handed to the jitted step
-                # changes representation (rbg key data is uint32[4] — derive
-                # it deterministically from the threefry epoch key).
-                epoch_rng = jax.random.wrap_key_data(
-                    jnp.tile(epoch_rng, 2), impl=train_cfg.rng_impl)
+                # changes representation (derive_impl_key: four distinct
+                # words via a split of the threefry epoch key).
+                epoch_rng = derive_impl_key(epoch_rng, train_cfg.rng_impl)
             if streaming:
                 S = steps_per_epoch
                 # exactly S*B rows stream (drop_remainder truncates the tail
