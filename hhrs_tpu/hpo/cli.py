@@ -51,6 +51,65 @@ def train_cfg_from_params(params: dict, base: TrainConfig | None = None) -> Trai
     )
 
 
+def _optimize_vectorized(args, cfg, splits, dims, preproc, space, study, best_box):
+    """ask K → group by architecture → one vmapped program per group → tell.
+
+    Same per-trial semantics as the sequential objective (plateau, early
+    stop, median pruning, best-artifact export); the only difference is
+    that same-shape trials share a compiled program (hpo/vectorized.py).
+    """
+    import dataclasses as _dc
+
+    from hhrs_tpu.hpo.vectorized import group_trials, run_group
+    from hhrs_tpu.train.artifacts import export_artifacts
+
+    def make_report(trial):
+        def report_fn(epoch: int, val_loss: float) -> bool:
+            trial.report(val_loss, epoch)
+            return trial.should_prune()
+
+        return report_fn
+
+    while len(study.trials) < args.trials:
+        k = min(args.vectorize, args.trials - len(study.trials))
+        asked = study.ask(space, k)
+        groups = group_trials([t.params for t in asked])
+        log.info("vectorized round: %d trials → %d group(s) of sizes %s",
+                 k, len(groups), sorted((len(v) for v in groups.values()), reverse=True))
+        for idxs in groups.values():
+            members = [asked[i] for i in idxs]
+            mcfg = model_cfg_from_params(members[0].params, cfg.model)
+            tcfg = train_cfg_from_params(members[0].params, cfg.train)
+            if tcfg.batch_size > splits.n_train:
+                tcfg = _dc.replace(tcfg, drop_remainder=False)
+            try:
+                results = run_group(
+                    splits, dims, mcfg, tcfg, [t.params for t in members],
+                    report_fns=[make_report(t) for t in members],
+                )
+            except Exception as e:  # noqa: BLE001 — a failed group must not kill the sweep
+                log.exception("vectorized group of %d failed", len(members))
+                for t in members:
+                    study.tell(t, "failed", error=repr(e))
+                continue
+            for t, r in zip(members, results):
+                if r.pruned:
+                    study.tell(t, "pruned")
+                    continue
+                t.set_user_attr("val_auc", r.final_metrics["val_auc"])
+                t.set_user_attr("examples_per_s", r.examples_per_s)
+                t.set_user_attr("group_examples_per_s", r.group_examples_per_s)
+                if r.best_val_loss < best_box["value"]:
+                    best_box["value"] = r.best_val_loss
+                    log.info("new best (%.5f) — exporting artifacts to %s",
+                             r.best_val_loss, args.out)
+                    export_artifacts(args.out, r.params, r.bn_state, mcfg, dims,
+                                     preproc, r.final_metrics)
+                rec = study.tell(t, "complete", r.best_val_loss)
+                if rec["state"] == "complete":
+                    log.info("trial %d complete: value %.5f", t.number, rec["value"])
+
+
 def main(argv=None) -> int:
     setup_logging()
     enable_compilation_cache()
@@ -71,8 +130,16 @@ def main(argv=None) -> int:
     p.add_argument("--mesh", default=None, metavar="DATAxMODEL",
                    help="run each trial over a device mesh (same layout as the "
                         "train CLI: data-parallel batch, row-sharded tables)")
+    p.add_argument("--vectorize", type=int, default=1, metavar="K",
+                   help="propose K trials per round and train each "
+                        "same-architecture group in ONE vmapped program "
+                        "(hpo/vectorized.py) — amortizes dispatch at the "
+                        "reference's small batch sizes; single-device "
+                        "(incompatible with --mesh)")
     p.add_argument("overrides", nargs="*")
     args = p.parse_args(argv)
+    if args.vectorize > 1 and args.mesh:
+        p.error("--vectorize and --mesh are mutually exclusive")
 
     mesh = None
     if args.mesh:
@@ -128,7 +195,10 @@ def main(argv=None) -> int:
             )
         return result.best_val_loss
 
-    study.optimize(objective, space, n_trials=args.trials)
+    if args.vectorize > 1:
+        _optimize_vectorized(args, cfg, splits, dims, preproc, space, study, best_box)
+    else:
+        study.optimize(objective, space, n_trials=args.trials)
 
     try:
         log.info("best value: %.5f", study.best_value)

@@ -107,6 +107,7 @@ class Study:
         if journal_path and os.path.exists(journal_path):
             self._load()
             log.info("resumed study from %s: %d prior trials", journal_path, len(self.trials))
+        self._next_number = len(self.trials)
 
     # -- persistence ------------------------------------------------------
     def _load(self) -> None:
@@ -135,52 +136,78 @@ class Study:
             os.fsync(f.fileno())
 
     # -- optimization -----------------------------------------------------
+    def _history(self) -> list:
+        """Sampler evidence. Completed trials contribute their value; PRUNED
+        trials contribute their best intermediate — without this, TPE never
+        accumulates "bad" evidence in pruning-heavy regions and keeps
+        re-proposing them (optuna's TPE uses pruned trials the same way)."""
+        history = []
+        for t in self.trials:
+            if t["state"] == "complete":
+                history.append((t["params"], t.get("value")))
+            elif t["state"] == "pruned":
+                vals = [v for v in t.get("intermediates_by_step", {}).values()
+                        if not math.isnan(v)]
+                if vals:
+                    history.append((t["params"], min(vals)))
+        return history
+
+    def ask(self, space: dict, k: int = 1) -> list[Trial]:
+        """Propose ``k`` trials from the current evidence (ask/tell API —
+        the vectorized-HPO driver asks a batch, runs same-architecture
+        groups in one vmapped program, then tells each result). Siblings
+        of one batch are sampled from the same history, like optuna's
+        parallel ask()."""
+        history = self._history()
+        out = []
+        for _ in range(k):
+            params = self.sampler.sample(space, history)
+            out.append(Trial(self._next_number, space, params, self))
+            self._next_number += 1
+        return out
+
+    def tell(self, trial: Trial, state: str, value=None, error: str | None = None) -> dict:
+        """Record one asked trial's outcome ('complete'|'pruned'|'failed');
+        appends to the journal and returns the record."""
+        rec = {"number": trial.number, "params": trial.params, "state": state}
+        if state == "complete":
+            v = float(value)
+            if math.isfinite(v):
+                rec["value"] = v
+            else:
+                # never-finite val loss: record as failed — inf/nan as a
+                # "complete" value is useless to minimize over and
+                # json.dumps would emit non-standard Infinity tokens
+                rec.update(state="failed", value=None,
+                           error=f"non-finite objective ({v})")
+        else:
+            rec["value"] = None
+            if error is not None:
+                rec["error"] = error
+        rec["intermediates"] = {str(k): v for k, v in trial.intermediates.items()}
+        rec["intermediates_by_step"] = dict(trial.intermediates)
+        rec["user_attrs"] = trial.user_attrs
+        self.trials.append(rec)
+        self._append(rec)
+        return rec
+
     def optimize(self, objective, space: dict, n_trials: int, callbacks=()) -> None:
         """Run until the study holds ``n_trials`` total (resume-aware)."""
         while len(self.trials) < n_trials:
-            number = len(self.trials)
-            # Completed trials contribute their value; PRUNED trials
-            # contribute their best intermediate — without this, TPE never
-            # accumulates "bad" evidence in pruning-heavy regions and keeps
-            # re-proposing them (optuna's TPE uses pruned trials the same way).
-            history = []
-            for t in self.trials:
-                if t["state"] == "complete":
-                    history.append((t["params"], t.get("value")))
-                elif t["state"] == "pruned":
-                    vals = [v for v in t.get("intermediates_by_step", {}).values()
-                            if not math.isnan(v)]
-                    if vals:
-                        history.append((t["params"], min(vals)))
-            params = self.sampler.sample(space, history)
-            trial = Trial(number, space, params, self)
-            rec = {"number": number, "params": params, "state": "running"}
+            trial = self.ask(space)[0]
             try:
-                value = float(objective(trial))
-                if math.isfinite(value):
-                    rec.update(state="complete", value=value)
-                else:
-                    # never-finite val loss: record as failed — inf/nan as a
-                    # "complete" value is useless to minimize over and
-                    # json.dumps would emit non-standard Infinity tokens
-                    rec.update(state="failed", value=None,
-                               error=f"non-finite objective ({value})")
+                rec = self.tell(trial, "complete", float(objective(trial)))
             except TrialPruned:
-                rec.update(state="pruned", value=None)
+                rec = self.tell(trial, "pruned")
             except Exception as e:  # noqa: BLE001 — a failed trial must not kill the study
-                log.exception("trial %d failed", number)
-                rec.update(state="failed", value=None, error=repr(e))
-            rec["intermediates"] = {str(k): v for k, v in trial.intermediates.items()}
-            rec["intermediates_by_step"] = dict(trial.intermediates)
-            rec["user_attrs"] = trial.user_attrs
-            self.trials.append(rec)
-            self._append(rec)
+                log.exception("trial %d failed", trial.number)
+                rec = self.tell(trial, "failed", error=repr(e))
             for cb in callbacks:
                 cb(self, rec)
             if rec["state"] == "complete":
                 log.info(
                     "trial %d complete: value %.5f (best %.5f)",
-                    number, rec["value"], self.best_value,
+                    trial.number, rec["value"], self.best_value,
                 )
 
     # -- results ----------------------------------------------------------
@@ -236,22 +263,55 @@ class OptunaStudyAdapter:
             pruner=optuna.pruners.MedianPruner(),
         )
 
+    @staticmethod
+    def _suggest_params(otrial, space: dict) -> dict:
+        params = {}
+        for name, dim in space.items():
+            if dim.kind == "categorical":
+                params[name] = otrial.suggest_categorical(name, list(dim.choices))
+            elif dim.kind == "int":
+                params[name] = otrial.suggest_int(name, int(dim.low), int(dim.high), step=dim.step)
+            elif dim.log:
+                params[name] = otrial.suggest_float(name, dim.low, dim.high, log=True)
+            else:
+                params[name] = otrial.suggest_float(
+                    name, dim.low, dim.high, step=dim.step or None
+                )
+        return params
+
+    def ask(self, space: dict, k: int = 1) -> list[Trial]:
+        """Batch proposal through real optuna's ask() (vectorized HPO)."""
+        out = []
+        for _ in range(k):
+            otrial = self._study.ask()
+            params = self._suggest_params(otrial, space)
+            shim = Trial(otrial.number, space, params, _OptunaShimStudy(otrial))
+            shim._otrial = otrial
+            out.append(shim)
+        return out
+
+    def tell(self, trial: Trial, state: str, value=None, error: str | None = None) -> dict:
+        import math as _math
+
+        import optuna
+
+        otrial = trial._otrial
+        if state == "complete" and value is not None and _math.isfinite(float(value)):
+            self._study.tell(otrial, float(value))
+        elif state == "pruned":
+            self._study.tell(otrial, state=optuna.trial.TrialState.PRUNED)
+        else:
+            state = "failed"
+            self._study.tell(otrial, state=optuna.trial.TrialState.FAIL)
+        return {"number": trial.number, "params": trial.params, "state": state,
+                "value": float(value) if state == "complete" else None,
+                "user_attrs": trial.user_attrs}
+
     def optimize(self, objective, space: dict, n_trials: int, callbacks=()) -> None:
         import optuna
 
         def wrapped(otrial):
-            params = {}
-            for name, dim in space.items():
-                if dim.kind == "categorical":
-                    params[name] = otrial.suggest_categorical(name, list(dim.choices))
-                elif dim.kind == "int":
-                    params[name] = otrial.suggest_int(name, int(dim.low), int(dim.high), step=dim.step)
-                elif dim.log:
-                    params[name] = otrial.suggest_float(name, dim.low, dim.high, log=True)
-                else:
-                    params[name] = otrial.suggest_float(
-                        name, dim.low, dim.high, step=dim.step or None
-                    )
+            params = self._suggest_params(otrial, space)
             shim = Trial(otrial.number, space, params, _OptunaShimStudy(otrial))
             try:
                 return objective(shim)

@@ -30,13 +30,20 @@ def linear_init(rng, fan_in: int, fan_out: int, dtype=jnp.float32) -> dict:
     }
 
 
-def linear_apply(p: dict, x: jnp.ndarray, compute_dtype=None) -> jnp.ndarray:
+def linear_apply(p: dict, x: jnp.ndarray, compute_dtype=None, out_dtype=None) -> jnp.ndarray:
+    """y = x·k + b. ``compute_dtype`` casts the matmul INPUTS (bf16 feeds the
+    MXU at full rate); accumulation is always f32 (preferred_element_type).
+    ``out_dtype`` casts the OUTPUT — the storage dtype of the activation that
+    XLA materializes to HBM between fusions. On an HBM-bound step (the DCN-R
+    roofline, RESULTS.md) out_dtype=bf16 halves that traffic; the cast fuses
+    into the matmul epilogue so it costs no extra pass."""
     k, b = p["kernel"], p["bias"]
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
         k = k.astype(compute_dtype)
     y = jnp.dot(x, k, preferred_element_type=jnp.float32)
-    return y + b.astype(y.dtype)
+    y = y + b.astype(y.dtype)
+    return y if out_dtype is None else y.astype(out_dtype)
 
 
 def embedding_init(rng, n_rows: int, dim: int, dtype=jnp.float32) -> jnp.ndarray:

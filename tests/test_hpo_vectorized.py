@@ -1,0 +1,209 @@
+"""Vectorized HPO (hpo/vectorized.py): K same-architecture trials in one
+vmapped program must reproduce the sequential trainer trial-for-trial."""
+
+import json
+
+import numpy as np
+import pytest
+
+from hhrs_tpu.config import ModelConfig, TrainConfig
+from hhrs_tpu.data import Preprocessor, add_engineered_features
+from hhrs_tpu.data.synthetic import generate_synthetic_dataset
+from hhrs_tpu.hpo.space import reference_search_space
+from hhrs_tpu.hpo.study import Study
+from hhrs_tpu.hpo.vectorized import arch_key, group_trials, run_group
+from hhrs_tpu.models.dcn import ModelDims
+from hhrs_tpu.train.trainer import train_dcn
+
+
+ARCH = {"emb_dim": 8, "hidden_dim": 32, "n_cross_layers": 2, "n_res_blocks": 1,
+        "batch_size": 256, "optimizer": "adamw"}
+
+
+def _trial(lr, wd, dropout, optimizer="adamw", patience=1, factor=0.5):
+    p = dict(ARCH)
+    p.update(lr=lr, weight_decay=wd, dropout=dropout, optimizer=optimizer,
+             lr_plateau_patience=patience, lr_plateau_factor=factor)
+    return p
+
+
+@pytest.fixture(scope="module")
+def dataset():
+    ds = generate_synthetic_dataset(n_users=300, n_items=120, n_reviews=8000, seed=11)
+    df = add_engineered_features(
+        ds.reviews.rename(columns={"guest_id": "user_id", "hotel_id": "item_id"})
+    )
+    splits, art = Preprocessor().fit_transform(df)
+    return splits, ModelDims.from_artifacts(art)
+
+
+def _cfgs(params):
+    mcfg = ModelConfig(
+        emb_dim=params["emb_dim"], hidden_dim=params["hidden_dim"],
+        n_cross_layers=params["n_cross_layers"], n_res_blocks=params["n_res_blocks"],
+        dropout=float(params["dropout"]),
+    )
+    tcfg = TrainConfig(
+        lr=float(params["lr"]), batch_size=params["batch_size"],
+        weight_decay=float(params["weight_decay"]), optimizer=params["optimizer"],
+        lr_plateau_patience=params["lr_plateau_patience"],
+        lr_plateau_factor=params["lr_plateau_factor"],
+        n_epochs=4, early_stop_patience=5,
+    )
+    return mcfg, tcfg
+
+
+def test_group_trials_partitions_by_shape_and_optimizer():
+    trials = [
+        _trial(1e-3, 1e-5, 0.2),
+        _trial(3e-3, 1e-4, 0.5),               # same arch → same group
+        _trial(1e-3, 1e-5, 0.2, optimizer="adam"),  # family differs → new group
+        {**_trial(1e-3, 1e-5, 0.2), "hidden_dim": 64},  # shape differs → new group
+    ]
+    groups = group_trials(trials)
+    assert sorted(len(v) for v in groups.values()) == [1, 1, 2]
+    assert groups[arch_key(trials[0])] == [0, 1]
+
+
+@pytest.mark.parametrize("optimizer", ["adamw", "adam"])
+def test_vectorized_group_matches_sequential_trainer(dataset, optimizer):
+    """Each lane of a 3-trial vmapped group reproduces the sequential
+    train_dcn run with the same hyperparams: val-loss history, plateau-LR
+    decisions, best epoch, and final metrics (dropout ON — the rng streams
+    coincide by construction)."""
+    splits, dims = dataset
+    trials = [
+        _trial(3e-3, 1e-5, 0.2, optimizer=optimizer),
+        _trial(1e-3, 1e-4, 0.5, optimizer=optimizer, patience=2, factor=0.1),
+        _trial(2e-2, 1e-6, 0.1, optimizer=optimizer),  # hot lr → plateau likely fires
+    ]
+    mcfg, tcfg = _cfgs(trials[0])
+    vres = run_group(splits, dims, mcfg, tcfg, trials)
+
+    for t, vr in zip(trials, vres):
+        m, tc = _cfgs(t)
+        sr = train_dcn(splits, dims, m, tc)
+        assert len(vr.history) == len(sr.history)
+        for hv, hs in zip(vr.history, sr.history):
+            assert hv["val_loss"] == pytest.approx(hs["val_loss"], rel=2e-3)
+            assert hv["train_loss"] == pytest.approx(hs["train_loss"], rel=2e-3)
+            assert hv["lr"] == pytest.approx(hs["lr"])
+        assert vr.best_epoch == sr.best_epoch
+        assert vr.best_val_loss == pytest.approx(sr.best_val_loss, rel=2e-3)
+        assert vr.final_metrics["val_auc"] == pytest.approx(
+            sr.final_metrics["val_auc"], abs=5e-3)
+        assert vr.final_metrics["val_logloss"] == pytest.approx(
+            sr.final_metrics["val_logloss"], rel=2e-3)
+
+
+def test_lane_pruning_and_early_stop_isolation(dataset):
+    """A pruned lane stops reporting while its siblings run to the cap."""
+    splits, dims = dataset
+    trials = [_trial(1e-3, 1e-5, 0.2), _trial(3e-3, 1e-4, 0.3)]
+    mcfg, tcfg = _cfgs(trials[0])
+    reports = {0: [], 1: []}
+
+    def rf(k):
+        def f(epoch, vl):
+            reports[k].append(epoch)
+            return k == 0 and epoch >= 1  # prune lane 0 at epoch 1
+
+        return f
+
+    vres = run_group(splits, dims, mcfg, tcfg, trials, report_fns=[rf(0), rf(1)])
+    assert vres[0].pruned and not vres[1].pruned
+    assert reports[0] == [0, 1]            # stopped reporting after pruning
+    assert len(vres[0].history) == 2
+    assert len(vres[1].history) == tcfg.n_epochs
+    assert reports[1] == list(range(tcfg.n_epochs))
+
+
+def test_group_rejects_mixed_architectures(dataset):
+    splits, dims = dataset
+    trials = [_trial(1e-3, 1e-5, 0.2), {**_trial(1e-3, 1e-5, 0.2), "hidden_dim": 64}]
+    mcfg, tcfg = _cfgs(trials[0])
+    with pytest.raises(ValueError, match="architectures"):
+        run_group(splits, dims, mcfg, tcfg, trials)
+
+
+def test_study_ask_tell_journal_roundtrip(tmp_path):
+    space = reference_search_space()
+    journal = str(tmp_path / "j.jsonl")
+    study = Study(journal_path=journal, seed=3)
+    asked = study.ask(space, 3)
+    assert [t.number for t in asked] == [0, 1, 2]
+    for t in asked:
+        assert set(t.params) == set(space)
+
+    study.tell(asked[0], "complete", 0.5)
+    study.tell(asked[1], "pruned")
+    study.tell(asked[2], "failed", error="boom")
+    assert [t["state"] for t in study.trials] == ["complete", "pruned", "failed"]
+    assert study.best_value == 0.5
+
+    # non-finite completions are recorded as failed (journal-safe JSON)
+    extra = study.ask(space, 1)[0]
+    rec = study.tell(extra, "complete", float("nan"))
+    assert rec["state"] == "failed"
+
+    # reload: records + numbering resume
+    study2 = Study(journal_path=journal, seed=3)
+    assert len(study2.trials) == 4
+    assert study2.ask(space, 1)[0].number == 4
+    with open(journal) as f:
+        for line in f:
+            json.loads(line)
+
+
+def test_hpo_cli_vectorized_smoke(tmp_path):
+    """--vectorize 4 end-to-end: 4 trials asked per round, grouped by
+    architecture, journal holds 4 tell'd records, best artifacts exported."""
+    import os
+
+    from hhrs_tpu.hpo.cli import main
+
+    rc = main([
+        "--trials", "4",
+        "--vectorize", "4",
+        "--journal", str(tmp_path / "journal.jsonl"),
+        "--data", str(tmp_path / "data"),
+        "--out", str(tmp_path / "artifacts"),
+        "--synthetic",
+        "--synth-users", "120", "--synth-items", "60", "--synth-reviews", "1500",
+        "--epochs", "2",
+        "train.eval_batch_size=512",
+    ])
+    assert rc == 0
+    study = Study(journal_path=str(tmp_path / "journal.jsonl"))
+    assert len(study.trials) == 4
+    assert all(t["state"] in ("complete", "pruned", "failed") for t in study.trials)
+    assert any(t["state"] == "complete" for t in study.trials)
+    done = [t for t in study.trials if t["state"] == "complete"]
+    assert all("val_auc" in t["user_attrs"] for t in done)
+    assert all(t["user_attrs"]["group_examples_per_s"] >=
+               t["user_attrs"]["examples_per_s"] for t in done)
+    assert os.path.exists(tmp_path / "artifacts" / "manifest.json")
+
+
+def test_optimize_still_sequential_after_refactor(tmp_path):
+    """Study.optimize (now routed through ask/tell) keeps its contract:
+    resume-aware trial count, pruned/failed isolation, best tracking."""
+    from hhrs_tpu.hpo.study import TrialPruned
+
+    space = {"lr": reference_search_space()["lr"]}
+    study = Study(journal_path=str(tmp_path / "o.jsonl"), seed=0)
+    calls = []
+
+    def objective(trial):
+        calls.append(trial.number)
+        if trial.number == 1:
+            raise TrialPruned()
+        if trial.number == 2:
+            raise RuntimeError("boom")
+        return float(trial.params["lr"])
+
+    study.optimize(objective, space, n_trials=4)
+    assert calls == [0, 1, 2, 3]
+    states = [t["state"] for t in study.trials]
+    assert states == ["complete", "pruned", "failed", "complete"]
+    assert study.best_value == min(study.trials[0]["value"], study.trials[3]["value"])
