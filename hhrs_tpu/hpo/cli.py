@@ -70,9 +70,12 @@ def _optimize_vectorized(args, cfg, splits, dims, preproc, space, study, best_bo
 
         return report_fn
 
+    from hhrs_tpu.hpo.vectorized import ARCH_KEYS
+
+    shared = () if args.vectorize_independent else ARCH_KEYS
     while len(study.trials) < args.trials:
         k = min(args.vectorize, args.trials - len(study.trials))
-        asked = study.ask(space, k)
+        asked = study.ask(space, k, shared=shared)
         groups = group_trials([t.params for t in asked])
         log.info("vectorized round: %d trials → %d group(s) of sizes %s",
                  k, len(groups), sorted((len(v) for v in groups.values()), reverse=True))
@@ -135,7 +138,15 @@ def main(argv=None) -> int:
                         "same-architecture group in ONE vmapped program "
                         "(hpo/vectorized.py) — amortizes dispatch at the "
                         "reference's small batch sizes; single-device "
-                        "(incompatible with --mesh)")
+                        "(incompatible with --mesh). By default the K "
+                        "trials share one sampled architecture per round "
+                        "(arch-major ask) so they form ONE group")
+    p.add_argument("--vectorize-independent", action="store_true",
+                   help="with --vectorize: sample all K trials' params "
+                        "independently instead of sharing the architecture "
+                        "dims — more arch exploration per round, but "
+                        "groups degenerate to singletons under the "
+                        "reference space's ~15k arch combinations")
     p.add_argument("overrides", nargs="*")
     args = p.parse_args(argv)
     if args.vectorize > 1 and args.mesh:

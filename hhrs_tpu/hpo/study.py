@@ -152,16 +152,34 @@ class Study:
                     history.append((t["params"], min(vals)))
         return history
 
-    def ask(self, space: dict, k: int = 1) -> list[Trial]:
+    def ask(self, space: dict, k: int = 1, shared: tuple = ()) -> list[Trial]:
         """Propose ``k`` trials from the current evidence (ask/tell API —
         the vectorized-HPO driver asks a batch, runs same-architecture
         groups in one vmapped program, then tells each result). Siblings
         of one batch are sampled from the same history, like optuna's
-        parallel ask()."""
+        parallel ask().
+
+        ``shared``: param names sampled ONCE per batch — trial 0's values
+        are copied into every sibling. The vectorized driver shares the
+        shape-affecting dims (hpo/vectorized.ARCH_KEYS) so all k trials
+        land in ONE vmapped group: with independent sampling the reference
+        space's ~15k architecture combinations make same-arch collisions
+        vanishingly rare and every group degenerates to a singleton. The
+        sampler is univariate (TPE per dimension), so fixing some dims and
+        sampling the rest from the same history is exactly the conditional
+        proposal; the trade (one architecture evidence point per round
+        instead of k) is the standard batched-HPO trade."""
         history = self._history()
         out = []
-        for _ in range(k):
-            params = self.sampler.sample(space, history)
+        scalar_space = {n: d for n, d in space.items() if n not in shared}
+        base = None
+        for i in range(k):
+            if i == 0 or not shared:
+                params = self.sampler.sample(space, history)
+                base = params
+            else:
+                scalars = self.sampler.sample(scalar_space, history)
+                params = {n: (base[n] if n in shared else scalars[n]) for n in space}
             out.append(Trial(self._next_number, space, params, self))
             self._next_number += 1
         return out
@@ -279,12 +297,23 @@ class OptunaStudyAdapter:
                 )
         return params
 
-    def ask(self, space: dict, k: int = 1) -> list[Trial]:
-        """Batch proposal through real optuna's ask() (vectorized HPO)."""
+    def ask(self, space: dict, k: int = 1, shared: tuple = ()) -> list[Trial]:
+        """Batch proposal through real optuna's ask() (vectorized HPO).
+
+        ``shared`` dims are fixed to trial 0's values for the siblings via
+        ``enqueue_trial`` with partial params (optuna samples the rest) —
+        the same arch-major batching as the built-in Study.ask."""
         out = []
-        for _ in range(k):
+        base = None
+        for i in range(k):
+            if i > 0 and shared and base is not None:
+                self._study.enqueue_trial(
+                    {n: base[n] for n in shared}, skip_if_exists=False
+                )
             otrial = self._study.ask()
             params = self._suggest_params(otrial, space)
+            if i == 0:
+                base = params
             shim = Trial(otrial.number, space, params, _OptunaShimStudy(otrial))
             shim._otrial = otrial
             out.append(shim)

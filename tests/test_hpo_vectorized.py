@@ -155,6 +155,25 @@ def test_study_ask_tell_journal_roundtrip(tmp_path):
             json.loads(line)
 
 
+def test_ask_shared_arch_forms_one_group():
+    """Arch-major ask: shared dims are sampled once per batch, so the whole
+    batch lands in ONE vmapped group; scalar dims still vary per trial."""
+    from hhrs_tpu.hpo.vectorized import ARCH_KEYS
+
+    space = reference_search_space()
+    study = Study(seed=7)
+    asked = study.ask(space, 8, shared=ARCH_KEYS)
+    assert len(group_trials([t.params for t in asked])) == 1
+    for key in ARCH_KEYS:
+        assert len({t.params[key] for t in asked}) == 1
+    # the scalar dims must NOT be copies (lr is continuous — 8 identical
+    # samples would mean the sharing leaked into the scalar dims)
+    assert len({t.params["lr"] for t in asked}) > 1
+    # independent ask keeps full per-trial sampling (arch dims vary)
+    indep = study.ask(space, 8)
+    assert len(group_trials([t.params for t in indep])) > 1
+
+
 def test_hpo_cli_vectorized_smoke(tmp_path):
     """--vectorize 4 end-to-end: 4 trials asked per round, grouped by
     architecture, journal holds 4 tell'd records, best artifacts exported."""
