@@ -71,9 +71,14 @@ def flagship_setup():
     enable_compilation_cache()
 
     dims = ModelDims(N_USERS, N_ITEMS, CAT_DIMS, N_NUM)
+    # storage_dtype=bf16: activations stored bf16 (BN stats/logits/params
+    # stay f32) — won BOTH orders of the flagship A/B (+2.6-3.2%,
+    # benchmarks/storage_ab.py); the step is HBM-bound so activation bytes
+    # are the binding resource (roofline).
     cfg = ModelConfig(
         emb_dim=EMB_DIM, hidden_dim=HIDDEN, n_cross_layers=N_CROSS,
         n_res_blocks=N_RES, dropout=DROPOUT, compute_dtype="bfloat16",
+        storage_dtype="bfloat16",
     )
     tx = make_optimizer(OPTIMIZER, LR, WD)
     return dims, cfg, tx
@@ -328,6 +333,9 @@ def main():
                 # benchmarks/prng_ab.py) — emitted so downstream comparisons
                 # can tell pre/post-switch numbers apart (ADVICE r2)
                 "rng_impl": "rbg",
+                # adopted r3: bf16 activation storage (+2.6-3.2% both
+                # orders, benchmarks/storage_ab.py)
+                "storage_dtype": "bfloat16",
             }
         )
     )

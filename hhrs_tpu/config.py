@@ -40,6 +40,15 @@ class ModelConfig:
     # Compute dtype for matmuls; params stay float32. bfloat16 feeds the MXU
     # at full rate on TPU; float32 is the parity-testing default.
     compute_dtype: str = "float32"
+    # Storage dtype for the tower ACTIVATIONS (x0 and everything after it):
+    # 'bfloat16' halves the [B, ·] tensors XLA materializes to HBM between
+    # fusions and the residuals autodiff saves for the backward pass — the
+    # DCN-R train step is HBM-bound, never MXU-bound (roofline, RESULTS.md),
+    # so activation bytes are the binding resource. Requires
+    # compute_dtype='bfloat16'; BatchNorm statistics and the final logits
+    # stay float32. A throughput knob like rng_impl=rbg: statistically
+    # equivalent training, not bit-identical to the f32-storage program.
+    storage_dtype: str = "float32"
 
     def cat_emb_dim(self, n_cat: int) -> int:
         # Heuristic preserved from the reference (train.py:139): floor(sqrt(n))+1.

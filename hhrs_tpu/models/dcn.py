@@ -205,7 +205,24 @@ def apply_dcn_from_x0(
             f"unknown model.compute_dtype {cfg.compute_dtype!r}; "
             "expected 'float32' or 'bfloat16'"
         )
+    if cfg.storage_dtype not in ("float32", "bfloat16"):
+        raise ValueError(
+            f"unknown model.storage_dtype {cfg.storage_dtype!r}; "
+            "expected 'float32' or 'bfloat16'"
+        )
+    if cfg.storage_dtype == "bfloat16" and cfg.compute_dtype != "bfloat16":
+        raise ValueError(
+            "model.storage_dtype='bfloat16' requires "
+            "model.compute_dtype='bfloat16' (bf16-stored activations imply "
+            "bf16 matmul inputs)"
+        )
     compute_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
+    # bf16 activation STORAGE: the [B, ·] tensors between fusions and the
+    # autodiff residuals carry half the HBM bytes; BN stats and the logits
+    # stay f32 (ops/nn.py). The step is HBM-bound (roofline, RESULTS.md).
+    storage_dtype = jnp.bfloat16 if cfg.storage_dtype == "bfloat16" else None
+    if storage_dtype is not None:
+        x0 = x0.astype(storage_dtype)
     drop_rate = cfg.dropout if dropout_rate is None else dropout_rate
     drop_on = rate_may_be_positive(drop_rate)
 
@@ -216,7 +233,7 @@ def apply_dcn_from_x0(
         # would diverge from torch semantics with no signal — fail at trace.
         raise ValueError("train=True with dropout > 0 requires an rng")
     if "initial_deep" in params:
-        deep = linear_apply(params["initial_deep"], x0, compute_dtype)
+        deep = linear_apply(params["initial_deep"], x0, compute_dtype, storage_dtype)
         blocks = params["res_blocks"]
         if train and rng is not None:
             block_rngs = jax.random.split(rng, max(len(blocks), 1))
@@ -234,7 +251,9 @@ def apply_dcn_from_x0(
             # BN/residual math.
             if "layer" in bp:
                 # plain-MLP ablation block: Linear → ReLU → Dropout
-                deep = jax.nn.relu(linear_apply(bp["layer"], deep, compute_dtype))
+                deep = jax.nn.relu(
+                    linear_apply(bp["layer"], deep, compute_dtype, storage_dtype)
+                )
                 if train and drop_on and block_rngs[i] is not None:
                     deep = dropout(deep, drop_rate, block_rngs[i])
                 ns = {}
@@ -250,6 +269,7 @@ def apply_dcn_from_x0(
                     eps=cfg.bn_eps,
                     axis_name=axis_name,
                     compute_dtype=compute_dtype,
+                    out_dtype=storage_dtype,
                 )
             new_res_state.append(ns)
         towers.append(deep)

@@ -66,6 +66,12 @@ def batchnorm_apply(
     eps: float = 1e-5,
     axis_name: str | None = None,
 ) -> tuple[jnp.ndarray, dict]:
+    # Statistics and normalization always run in f32 — a bf16 mean over a
+    # 32k batch loses ~3 decimal digits. For f32 inputs the casts are
+    # no-ops (byte-identical program); for bf16 STORAGE inputs
+    # (model.storage_dtype) only the output is cast back down, and the
+    # running state stays f32.
+    xf = x.astype(jnp.float32)
     if train:
         n_local = x.shape[0]
         if n_local <= 1 and axis_name is None:
@@ -77,8 +83,8 @@ def batchnorm_apply(
                 "BatchNorm training needs >1 example per batch "
                 "(torch BatchNorm1d parity)"
             )
-        mean = jnp.mean(x, axis=0)
-        mean_sq = jnp.mean(jnp.square(x), axis=0)
+        mean = jnp.mean(xf, axis=0)
+        mean_sq = jnp.mean(jnp.square(xf), axis=0)
         n_total = n_local
         if axis_name is not None:
             mean = jax.lax.pmean(mean, axis_name)
@@ -92,11 +98,11 @@ def batchnorm_apply(
             "var": (1 - momentum) * state["var"] + momentum * var_unbiased,
         }
         inv = jax.lax.rsqrt(var_biased + eps)
-        y = (x - mean) * inv * params["scale"] + params["bias"]
-        return y, new_state
+        y = (xf - mean) * inv * params["scale"] + params["bias"]
+        return y.astype(x.dtype), new_state
     inv = jax.lax.rsqrt(state["var"] + eps)
-    y = (x - state["mean"]) * inv * params["scale"] + params["bias"]
-    return y, state
+    y = (xf - state["mean"]) * inv * params["scale"] + params["bias"]
+    return y.astype(x.dtype), state
 
 
 def rate_may_be_positive(rate) -> bool:
@@ -113,4 +119,6 @@ def dropout(x: jnp.ndarray, rate: float, rng) -> jnp.ndarray:
         return x
     keep = 1.0 - rate
     mask = jax.random.bernoulli(rng, keep, x.shape)
-    return jnp.where(mask, x / keep, 0.0)
+    # dtype-preserving: under bf16 activation storage (model.storage_dtype)
+    # a weak-typed f32 `keep` must not promote the masked tensor back to f32
+    return jnp.where(mask, x / jnp.asarray(keep, x.dtype), jnp.zeros((), x.dtype))

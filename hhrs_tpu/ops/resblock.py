@@ -48,16 +48,17 @@ def resblock_apply(
     eps: float = 1e-5,
     axis_name: str | None = None,
     compute_dtype=None,
+    out_dtype=None,
 ) -> tuple[jnp.ndarray, dict]:
     identity = x
-    h = linear_apply(params["layer1"], x, compute_dtype)
+    h = linear_apply(params["layer1"], x, compute_dtype, out_dtype)
     h, bn1_s = batchnorm_apply(
         params["bn1"], state["bn1"], h, train=train, momentum=momentum, eps=eps, axis_name=axis_name
     )
     h = jax.nn.relu(h)
     if train and rng is not None and rate_may_be_positive(dropout_rate):
         h = dropout(h, dropout_rate, rng)
-    h = linear_apply(params["layer2"], h, compute_dtype)
+    h = linear_apply(params["layer2"], h, compute_dtype, out_dtype)
     h, bn2_s = batchnorm_apply(
         params["bn2"], state["bn2"], h, train=train, momentum=momentum, eps=eps, axis_name=axis_name
     )
