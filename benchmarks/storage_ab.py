@@ -30,13 +30,18 @@ import bench
 STEPS = 200
 
 
-def run(dims, cfg, tx, storage: str) -> float:
+def run(dims, cfg, tx, storage: str, hidden: int | None = None,
+        n_res: int | None = None) -> float:
     import jax
     import jax.numpy as jnp
 
     from hhrs_tpu.models.dcn import init_dcn
 
     cfg = dataclasses.replace(cfg, storage_dtype=storage)
+    if hidden is not None:
+        cfg = dataclasses.replace(cfg, hidden_dim=hidden)
+    if n_res is not None:
+        cfg = dataclasses.replace(cfg, n_res_blocks=n_res)
     step = bench.make_flagship_step(cfg, tx, fold_rng=True)
     nb = bench._np_batch(np.random.default_rng(0), bench.BATCH)
     batch = {k: jnp.asarray(v) for k, v in nb.items()}
@@ -58,8 +63,16 @@ def run(dims, cfg, tx, storage: str) -> float:
 
 
 if __name__ == "__main__":
+    # usage: storage_ab.py [fb|bf] [--hidden H] [--res R]
+    # --hidden/--res rescale the deep tower (the activations the knob
+    # halves) to check how the win grows with width.
     order = sys.argv[1] if len(sys.argv) > 1 else "fb"
+    hidden = int(sys.argv[sys.argv.index("--hidden") + 1]) if "--hidden" in sys.argv else None
+    n_res = int(sys.argv[sys.argv.index("--res") + 1]) if "--res" in sys.argv else None
     dims, cfg, tx = bench.flagship_setup()
     names = {"f": "float32", "b": "bfloat16"}
+    suffix = "" if hidden is None and n_res is None else (
+        "  (hidden=%s res=%s)" % (hidden or cfg.hidden_dim, n_res or cfg.n_res_blocks))
     for c in order:
-        print("storage %s: %.3fM ex/s" % (names[c], run(dims, cfg, tx, names[c]) / 1e6))
+        print("storage %s: %.3fM ex/s%s"
+              % (names[c], run(dims, cfg, tx, names[c], hidden, n_res) / 1e6, suffix))
