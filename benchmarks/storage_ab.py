@@ -66,7 +66,9 @@ if __name__ == "__main__":
     # usage: storage_ab.py [fb|bf] [--hidden H] [--res R]
     # --hidden/--res rescale the deep tower (the activations the knob
     # halves) to check how the win grows with width.
-    order = sys.argv[1] if len(sys.argv) > 1 else "fb"
+    order = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith("-") else "fb"
+    if not (order and set(order) <= {"f", "b"}):
+        sys.exit(f"usage: storage_ab.py [fb|bf] [--hidden H] [--res R] (got {order!r})")
     hidden = int(sys.argv[sys.argv.index("--hidden") + 1]) if "--hidden" in sys.argv else None
     n_res = int(sys.argv[sys.argv.index("--res") + 1]) if "--res" in sys.argv else None
     dims, cfg, tx = bench.flagship_setup()

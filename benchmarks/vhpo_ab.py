@@ -84,7 +84,9 @@ def run_sequential(splits, dims, mcfg, tcfg, trials):
     for t in trials:
         m = dataclasses.replace(mcfg, dropout=float(t["dropout"]))
         tc = dataclasses.replace(tcfg, lr=float(t["lr"]),
-                                 weight_decay=float(t["weight_decay"]))
+                                 weight_decay=float(t["weight_decay"]),
+                                 lr_plateau_patience=int(t["lr_plateau_patience"]),
+                                 lr_plateau_factor=float(t["lr_plateau_factor"]))
         r = train_dcn(splits, dims, m, tc)
         rates.append(r.examples_per_s)
     wall = time.perf_counter() - t0

@@ -58,8 +58,6 @@ def _optimize_vectorized(args, cfg, splits, dims, preproc, space, study, best_bo
     stop, median pruning, best-artifact export); the only difference is
     that same-shape trials share a compiled program (hpo/vectorized.py).
     """
-    import dataclasses as _dc
-
     from hhrs_tpu.hpo.vectorized import group_trials, run_group
     from hhrs_tpu.train.artifacts import export_artifacts
 
@@ -84,7 +82,7 @@ def _optimize_vectorized(args, cfg, splits, dims, preproc, space, study, best_bo
             mcfg = model_cfg_from_params(members[0].params, cfg.model)
             tcfg = train_cfg_from_params(members[0].params, cfg.train)
             if tcfg.batch_size > splits.n_train:
-                tcfg = _dc.replace(tcfg, drop_remainder=False)
+                tcfg = dataclasses.replace(tcfg, drop_remainder=False)
             try:
                 results = run_group(
                     splits, dims, mcfg, tcfg, [t.params for t in members],
@@ -106,8 +104,20 @@ def _optimize_vectorized(args, cfg, splits, dims, preproc, space, study, best_bo
                     best_box["value"] = r.best_val_loss
                     log.info("new best (%.5f) — exporting artifacts to %s",
                              r.best_val_loss, args.out)
-                    export_artifacts(args.out, r.params, r.bn_state, mcfg, dims,
-                                     preproc, r.final_metrics)
+                    try:
+                        # the manifest must carry the WINNING trial's config:
+                        # mcfg is group-shared (arch dims), but dropout is a
+                        # per-lane vmapped scalar
+                        export_artifacts(
+                            args.out, r.params, r.bn_state,
+                            dataclasses.replace(mcfg, dropout=float(t.params["dropout"])),
+                            dims, preproc, r.final_metrics,
+                        )
+                    except Exception:  # noqa: BLE001 — the TRIAL succeeded;
+                        # an export IO failure must not lose the group's
+                        # remaining untold results (the sweep keeps its
+                        # best-so-far artifacts from the previous export)
+                        log.exception("best-artifact export failed (trial %d)", t.number)
                 rec = study.tell(t, "complete", r.best_val_loss)
                 if rec["state"] == "complete":
                     log.info("trial %d complete: value %.5f", t.number, rec["value"])

@@ -213,13 +213,18 @@ class Study:
         """Run until the study holds ``n_trials`` total (resume-aware)."""
         while len(self.trials) < n_trials:
             trial = self.ask(space)[0]
+            # tell() runs OUTSIDE the objective's try: a journal-append
+            # failure must propagate, not be caught as an objective error
+            # and double-record the trial under the same number.
             try:
-                rec = self.tell(trial, "complete", float(objective(trial)))
+                value = float(objective(trial))
             except TrialPruned:
                 rec = self.tell(trial, "pruned")
             except Exception as e:  # noqa: BLE001 — a failed trial must not kill the study
                 log.exception("trial %d failed", trial.number)
                 rec = self.tell(trial, "failed", error=repr(e))
+            else:
+                rec = self.tell(trial, "complete", value)
             for cb in callbacks:
                 cb(self, rec)
             if rec["state"] == "complete":

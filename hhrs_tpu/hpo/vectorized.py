@@ -310,12 +310,25 @@ def run_group(
 
     # Final metrics per lane from its best snapshot (reference
     # train.py:365-387 semantics, one vmapped eval + ONE device_get).
+    # Pruned lanes are skipped entirely — the driver discards them, and
+    # the host-side AUC/recall sorts over the full val set aren't free.
+    # The lane gather stays ON DEVICE (a host round-trip of K param
+    # stacks costs seconds-to-minutes on the tunnel, RESULTS.md) with the
+    # lane index TRACED, so one program serves every lane.
     vlogits = np.asarray(jax.device_get(veval_logits(vbest[0], vbest[1], val_data)))
     y_val = splits.val_y
-    take = jax.jit(lambda t, k: jax.tree.map(lambda x: x[k], t), static_argnums=1)
+    take = jax.jit(
+        lambda t, k: jax.tree.map(
+            lambda x: jax.lax.dynamic_index_in_dim(x, k, 0, keepdims=False), t
+        )
+    )
     for k in range(K):
         r = results[k]
-        r.params, r.bn_state = take(vbest, k)
+        r.examples_per_s = per_trial_rate
+        r.group_examples_per_s = per_trial_rate * K
+        if r.pruned:
+            continue
+        r.params, r.bn_state = take(vbest, jnp.asarray(k, jnp.int32))
         lk = vlogits[k]
         r.final_metrics = {
             "val_logloss": float(
@@ -325,6 +338,4 @@ def run_group(
             "val_rmse": rmse_of_probs(y_val, lk),
             "val_recall_at_100": recall_at_k(splits.val_user, y_val, lk, 100),
         }
-        r.examples_per_s = per_trial_rate
-        r.group_examples_per_s = per_trial_rate * K
     return results

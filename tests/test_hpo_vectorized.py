@@ -202,6 +202,11 @@ def test_hpo_cli_vectorized_smoke(tmp_path):
     assert all(t["user_attrs"]["group_examples_per_s"] >=
                t["user_attrs"]["examples_per_s"] for t in done)
     assert os.path.exists(tmp_path / "artifacts" / "manifest.json")
+    # the exported manifest must carry the WINNING trial's dropout (a
+    # per-lane vmapped scalar), not the group-shared config's
+    best = min(done, key=lambda t: t["value"])
+    manifest = json.loads((tmp_path / "artifacts" / "manifest.json").read_text())
+    assert manifest["model_config"]["dropout"] == pytest.approx(best["params"]["dropout"])
 
 
 def test_optimize_still_sequential_after_refactor(tmp_path):
