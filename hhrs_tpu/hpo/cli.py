@@ -83,10 +83,19 @@ def _optimize_vectorized(args, cfg, splits, dims, preproc, space, study, best_bo
             tcfg = train_cfg_from_params(members[0].params, cfg.train)
             if tcfg.batch_size > splits.n_train:
                 tcfg = dataclasses.replace(tcfg, drop_remainder=False)
+            shard = False
+            if args.vectorize_shard:
+                import jax
+
+                shard = len(members) % jax.device_count() == 0
+                if not shard:
+                    log.info("group of %d not a multiple of %d devices — unsharded",
+                             len(members), jax.device_count())
             try:
                 results = run_group(
                     splits, dims, mcfg, tcfg, [t.params for t in members],
                     report_fns=[make_report(t) for t in members],
+                    shard_lanes=shard,
                 )
             except Exception as e:  # noqa: BLE001 — a failed group must not kill the sweep
                 log.exception("vectorized group of %d failed", len(members))
@@ -157,6 +166,13 @@ def main(argv=None) -> int:
                         "dims — more arch exploration per round, but "
                         "groups degenerate to singletons under the "
                         "reference space's ~15k arch combinations")
+    p.add_argument("--vectorize-shard", action="store_true",
+                   help="with --vectorize: shard the trial axis of each "
+                        "vmapped group over ALL visible devices (1-D "
+                        "'trial' mesh; lanes are embarrassingly parallel, "
+                        "zero collectives) — pod-scale sweeps. Groups "
+                        "whose size is not a device-count multiple run "
+                        "unsharded")
     p.add_argument("overrides", nargs="*")
     args = p.parse_args(argv)
     if args.vectorize > 1 and args.mesh:

@@ -145,6 +145,7 @@ def run_group(
     tcfg: TrainConfig,
     trial_params: list[dict],
     report_fns: list | None = None,
+    shard_lanes: bool = False,
 ) -> list[VTrialResult]:
     """Train every trial in ``trial_params`` (which must share an
     ``arch_key``) in one vmapped program; returns per-trial results.
@@ -153,6 +154,19 @@ def run_group(
     batch/optimizer already applied); each trial's lr / weight_decay /
     dropout / plateau knobs are read from its own dict. ``report_fns[k]``
     is the trial-k pruning hook: ``fn(epoch, val_loss) -> should_prune``.
+
+    ``shard_lanes=True`` shards the TRIAL axis of every stacked pytree
+    over all visible devices (a 1-D ``Mesh(('trial',))``): lane math is
+    embarrassingly parallel — no per-lane op crosses lanes — so GSPMD
+    partitions the whole program with zero collectives in the hot path
+    and K trials train at n_devices× the single-device group rate. The
+    dataset is replicated (HPO trials are reference-scale models; the
+    batch gather stays local). K must be a multiple of the device count.
+    Per-lane semantics are unchanged (same jaxpr per lane, threefry bits
+    are counter-based and device-independent); numerics agree to
+    f32-accumulation-order level — the partitioned program tiles the
+    batched matmuls at [K/n, B, ·] — tested on the 8-device CPU mesh
+    (tests/test_hpo_vectorized.py).
     """
     K = len(trial_params)
     keys = {arch_key(p) for p in trial_params}
@@ -163,6 +177,22 @@ def run_group(
     if tcfg.rng_impl not in ("threefry2x32", "rbg"):
         raise ValueError(f"unknown train.rng_impl {tcfg.rng_impl!r}")
     report_fns = report_fns or [None] * K
+
+    lane_put = repl_put = lambda t: t  # noqa: E731 — identity off-mesh
+    if shard_lanes:
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        devices = jax.devices()
+        if K % len(devices):
+            raise ValueError(
+                f"shard_lanes: group size {K} must be a multiple of the "
+                f"device count {len(devices)}"
+            )
+        mesh = Mesh(np.asarray(devices), ("trial",))
+        lane_sh = NamedSharding(mesh, P("trial"))
+        repl_sh = NamedSharding(mesh, P())
+        lane_put = lambda t: jax.device_put(t, lane_sh)  # noqa: E731
+        repl_put = lambda t: jax.device_put(t, repl_sh)  # noqa: E731
 
     lrs = np.asarray([float(p["lr"]) for p in trial_params], np.float32)
     wds = np.asarray([float(p["weight_decay"]) for p in trial_params], np.float32)
@@ -178,11 +208,13 @@ def run_group(
     update, sb = _make_trial_update(mcfg, str(trial_params[0]["optimizer"]))
 
     stack = jax.jit(lambda t: jax.tree.map(lambda x: jnp.stack([x] * K), t))
-    vparams = stack(params)
-    vbn = stack(bn_state)
-    vopt = jax.vmap(sb.init)(vparams)
+    vparams = lane_put(stack(params))
+    vbn = lane_put(stack(bn_state))
+    vopt = lane_put(jax.vmap(sb.init)(vparams))
 
     train_data, val_data = _device_put_splits(splits)
+    if shard_lanes:
+        train_data, val_data = repl_put(train_data), repl_put(val_data)
 
     B = tcfg.batch_size
     n_train = splits.n_train
@@ -239,7 +271,8 @@ def run_group(
     results = [VTrialResult(params=None, bn_state=None) for _ in range(K)]
     active = np.ones(K, bool)
     no_improve = np.zeros(K, int)
-    vbest = (stack(params), stack(bn_state))  # never-improved lanes keep init
+    # never-improved lanes keep init
+    vbest = (lane_put(stack(params)), lane_put(stack(bn_state)))
     shuffle_rng = np.random.default_rng(tcfg.seed)
     epoch_times: list[float] = []
 
@@ -251,8 +284,8 @@ def run_group(
         rng, epoch_rng = jax.random.split(rng)
         if tcfg.rng_impl != "threefry2x32":
             epoch_rng = derive_impl_key(epoch_rng, tcfg.rng_impl)
-        perm_dev = jnp.asarray(perm_host, jnp.int32)
-        lr_v, wd_v, dr_v = jnp.asarray(lrs), jnp.asarray(wds), jnp.asarray(drs)
+        perm_dev = repl_put(jnp.asarray(perm_host, jnp.int32))
+        lr_v, wd_v, dr_v = (lane_put(jnp.asarray(a)) for a in (lrs, wds, drs))
 
         s = jnp.asarray(0, jnp.int32)
         losses_acc = []
@@ -297,7 +330,7 @@ def run_group(
                 log.info("vectorized trial lane %d early-stopped at epoch %d", k, epoch + 1)
 
         if improved.any():
-            vbest = vsnap(vbest, (vparams, vbn), jnp.asarray(improved))
+            vbest = vsnap(vbest, (vparams, vbn), lane_put(jnp.asarray(improved)))
 
         if epoch > 0:
             epoch_times.append(time.perf_counter() - t_epoch)

@@ -155,6 +155,39 @@ def test_study_ask_tell_journal_roundtrip(tmp_path):
             json.loads(line)
 
 
+def test_lane_sharded_group_matches_unsharded(dataset):
+    """shard_lanes=True (trial axis over the 8-device mesh) reproduces the
+    unsharded group lane-for-lane: per-lane math crosses no lanes, so the
+    partitioned program is the same per-lane computation."""
+    splits, dims = dataset
+    trials = [_trial(1e-3 * (1.5 ** i), 1e-5, 0.1 + 0.05 * i) for i in range(8)]
+    mcfg, tcfg = _cfgs(trials[0])
+    base = run_group(splits, dims, mcfg, tcfg, trials)
+    sharded = run_group(splits, dims, mcfg, tcfg, trials, shard_lanes=True)
+    # Not bit-exact: the partitioned program tiles the batched matmuls at
+    # [K/8, B, ·] instead of [K, B, ·], changing f32 summation order inside
+    # each lane's dots — the tolerance is accumulation-order-level, same
+    # class as the mesh-trainer parity bound (tests/test_parallel_full_run).
+    for b, s in zip(base, sharded):
+        assert len(b.history) == len(s.history)
+        for hb, hs in zip(b.history, s.history):
+            assert hs["val_loss"] == pytest.approx(hb["val_loss"], rel=1e-3)
+            assert hs["lr"] == pytest.approx(hb["lr"])
+        assert s.best_epoch == b.best_epoch
+        assert s.final_metrics["val_logloss"] == pytest.approx(
+            b.final_metrics["val_logloss"], rel=1e-3)
+        assert s.final_metrics["val_auc"] == pytest.approx(
+            b.final_metrics["val_auc"], abs=2e-3)
+
+
+def test_lane_sharding_rejects_indivisible_group(dataset):
+    splits, dims = dataset
+    trials = [_trial(1e-3, 1e-5, 0.2) for _ in range(3)]  # 3 lanes, 8 devices
+    mcfg, tcfg = _cfgs(trials[0])
+    with pytest.raises(ValueError, match="multiple of the device count"):
+        run_group(splits, dims, mcfg, tcfg, trials, shard_lanes=True)
+
+
 def test_ask_shared_arch_forms_one_group():
     """Arch-major ask: shared dims are sampled once per batch, so the whole
     batch lands in ONE vmapped group; scalar dims still vary per trial."""
