@@ -19,16 +19,14 @@ from hhrs_tpu.utils.logging import MetricsLogger, enable_compilation_cache, setu
 log = logging.getLogger("hhrs_tpu.train")
 
 
-def build_dataset(args, cfg: Config):
-    from hhrs_tpu.data.features import add_engineered_features
-    from hhrs_tpu.data.ingest import load_reviews_csv, noise_filter
-    from hhrs_tpu.data.preprocess import Preprocessor
-
+def ensure_synthetic(args, cfg: Config) -> str:
+    """Generate the synthetic CSVs if requested/missing; returns the review
+    CSV path."""
+    csv_path = os.path.join(args.data, "hackathon_augmented_data.csv")
     if args.synthetic:
         from hhrs_tpu.data.synthetic import write_synthetic_dataset
 
         os.makedirs(args.data, exist_ok=True)
-        csv_path = os.path.join(args.data, "hackathon_augmented_data.csv")
         if not os.path.exists(csv_path) or getattr(args, "regen", False):
             log.info("generating synthetic dataset in %s", args.data)
             write_synthetic_dataset(
@@ -38,7 +36,27 @@ def build_dataset(args, cfg: Config):
                 n_reviews=args.synth_reviews,
                 seed=cfg.train.seed,
             )
-    csv_path = os.path.join(args.data, "hackathon_augmented_data.csv")
+    return csv_path
+
+
+def load_frame(args, cfg: Config):
+    """Ingest → noise filter → engineered features (the shared pre-encode
+    pipeline; reference train.py:273-287)."""
+    from hhrs_tpu.data.features import add_engineered_features
+    from hhrs_tpu.data.ingest import load_reviews_csv, noise_filter
+
+    csv_path = ensure_synthetic(args, cfg)
+    df = load_reviews_csv(csv_path)
+    df = noise_filter(df, cfg.data.positive_rating, cfg.data.negative_rating)
+    return add_engineered_features(df)
+
+
+def build_dataset(args, cfg: Config):
+    from hhrs_tpu.data.features import add_engineered_features
+    from hhrs_tpu.data.ingest import load_reviews_csv, noise_filter
+    from hhrs_tpu.data.preprocess import Preprocessor
+
+    csv_path = ensure_synthetic(args, cfg)
 
     cache_dir = getattr(args, "cache_dir", None)
     key = None
@@ -89,6 +107,12 @@ def main(argv=None) -> int:
     p.add_argument("--cache-dir", default=None,
                    help="preprocessed-dataset cache (skips ingest on repeat runs)")
     p.add_argument("--checkpoint-dir", default=None, help="orbax checkpoint dir (resume-from-latest)")
+    p.add_argument("--init-from", default=None, metavar="ARTIFACT_DIR",
+                   help="warm-start fine-tuning from a shipped artifact dir: "
+                        "encoders/scaler frozen to the artifact, user/item "
+                        "vocabs grow (old ids keep their embedding rows), "
+                        "tower weights copied; the model architecture comes "
+                        "from the artifact's manifest (train/warmstart.py)")
     p.add_argument("--register-db", default=None,
                    help="register exported artifacts as the active model in this sqlite registry")
     p.add_argument("--profile-dir", default=None,
@@ -119,8 +143,26 @@ def main(argv=None) -> int:
         except ValueError as e:
             p.error(str(e))
 
+    init_state = None
     try:
-        splits, preproc = build_dataset(args, cfg)
+        if args.init_from:
+            from hhrs_tpu.train.artifacts import load_artifact_bundle
+            from hhrs_tpu.train.warmstart import prepare_warm_start
+
+            bundle = load_artifact_bundle(args.init_from)
+            if cfg.model != bundle.model_cfg:
+                log.info("warm start: model config comes from %s's manifest "
+                         "(CLI model.* overrides ignored)", args.init_from)
+            cfg.model = bundle.model_cfg
+            ws = prepare_warm_start(
+                bundle, load_frame(args, cfg),
+                test_size=cfg.data.test_size, split_seed=cfg.data.split_seed,
+                init_seed=cfg.train.seed,
+            )
+            splits, preproc = ws.splits, ws.preproc
+            init_state = (ws.params, ws.bn_state)
+        else:
+            splits, preproc = build_dataset(args, cfg)
     except FileNotFoundError as e:
         log.error("Data file not found: %s (pass --synthetic to generate)", e)
         return 1
@@ -150,6 +192,7 @@ def main(argv=None) -> int:
         result = train_dcn(
             splits, dims, cfg.model, cfg.train, mesh=mesh,
             metrics_logger=metrics_logger, checkpoint_dir=args.checkpoint_dir,
+            init_state=init_state,
         )
 
     m = result.final_metrics

@@ -285,6 +285,7 @@ def train_dcn(
     metrics_logger=None,
     checkpoint_dir: str | None = None,
     checkpoint_every: int = 1,
+    init_state: tuple | None = None,
 ) -> TrainResult:
     """Full training run; returns the best checkpoint (by val loss) + history.
 
@@ -292,6 +293,11 @@ def train_dcn(
     (reference train.py:236-238). With ``checkpoint_dir`` the full loop
     state saves every ``checkpoint_every`` epochs and a rerun resumes from
     the latest completed epoch (train/checkpoint.py).
+
+    ``init_state=(params, bn_state)`` replaces the fresh ``init_dcn`` —
+    the warm-start fine-tuning path (train/warmstart.py): optimizer
+    moments start at zero and the rng streams (shuffle, dropout) are
+    identical to a cold run, only the starting point differs.
     """
     if train_cfg.debug_nans:
         # Sticky for the process by design: a NaN aborts the run anyway.
@@ -305,7 +311,10 @@ def train_dcn(
 
     rng = jax.random.PRNGKey(train_cfg.seed)
     init_rng, rng = jax.random.split(rng)
-    params, bn_state = init_dcn(init_rng, dims, model_cfg)
+    if init_state is not None:
+        params, bn_state = init_state
+    else:
+        params, bn_state = init_dcn(init_rng, dims, model_cfg)
 
     tx = make_optimizer(train_cfg.optimizer, train_cfg.lr, train_cfg.weight_decay)
     if train_cfg.lazy_table_updates:
