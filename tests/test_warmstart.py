@@ -105,6 +105,25 @@ def test_warm_init_beats_fresh_init(shipped):
     assert res.best_val_loss <= warm + 1e-6
 
 
+def test_warm_start_on_mesh_matches_single_device(shipped):
+    """init_state composes with the mesh trainer: the host-side warm params
+    re-place onto the run's shardings and the loss trajectory matches the
+    single-device fine-tune (same rtol bound as test_parallel_full_run)."""
+    from hhrs_tpu.parallel.mesh import mesh_from_spec
+
+    bundle = load_artifact_bundle(shipped)
+    _, df_b = _frames()
+    ws = prepare_warm_start(bundle, df_b)
+    tcfg = TrainConfig(batch_size=256, n_epochs=2, early_stop_patience=5)
+    single = train_dcn(ws.splits, ws.dims, bundle.model_cfg, tcfg,
+                       init_state=(ws.params, ws.bn_state))
+    mesh = mesh_from_spec("4x2")
+    sharded = train_dcn(ws.splits, ws.dims, bundle.model_cfg, tcfg, mesh=mesh,
+                        init_state=(ws.params, ws.bn_state))
+    for hs, hm in zip(single.history, sharded.history):
+        assert hm["val_loss"] == pytest.approx(hs["val_loss"], rel=1e-4)
+
+
 def test_warm_start_rejects_feature_layout_change(shipped):
     bundle = load_artifact_bundle(shipped)
     tampered = dataclasses.replace(
