@@ -6,6 +6,8 @@ Equivalent of ``python database_setup.py`` in the reference
   seed      --db hhrs.sqlite --data data/
   register  --db hhrs.sqlite --artifacts artifacts/ [--version v1] [--no-activate]
   activate  --db hhrs.sqlite --model-id N
+  promote   --db hhrs.sqlite --artifacts artifacts/ [--metric val_logloss]
+            (activate only if better than the active model; the retrain gate)
   list      --db hhrs.sqlite
 """
 
@@ -41,6 +43,16 @@ def main(argv=None) -> int:
     pa.add_argument("--db", default="hhrs.sqlite")
     pa.add_argument("--model-id", type=int, required=True)
 
+    pp = sub.add_parser(
+        "promote",
+        help="register an artifact and activate it ONLY if it beats the "
+             "active model on --metric (losers are registered inactive)")
+    pp.add_argument("--db", default="hhrs.sqlite")
+    pp.add_argument("--artifacts", default="artifacts")
+    pp.add_argument("--version", default=None)
+    pp.add_argument("--metric", default="val_logloss")
+    pp.add_argument("--direction", choices=("min", "max", "auto"), default="auto")
+
     pl = sub.add_parser("list")
     pl.add_argument("--db", default="hhrs.sqlite")
 
@@ -68,6 +80,18 @@ def main(argv=None) -> int:
         elif args.cmd == "activate":
             ModelRegistry(args.db).activate(args.model_id)
             log.info("model %d is now active", args.model_id)
+        elif args.cmd == "promote":
+            with open(os.path.join(args.artifacts, "manifest.json")) as f:
+                manifest = json.load(f)
+            reg = ModelRegistry(args.db, create=True)
+            mid, promoted, reason = reg.promote_if_better(
+                args.version or None, args.artifacts,
+                metrics=manifest.get("metrics", {}),
+                hyperparams=manifest.get("model_config", {}),
+                metric=args.metric, direction=args.direction,
+            )
+            log.info("model_id=%d %s — %s", mid,
+                     "PROMOTED" if promoted else "registered inactive", reason)
         elif args.cmd == "list":
             for m in ModelRegistry(args.db).list():
                 print(json.dumps(m))

@@ -219,6 +219,88 @@ class ModelRegistry:
         finally:
             conn.close()
 
+    def promote_if_better(
+        self,
+        version: str | None,
+        artifact_path: str,
+        metrics: dict,
+        hyperparams: dict | None = None,
+        metric: str = "val_logloss",
+        direction: str = "auto",
+    ) -> tuple[int, bool, str]:
+        """Register a candidate and activate it ONLY if it beats the active
+        model on ``metric`` — the gate a retraining pipeline puts between
+        train and serve (the hot-reload poller then picks the winner up,
+        serve/reload.py). Losing candidates are still registered
+        (is_active=0) so the full history stays queryable, matching the
+        registry design the reference documents but never wires
+        (reference database_setup.py:54-64, Documentation.md:256-271).
+
+        ``direction``: 'min' | 'max' | 'auto' (auto infers from the metric
+        name: auc/recall/precision maximize, losses/errors minimize).
+        Comparison and insert run in ONE immediate transaction so two
+        concurrent promotes serialize. Returns (model_id, promoted, reason).
+        """
+        if direction == "auto":
+            lname = metric.lower()
+            maximize = any(t in lname for t in ("auc", "recall", "precision", "ndcg"))
+        elif direction in ("min", "max"):
+            maximize = direction == "max"
+        else:
+            raise ValueError(f"direction must be min|max|auto, got {direction!r}")
+        if metric not in metrics:
+            raise KeyError(f"candidate metrics have no {metric!r}: {sorted(metrics)}")
+        cand = float(metrics[metric])
+
+        conn = connect(self.db_path)
+        try:
+            conn.execute("BEGIN IMMEDIATE")
+            cur = conn.cursor()
+            row = cur.execute(
+                "SELECT model_id, metrics_json FROM ml_models WHERE is_active = 1"
+                " ORDER BY created_at DESC LIMIT 1"
+            ).fetchone()
+            if row is None:
+                promote, reason = True, "no active model"
+            else:
+                active_metrics = json.loads(row[1] or "{}")
+                if metric not in active_metrics:
+                    promote = True
+                    reason = f"active model {row[0]} has no {metric!r}"
+                else:
+                    incumbent = float(active_metrics[metric])
+                    promote = cand > incumbent if maximize else cand < incumbent
+                    cmp = ">" if maximize else "<"
+                    reason = (
+                        f"candidate {metric}={cand:.6g} {cmp} incumbent "
+                        f"{incumbent:.6g}" if promote else
+                        f"candidate {metric}={cand:.6g} not {cmp} incumbent "
+                        f"{incumbent:.6g} (model {row[0]} stays active)"
+                    )
+            if version is None:
+                nxt = cur.execute(
+                    "SELECT COALESCE(MAX(model_id), 0) + 1 FROM ml_models"
+                ).fetchone()[0]
+                version = f"v{nxt}"
+            if promote:
+                cur.execute("UPDATE ml_models SET is_active = 0")
+            cur.execute(
+                "INSERT INTO ml_models (version, created_at, metrics_json,"
+                " hyperparams_json, artifact_path, is_active) VALUES (?,?,?,?,?,?)",
+                (
+                    version, time.time(), json.dumps(metrics),
+                    json.dumps(hyperparams or {}), os.path.abspath(artifact_path),
+                    1 if promote else 0,
+                ),
+            )
+            conn.commit()
+            return cur.lastrowid, promote, reason
+        except Exception:
+            conn.rollback()
+            raise
+        finally:
+            conn.close()
+
     def active(self) -> dict | None:
         conn = connect(self.db_path)
         try:

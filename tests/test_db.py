@@ -80,3 +80,65 @@ def test_db_cli_seed_and_register(data_dir, tmp_path):
     assert main(["list", "--db", db]) == 0
     # error path returns 1 (reference exit-1 semantics)
     assert main(["seed", "--db", db, "--data", str(tmp_path / "missing")]) == 1
+
+
+def test_promote_if_better_gate(tmp_path):
+    """promote_if_better: first candidate promotes (no incumbent), worse
+    loses but is registered inactive, better wins; direction auto-infers
+    maximize for AUC; missing candidate metric raises."""
+    from hhrs_tpu.db.registry import ModelRegistry
+
+    db = str(tmp_path / "r.sqlite")
+    reg = ModelRegistry(db, create=True)
+
+    a, promoted, why = reg.promote_if_better(
+        None, str(tmp_path / "a"), {"val_logloss": 0.50})
+    assert promoted and "no active model" in why
+    assert reg.active()["model_id"] == a
+
+    b, promoted, why = reg.promote_if_better(
+        None, str(tmp_path / "b"), {"val_logloss": 0.60})
+    assert not promoted and reg.active()["model_id"] == a
+    # the loser is still in the history, inactive
+    rows = {m["model_id"]: m for m in reg.list()}
+    assert rows[b]["is_active"] is False
+
+    c, promoted, _ = reg.promote_if_better(
+        None, str(tmp_path / "c"), {"val_logloss": 0.40})
+    assert promoted and reg.active()["model_id"] == c
+
+    # maximize metrics auto-infer direction
+    d, promoted, _ = reg.promote_if_better(
+        None, str(tmp_path / "d"), {"val_logloss": 0.45, "val_auc": 0.95},
+        metric="val_auc")
+    assert promoted  # incumbent c has no val_auc -> promote
+    e, promoted, _ = reg.promote_if_better(
+        None, str(tmp_path / "e"), {"val_auc": 0.90}, metric="val_auc")
+    assert not promoted  # 0.90 < 0.95 under maximize
+
+    with pytest.raises(KeyError, match="no 'val_auc'"):
+        reg.promote_if_better(None, str(tmp_path / "f"), {"x": 1}, metric="val_auc")
+    with pytest.raises(ValueError, match="min|max|auto"):
+        reg.promote_if_better(None, str(tmp_path / "g"), {"val_auc": 1.0},
+                              metric="val_auc", direction="up")
+
+
+def test_db_cli_promote(tmp_path):
+    """promote subcommand end-to-end: winner activates, loser stays inactive."""
+    import json as _json
+
+    from hhrs_tpu.db.cli import main
+    from hhrs_tpu.db.registry import ModelRegistry
+
+    db = str(tmp_path / "p.sqlite")
+    art1, art2 = tmp_path / "m1", tmp_path / "m2"
+    for art, ll in ((art1, 0.5), (art2, 0.7)):
+        art.mkdir()
+        (art / "manifest.json").write_text(_json.dumps(
+            {"metrics": {"val_logloss": ll}, "model_config": {"emb_dim": 16}}))
+    assert main(["promote", "--db", db, "--artifacts", str(art1)]) == 0
+    assert main(["promote", "--db", db, "--artifacts", str(art2)]) == 0
+    reg = ModelRegistry(db)
+    active = reg.active()
+    assert active["artifact_path"].endswith("m1")
+    assert len(reg.list()) == 2
