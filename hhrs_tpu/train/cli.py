@@ -115,6 +115,12 @@ def main(argv=None) -> int:
                         "from the artifact's manifest (train/warmstart.py)")
     p.add_argument("--register-db", default=None,
                    help="register exported artifacts as the active model in this sqlite registry")
+    p.add_argument("--promote", action="store_true",
+                   help="with --register-db: activate only if the run BEATS "
+                        "the active model on --promote-metric (losers are "
+                        "registered inactive) — the retraining gate")
+    p.add_argument("--promote-metric", default="val_logloss",
+                   help="metric for --promote (direction auto-inferred)")
     p.add_argument("--profile-dir", default=None,
                    help="capture a jax.profiler trace of the run into this dir")
     p.add_argument("--mesh", default=None, metavar="DATAxMODEL",
@@ -210,11 +216,21 @@ def main(argv=None) -> int:
         from hhrs_tpu.db.registry import ModelRegistry
 
         reg = ModelRegistry(args.register_db, create=True)
-        mid = reg.register(
-            None, args.out,
-            metrics=m, hyperparams=dataclasses.asdict(cfg.model),
-        )
-        log.info("registered model_id=%d in %s", mid, args.register_db)
+        if args.promote:
+            mid, promoted, reason = reg.promote_if_better(
+                None, args.out,
+                metrics=m, hyperparams=dataclasses.asdict(cfg.model),
+                metric=args.promote_metric,
+            )
+            log.info("model_id=%d %s in %s — %s", mid,
+                     "PROMOTED" if promoted else "registered inactive",
+                     args.register_db, reason)
+        else:
+            mid = reg.register(
+                None, args.out,
+                metrics=m, hyperparams=dataclasses.asdict(cfg.model),
+            )
+            log.info("registered model_id=%d in %s", mid, args.register_db)
     return 0
 
 

@@ -159,3 +159,32 @@ def test_cli_init_from_end_to_end(tmp_path):
     a = load_artifact_bundle(out_a)
     for ext_id, row in list(a.preproc.user_id_mapping.items())[:10]:
         assert b.preproc.user_id_mapping[ext_id] == row
+
+
+def test_cli_promote_gate_with_warm_start(tmp_path):
+    """--init-from + --register-db --promote: the full retraining loop in
+    one pipeline — the fine-tuned model passes the gate only if better."""
+    from hhrs_tpu.db.registry import ModelRegistry
+    from hhrs_tpu.train.cli import main
+
+    db = str(tmp_path / "reg.sqlite")
+    data_a = str(tmp_path / "da")
+    base = ["--synthetic", "--epochs", "2", "train.batch_size=256",
+            "model.emb_dim=8", "model.hidden_dim=32",
+            "--register-db", db, "--promote"]
+    assert main(["--data", data_a, "--out", str(tmp_path / "a"),
+                 "--synth-users", "120", "--synth-items", "50",
+                 "--synth-reviews", "2000", *base]) == 0
+    reg = ModelRegistry(db)
+    assert reg.active()["artifact_path"].endswith("a")
+
+    # fine-tune on MORE data (same dir regenerated larger → richer train
+    # set); with 2 extra epochs from the warm point it should win the gate,
+    # but the contract under test is only: gate consulted, history grows.
+    assert main(["--data", str(tmp_path / "db2"), "--out", str(tmp_path / "b"),
+                 "--init-from", str(tmp_path / "a"),
+                 "--synth-users", "200", "--synth-items", "80",
+                 "--synth-reviews", "4000", *base]) == 0
+    models = reg.list()
+    assert len(models) == 2
+    assert sum(m["is_active"] for m in models) == 1
