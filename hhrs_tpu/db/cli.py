@@ -52,9 +52,20 @@ def main(argv=None) -> int:
     pp.add_argument("--version", default=None)
     pp.add_argument("--metric", default="val_logloss")
     pp.add_argument("--direction", choices=("min", "max", "auto"), default="auto")
+    pp.add_argument("--eval-data", default=None, metavar="DIR",
+                    help="apples-to-apples gate: re-score BOTH the candidate "
+                         "and the incumbent on this fixed dataset "
+                         "(train/evaluate.py) and compare those numbers "
+                         "instead of each model's own-split manifest metrics")
+    pp.add_argument("--eval-split", choices=("all", "val", "train"), default="all")
 
     pl = sub.add_parser("list")
     pl.add_argument("--db", default="hhrs.sqlite")
+
+    pap = sub.add_parser("active-path",
+                         help="print the active model's artifact dir "
+                              "(for scripting, e.g. train --init-from)")
+    pap.add_argument("--db", default="hhrs.sqlite")
 
     args = p.parse_args(argv)
     from hhrs_tpu.db.registry import ModelRegistry, seed_database
@@ -84,17 +95,50 @@ def main(argv=None) -> int:
             with open(os.path.join(args.artifacts, "manifest.json")) as f:
                 manifest = json.load(f)
             reg = ModelRegistry(args.db, create=True)
+            metrics = dict(manifest.get("metrics", {}))
+            metric, incumbent_value = args.metric, None
+            if args.eval_data:
+                from hhrs_tpu.train.evaluate import evaluate_artifacts
+
+                # the eval keys drop the manifest's 'val_' prefix
+                key = args.metric.removeprefix("val_")
+                cand_eval = evaluate_artifacts(
+                    args.artifacts, args.eval_data, split=args.eval_split)
+                if key not in cand_eval:
+                    raise KeyError(
+                        f"--metric {args.metric!r} → no {key!r} in eval "
+                        f"results {sorted(cand_eval)}")
+                metric = f"gate_{key}"
+                metrics[metric] = cand_eval[key]
+                metrics["gate_eval_data"] = os.path.abspath(args.eval_data)
+                active = reg.active()
+                if active is not None:
+                    inc_eval = evaluate_artifacts(
+                        active["artifact_path"], args.eval_data,
+                        split=args.eval_split)
+                    incumbent_value = inc_eval[key]
+                    log.info("re-scored on %s (%d rows): candidate %s=%.6g, "
+                             "incumbent %s=%.6g", args.eval_data,
+                             cand_eval["rows"], key, cand_eval[key], key,
+                             inc_eval[key])
             mid, promoted, reason = reg.promote_if_better(
                 args.version or None, args.artifacts,
-                metrics=manifest.get("metrics", {}),
+                metrics=metrics,
                 hyperparams=manifest.get("model_config", {}),
-                metric=args.metric, direction=args.direction,
+                metric=metric, direction=args.direction,
+                incumbent_value=incumbent_value,
             )
             log.info("model_id=%d %s — %s", mid,
                      "PROMOTED" if promoted else "registered inactive", reason)
         elif args.cmd == "list":
             for m in ModelRegistry(args.db).list():
                 print(json.dumps(m))
+        elif args.cmd == "active-path":
+            active = ModelRegistry(args.db).active()
+            if active is None:
+                log.error("no active model in %s", args.db)
+                return 1
+            print(active["artifact_path"])
         return 0
     except Exception as e:
         log.error("An error occurred: %s", e, exc_info=True)

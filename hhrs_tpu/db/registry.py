@@ -227,6 +227,7 @@ class ModelRegistry:
         hyperparams: dict | None = None,
         metric: str = "val_logloss",
         direction: str = "auto",
+        incumbent_value: float | None = None,
     ) -> tuple[int, bool, str]:
         """Register a candidate and activate it ONLY if it beats the active
         model on ``metric`` — the gate a retraining pipeline puts between
@@ -240,6 +241,20 @@ class ModelRegistry:
         name: auc/recall/precision maximize, losses/errors minimize).
         Comparison and insert run in ONE immediate transaction so two
         concurrent promotes serialize. Returns (model_id, promoted, reason).
+
+        COMPARABILITY: by default the candidate's stored metric (its own
+        validation split) is compared against the incumbent's stored metric
+        (a DIFFERENT dataset/split) — fine when the data distribution is
+        stable, misleading when it shifts. For an apples-to-apples gate,
+        re-score both models on one fixed dataset and pass the incumbent's
+        re-scored number as ``incumbent_value`` (db/cli promote
+        --eval-data does exactly this via train/evaluate.py).
+
+        The candidate's artifact dir must not be the ACTIVE model's dir:
+        a rejected candidate exported over the incumbent's directory has
+        already clobbered the weights the registry points at (the next
+        serve reload would silently serve the loser) — raises ValueError;
+        export every candidate to its own directory.
         """
         if direction == "auto":
             lname = metric.lower()
@@ -257,14 +272,30 @@ class ModelRegistry:
             conn.execute("BEGIN IMMEDIATE")
             cur = conn.cursor()
             row = cur.execute(
-                "SELECT model_id, metrics_json FROM ml_models WHERE is_active = 1"
-                " ORDER BY created_at DESC LIMIT 1"
+                "SELECT model_id, metrics_json, artifact_path FROM ml_models"
+                " WHERE is_active = 1 ORDER BY created_at DESC LIMIT 1"
             ).fetchone()
+            if row is not None and os.path.abspath(artifact_path) == row[2]:
+                raise ValueError(
+                    f"candidate artifact dir {artifact_path!r} IS the active "
+                    f"model {row[0]}'s dir — its weights are already "
+                    "overwritten; export each candidate to its own directory"
+                )
             if row is None:
                 promote, reason = True, "no active model"
             else:
                 active_metrics = json.loads(row[1] or "{}")
-                if metric not in active_metrics:
+                if incumbent_value is not None:
+                    incumbent = float(incumbent_value)
+                    promote = cand > incumbent if maximize else cand < incumbent
+                    cmp = ">" if maximize else "<"
+                    reason = (
+                        f"re-scored gate: candidate {metric}={cand:.6g} "
+                        f"{'' if promote else 'not '}{cmp} incumbent "
+                        f"{incumbent:.6g}"
+                        + ("" if promote else f" (model {row[0]} stays active)")
+                    )
+                elif metric not in active_metrics:
                     promote = True
                     reason = f"active model {row[0]} has no {metric!r}"
                 else:

@@ -177,6 +177,8 @@ def main(argv=None) -> int:
     args = p.parse_args(argv)
     if args.vectorize > 1 and args.mesh:
         p.error("--vectorize and --mesh are mutually exclusive")
+    if args.vectorize_shard and args.vectorize <= 1:
+        p.error("--vectorize-shard requires --vectorize K (K > 1)")
 
     mesh = None
     if args.mesh:

@@ -52,8 +52,6 @@ def load_frame(args, cfg: Config):
 
 
 def build_dataset(args, cfg: Config):
-    from hhrs_tpu.data.features import add_engineered_features
-    from hhrs_tpu.data.ingest import load_reviews_csv, noise_filter
     from hhrs_tpu.data.preprocess import Preprocessor
 
     csv_path = ensure_synthetic(args, cfg)
@@ -73,9 +71,7 @@ def build_dataset(args, cfg: Config):
         if hit is not None:
             return hit
 
-    df = load_reviews_csv(csv_path)
-    df = noise_filter(df, cfg.data.positive_rating, cfg.data.negative_rating)
-    df = add_engineered_features(df)
+    df = load_frame(args, cfg)  # ONE pre-encode pipeline, shared with warm start
     pre = Preprocessor(
         categorical_cols=cfg.data.categorical_cols,
         numerical_cols=cfg.data.numerical_cols,
@@ -134,6 +130,8 @@ def main(argv=None) -> int:
     cfg = Config().apply_overrides(check_overrides(args.overrides))
     if args.epochs is not None:
         cfg.train.n_epochs = args.epochs
+    if args.promote and not args.register_db:
+        p.error("--promote requires --register-db (nothing to gate into)")
 
     if args.distributed:
         from hhrs_tpu.parallel.distributed import initialize_distributed

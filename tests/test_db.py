@@ -142,3 +142,40 @@ def test_db_cli_promote(tmp_path):
     active = reg.active()
     assert active["artifact_path"].endswith("m1")
     assert len(reg.list()) == 2
+
+
+def test_promote_rejects_candidate_in_active_dir(tmp_path):
+    """A candidate exported over the ACTIVE model's dir has already
+    clobbered its weights — the gate must refuse, not register."""
+    from hhrs_tpu.db.registry import ModelRegistry
+
+    reg = ModelRegistry(str(tmp_path / "r.sqlite"), create=True)
+    reg.promote_if_better(None, str(tmp_path / "a"), {"val_logloss": 0.5})
+    with pytest.raises(ValueError, match="own directory"):
+        reg.promote_if_better(None, str(tmp_path / "a"), {"val_logloss": 0.4})
+    assert len(reg.list()) == 1  # the refused candidate was NOT registered
+
+
+def test_promote_incumbent_value_override(tmp_path):
+    """incumbent_value (the --eval-data re-scored gate) wins over the
+    incumbent's stored manifest metric."""
+    from hhrs_tpu.db.registry import ModelRegistry
+
+    reg = ModelRegistry(str(tmp_path / "r.sqlite"), create=True)
+    a, _, _ = reg.promote_if_better(None, str(tmp_path / "a"), {"val_logloss": 0.5})
+    # stored incumbent metric says 0.5; re-scored says 0.3 -> candidate 0.4 loses
+    _, promoted, why = reg.promote_if_better(
+        None, str(tmp_path / "b"), {"val_logloss": 0.4}, incumbent_value=0.3)
+    assert not promoted and "re-scored" in why
+    assert reg.active()["model_id"] == a
+
+
+def test_db_cli_active_path(tmp_path, capsys):
+    from hhrs_tpu.db.cli import main
+    from hhrs_tpu.db.registry import ModelRegistry
+
+    db = str(tmp_path / "r.sqlite")
+    assert main(["active-path", "--db", db]) == 1  # no such db -> error
+    ModelRegistry(db, create=True).register("v1", str(tmp_path / "art"))
+    assert main(["active-path", "--db", db]) == 0
+    assert capsys.readouterr().out.strip().endswith("art")

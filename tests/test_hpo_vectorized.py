@@ -264,3 +264,10 @@ def test_optimize_still_sequential_after_refactor(tmp_path):
     states = [t["state"] for t in study.trials]
     assert states == ["complete", "pruned", "failed", "complete"]
     assert study.best_value == min(study.trials[0]["value"], study.trials[3]["value"])
+
+
+def test_cli_vectorize_shard_requires_vectorize():
+    from hhrs_tpu.hpo.cli import main
+
+    with pytest.raises(SystemExit):
+        main(["--vectorize-shard", "--trials", "2"])
