@@ -188,3 +188,46 @@ def test_cli_promote_gate_with_warm_start(tmp_path):
     models = reg.list()
     assert len(models) == 2
     assert sum(m["is_active"] for m in models) == 1
+
+
+def test_db_cli_promote_eval_data_gate(tmp_path):
+    """promote --eval-data re-scores candidate AND incumbent on one fixed
+    dataset (train/evaluate.py) and gates on those numbers: promoting the
+    SAME artifacts twice (two dirs) must NOT displace the incumbent — the
+    re-scored metrics tie exactly and a tie is not strictly better."""
+    import shutil
+
+    from hhrs_tpu.data.synthetic import write_synthetic_dataset
+    from hhrs_tpu.db.cli import main as db_main
+    from hhrs_tpu.db.registry import ModelRegistry
+
+    out = tmp_path / "m1"
+    df_a, _ = _frames()
+    splits, art = Preprocessor().fit_transform(df_a)
+    dims = ModelDims.from_artifacts(art)
+    res = train_dcn(splits, dims, MCFG,
+                    TrainConfig(batch_size=256, n_epochs=1, early_stop_patience=5))
+    export_artifacts(str(out), res.params, res.bn_state, MCFG, dims, art,
+                     res.final_metrics)
+    twin = tmp_path / "m2"
+    shutil.copytree(out, twin)
+
+    eval_dir = tmp_path / "evalset"
+    eval_dir.mkdir()
+    write_synthetic_dataset(str(eval_dir), n_users=120, n_items=50,
+                            n_reviews=1500, seed=3)
+
+    db = str(tmp_path / "reg.sqlite")
+    assert db_main(["promote", "--db", db, "--artifacts", str(out),
+                    "--eval-data", str(eval_dir)]) == 0
+    assert db_main(["promote", "--db", db, "--artifacts", str(twin),
+                    "--eval-data", str(eval_dir)]) == 0
+    reg = ModelRegistry(db)
+    assert reg.active()["artifact_path"].endswith("m1")  # tie → incumbent stays
+    models = {m["model_id"]: m for m in reg.list()}
+    assert len(models) == 2
+    # both rows carry the re-scored gate metric + eval-data provenance
+    for m in models.values():
+        assert "gate_logloss" in m["metrics"] and "gate_eval_data" in m["metrics"]
+    assert (models[1]["metrics"]["gate_logloss"]
+            == models[2]["metrics"]["gate_logloss"])
