@@ -54,6 +54,12 @@ def main(argv=None) -> int:
                    help=">0: LRU response cache (identical requests skip the "
                         "device; hot reload invalidates; serve.cache_ttl_s "
                         "adds expiry)")
+    p.add_argument("--shadow", default=None, metavar="ARTIFACT_DIR",
+                   help="mirror live traffic onto this CANDIDATE model off "
+                        "the request path (bounded queue, responses come "
+                        "only from the primary) and report agreement in "
+                        "/healthz + /metrics — the pre-promotion check on "
+                        "the real request mix (serve/shadow.py)")
     p.add_argument("--reload-poll-s", type=float, default=0.0,
                    help="with --artifacts registry:<db>: poll the registry "
                         "every N seconds and hot-swap to a newly activated "
@@ -149,6 +155,29 @@ def main(argv=None) -> int:
             engine = CachedEngine(engine, cache_entries, cfg.cache_ttl_s)
             log.info("response cache on: %d entries, ttl %.1fs",
                      cache_entries, cfg.cache_ttl_s)
+        if args.shadow:
+            from hhrs_tpu.serve.shadow import ShadowEngine
+
+            shadow_dir = resolve_artifacts_dir(args.shadow)
+            if shadow_dir == artifacts_dir:
+                p.error("--shadow is the same artifact dir as the primary")
+            # a bare engine, never batched/cached: it replays one request
+            # at a time on the worker thread
+            shadow_eng = RecommendationEngine.from_dirs(
+                shadow_dir, data_dir, mesh=mesh, bf16=args.bf16,
+                retrieval_cfg=cfg_all.retrieval,
+                quantize_tables=args.quantize_tables or cfg.quantize_tables,
+                candidate_cap=args.candidate_cap if args.candidate_cap is not None
+                else cfg.candidate_cap,
+                city_bounded=cfg.city_bounded)
+            if not args.no_warmup:
+                shadow_eng.warmup()
+            # OUTERMOST wrapper: sees every request, incl. cache hits (the
+            # shadow's own compute is bounded by its queue, not the cache);
+            # under --reload-poll-s the primary swaps while the shadow
+            # model stays fixed — delegation handles it.
+            engine = ShadowEngine(engine, shadow_eng, shadow_dir=shadow_dir)
+            log.info("shadow serving on: mirroring traffic to %s", shadow_dir)
         log.info("Artifacts loaded successfully. Server is ready.")
     except Exception as e:
         log.critical("CRITICAL ERROR during startup: %s", e)

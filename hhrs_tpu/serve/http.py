@@ -65,6 +65,21 @@ def _prometheus_metrics(engine) -> str:
             "# TYPE hhrs_response_cache_entries gauge",
             f"hhrs_response_cache_entries {cs['entries']}",
         ]
+    shadow_fn = getattr(engine, "shadow_stats", None)
+    if shadow_fn is not None:  # ShadowEngine wrapper active
+        ss = shadow_fn()
+        lines += [
+            "# TYPE hhrs_shadow_compared_total counter",
+            f"hhrs_shadow_compared_total {ss['compared']}",
+            "# TYPE hhrs_shadow_dropped_total counter",
+            f"hhrs_shadow_dropped_total {ss['dropped']}",
+            "# TYPE hhrs_shadow_errors_total counter",
+            f"hhrs_shadow_errors_total {ss['errors']}",
+        ]
+        for key, metric in (("mean_overlap", "hhrs_shadow_mean_overlap"),
+                            ("top1_agreement", "hhrs_shadow_top1_agreement")):
+            if ss[key] is not None:
+                lines += [f"# TYPE {metric} gauge", f"{metric} {ss[key]:.6f}"]
     return "\n".join(lines) + "\n"
 
 
@@ -105,6 +120,9 @@ def make_handler(engine):
                     stats_fn = getattr(engine, "cache_stats", None)
                     if stats_fn is not None:
                         payload["cache"] = stats_fn()
+                    shadow_fn = getattr(engine, "shadow_stats", None)
+                    if shadow_fn is not None:
+                        payload["shadow"] = shadow_fn()
                     return self._send(200, payload)
                 if url.path == "/metrics":
                     return self._send(200, _prometheus_metrics(engine), "text/plain; version=0.0.4")
