@@ -10,13 +10,15 @@ optuna IS importable, ``create_study(..., backend="optuna")`` delegates to
 it so the same objective runs unchanged on either engine.
 """
 
-from hhrs_tpu.hpo.pruner import MedianPruner
+from hhrs_tpu.hpo.pruner import MedianPruner, NopPruner, SuccessiveHalvingPruner
 from hhrs_tpu.hpo.sampler import RandomSampler, TPESampler
 from hhrs_tpu.hpo.space import reference_search_space
 from hhrs_tpu.hpo.study import Study, Trial, TrialPruned
 
 __all__ = [
     "MedianPruner",
+    "NopPruner",
+    "SuccessiveHalvingPruner",
     "RandomSampler",
     "TPESampler",
     "reference_search_space",

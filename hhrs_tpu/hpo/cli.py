@@ -147,6 +147,13 @@ def main(argv=None) -> int:
     p.add_argument("--synth-reviews", type=int, default=40000)
     p.add_argument("--epochs", type=int, default=None, help="cap epochs per trial")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--pruner", choices=("median", "asha", "none"), default="median",
+                   help="median = the reference study's MedianPruner; asha = "
+                        "successive halving (rungs at min-resource·η^k epochs, "
+                        "top-1/η survive — cuts earlier, suits --vectorize "
+                        "rounds); none = no pruning. Built-in backend only")
+    p.add_argument("--asha-min-resource", type=int, default=1)
+    p.add_argument("--asha-reduction-factor", type=int, default=3)
     p.add_argument("--cache-dir", default=None,
                    help="preprocessed-dataset cache (skips ingest on repeat runs)")
     p.add_argument("--mesh", default=None, metavar="DATAxMODEL",
@@ -203,7 +210,20 @@ def main(argv=None) -> int:
     log.info("HPO over %d train rows, %d trials", splits.n_train, args.trials)
 
     space = reference_search_space()
-    study = create_study(args.journal, seed=args.seed)
+    pruner = None  # Study's default: MedianPruner()
+    if args.pruner == "asha":
+        from hhrs_tpu.hpo.pruner import SuccessiveHalvingPruner
+
+        pruner = SuccessiveHalvingPruner(
+            min_resource=args.asha_min_resource,
+            reduction_factor=args.asha_reduction_factor,
+        )
+    elif args.pruner == "none":
+        from hhrs_tpu.hpo.pruner import NopPruner
+
+        pruner = NopPruner()
+    kw = {} if pruner is None else {"pruner": pruner}
+    study = create_study(args.journal, seed=args.seed, **kw)
     best_box = {"value": float("inf")}
     for t in study.trials:
         if t["state"] == "complete" and t["value"] is not None:

@@ -81,6 +81,13 @@ class Trial:
             self._last_step,
             best,
             [t["intermediates_by_step"] for t in self._study.trials if t["state"] == "complete"],
+            # richer evidence for rung-based pruners (SuccessiveHalving):
+            # pruned and failed trials' curves count at the rungs they
+            # reached — asynchronous halving never waits for completions
+            all_intermediates=[
+                t["intermediates_by_step"] for t in self._study.trials
+                if t.get("intermediates_by_step")
+            ],
         )
 
     def set_user_attr(self, key: str, value) -> None:

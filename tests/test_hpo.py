@@ -220,3 +220,60 @@ def test_nan_intermediate_prunes_and_median_ignores_nan():
     t3 = Trial(2, {}, {}, study)
     t3.report(0.1, 0)
     assert not t3.should_prune()
+
+
+def test_successive_halving_pruner():
+    """ASHA semantics: rungs at min_resource·η^k epochs; a trial at a rung
+    survives iff its best is in the top 1/η of all trials' bests there;
+    pruned trials' curves COUNT as evidence; off-rung steps never prune."""
+    from hhrs_tpu.hpo.pruner import SuccessiveHalvingPruner
+
+    pr = SuccessiveHalvingPruner(min_resource=1, reduction_factor=3)
+    # evidence: 3 trials that reached epoch 0 with bests 0.1, 0.2, 0.3
+    ev = [{0: 0.1}, {0: 0.2}, {0: 0.3}]
+    # rung at resource 1 (step 0): top ceil(3/3)=1 -> cutoff 0.1
+    assert pr.should_prune(0, 0.25, [], all_intermediates=ev)
+    assert not pr.should_prune(0, 0.05, [], all_intermediates=ev)
+    assert not pr.should_prune(0, 0.1, [], all_intermediates=ev)  # ties survive
+    # step 1 (resource 2) is NOT a rung for eta=3 -> never prunes
+    ev2 = [{0: 0.1, 1: 0.1}, {0: 0.2, 1: 0.2}, {0: 0.3, 1: 0.3}]
+    assert not pr.should_prune(1, 9.9, [], all_intermediates=ev2)
+    # resource 3 (step 2) IS a rung; only trials that REACHED it count
+    ev3 = [{0: 0.1, 1: 0.1, 2: 0.1}, {0: 0.2, 1: 0.2, 2: 0.2},
+           {0: 0.3, 1: 0.3, 2: 0.3}, {0: 0.05}]  # last pruned at rung 1
+    assert pr.should_prune(2, 0.25, [], all_intermediates=ev3)
+    # too little rung evidence -> no pruning
+    assert not pr.should_prune(0, 9.9, [], all_intermediates=[{0: 0.1}])
+    # invalid params
+    with pytest.raises(ValueError):
+        SuccessiveHalvingPruner(reduction_factor=1)
+
+
+def test_asha_in_study_uses_pruned_trial_evidence(tmp_path):
+    """End-to-end through Study: early bad trials get cut at rung 1 once
+    eta trials have posted there — without waiting for completions."""
+    from hhrs_tpu.hpo.pruner import SuccessiveHalvingPruner
+    from hhrs_tpu.hpo.space import float_range
+
+    space = {"x": float_range(0.0, 1.0)}
+    study = Study(None, seed=1,
+                  pruner=SuccessiveHalvingPruner(min_resource=1, reduction_factor=2))
+    calls = []
+
+    def objective(trial):
+        # trials 0,1 post good rung-1 values and complete; later trials post
+        # bad rung-1 values and must be pruned AT step 0
+        good = trial.number < 2
+        v0 = 0.1 + 0.01 * trial.number if good else 0.5 + trial.number * 0.01
+        trial.report(v0, 0)
+        if trial.should_prune():
+            calls.append((trial.number, "pruned@0"))
+            raise TrialPruned()
+        trial.report(v0 / 2, 1)
+        calls.append((trial.number, "done"))
+        return v0 / 2
+
+    study.optimize(objective, space, n_trials=6)
+    states = [t["state"] for t in study.trials]
+    assert states[:2] == ["complete", "complete"]
+    assert states[2:] == ["pruned"] * 4  # every later bad trial cut at rung 1
