@@ -401,7 +401,10 @@ class _OptunaShimStudy:
             def __init__(self, ot):
                 self._ot = ot
 
-            def should_prune(self, step, value, completed):
+            def should_prune(self, step, value, completed,
+                             all_intermediates=None):
+                # evidence kwargs are for the built-in pruners; the real
+                # optuna backend keeps its own trial history
                 return self._ot.should_prune()
 
         self._pruner = _P(otrial)
