@@ -60,6 +60,15 @@ def main(argv=None) -> int:
                         "only from the primary) and report agreement in "
                         "/healthz + /metrics — the pre-promotion check on "
                         "the real request mix (serve/shadow.py)")
+    p.add_argument("--canary", default=None, metavar="ARTIFACT_DIR",
+                   help="route a sticky user-hash slice of live traffic to "
+                        "this CANDIDATE model ON the request path (errors "
+                        "fall back to the primary; per-arm stats in /healthz "
+                        "+ /metrics) — the staged-rollout step after "
+                        "--shadow (serve/canary.py)")
+    p.add_argument("--canary-fraction", type=float, default=0.1,
+                   help="fraction of users (by stable id hash) the --canary "
+                        "model answers (default 0.1, range (0, 1])")
     p.add_argument("--reload-poll-s", type=float, default=0.0,
                    help="with --artifacts registry:<db>: poll the registry "
                         "every N seconds and hot-swap to a newly activated "
@@ -145,6 +154,35 @@ def main(argv=None) -> int:
                 engine = holder
                 log.info("registry hot reload on: polling every %.1fs",
                          args.reload_poll_s)
+        if args.canary:
+            from hhrs_tpu.serve.canary import CanaryEngine
+
+            canary_dir = resolve_artifacts_dir(args.canary)
+            if canary_dir == artifacts_dir:
+                p.error("--canary is the same artifact dir as the primary")
+            # a bare engine (no batching/cache): at canary fractions,
+            # one-program-per-request is the simple predictable shape
+            canary_eng = RecommendationEngine.from_dirs(
+                canary_dir, data_dir, mesh=mesh, bf16=args.bf16,
+                retrieval_cfg=cfg_all.retrieval,
+                quantize_tables=args.quantize_tables or cfg.quantize_tables,
+                candidate_cap=args.candidate_cap if args.candidate_cap is not None
+                else cfg.candidate_cap,
+                city_bounded=cfg.city_bounded)
+            if not args.no_warmup:
+                canary_eng.warmup()
+            # wraps the (possibly swappable) primary: a hot swap replaces
+            # the primary arm while the canary slice stays pinned; the
+            # cache sits OUTSIDE so hits stay arm-consistent (routing is
+            # deterministic and sticky) yet skip the device either way.
+            try:
+                engine = CanaryEngine(engine, canary_eng,
+                                      args.canary_fraction,
+                                      canary_dir=canary_dir)
+            except ValueError as e:
+                p.error(str(e))
+            log.info("canary serving on: %s answers %.1f%% of users",
+                     canary_dir, 100 * args.canary_fraction)
         cache_entries = (args.cache_entries if args.cache_entries is not None
                          else cfg.cache_entries)
         if cache_entries > 0:

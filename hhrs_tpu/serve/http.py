@@ -80,6 +80,18 @@ def _prometheus_metrics(engine) -> str:
                             ("top1_agreement", "hhrs_shadow_top1_agreement")):
             if ss[key] is not None:
                 lines += [f"# TYPE {metric} gauge", f"{metric} {ss[key]:.6f}"]
+    canary_fn = getattr(engine, "canary_stats", None)
+    if canary_fn is not None:  # CanaryEngine wrapper active
+        cs = canary_fn()
+        lines += [
+            "# TYPE hhrs_canary_fraction gauge",
+            f"hhrs_canary_fraction {cs['fraction']:.6f}",
+            "# TYPE hhrs_canary_requests_total counter",
+            f'hhrs_canary_requests_total{{arm="primary"}} {cs["primary_served"]}',
+            f'hhrs_canary_requests_total{{arm="canary"}} {cs["canary_served"]}',
+            "# TYPE hhrs_canary_errors_total counter",
+            f"hhrs_canary_errors_total {cs['errors']}",
+        ]
     return "\n".join(lines) + "\n"
 
 
@@ -123,6 +135,9 @@ def make_handler(engine):
                     shadow_fn = getattr(engine, "shadow_stats", None)
                     if shadow_fn is not None:
                         payload["shadow"] = shadow_fn()
+                    canary_fn = getattr(engine, "canary_stats", None)
+                    if canary_fn is not None:
+                        payload["canary"] = canary_fn()
                     return self._send(200, payload)
                 if url.path == "/metrics":
                     return self._send(200, _prometheus_metrics(engine), "text/plain; version=0.0.4")
