@@ -103,6 +103,18 @@ class TrainConfig:
     # is 50x faster there; on a directly-attached TPU runtime the fused
     # path removes per-step dispatch overhead instead.
     fused_epoch: bool = False
+    # Out-of-core epoch streaming: >0 keeps the train split HOST-side only
+    # and uploads double-buffered [K, B, ·] slabs of K steps per transfer
+    # (the next slab's device_put is issued before the current slab's steps
+    # run, so upload overlaps compute). Device memory holds at most two
+    # slabs instead of the whole epoch — the training mode for datasets
+    # beyond device memory (the split arrays may themselves be np.memmap,
+    # extending it past host RAM). Batch order and the dropout rng stream
+    # (fold_in(epoch_rng, global_step)) are IDENTICAL to the resident path,
+    # so trajectories match bit-for-bit (tests/test_stream_slabs.py).
+    # Composes with --mesh (slabs upload shard-aligned over 'data').
+    # 0 = off (resident dataset — fastest when it fits).
+    stream_slab_steps: int = 0
     # Also evaluate catalog-ranking recall@100 (train/eval_retrieval.py) in
     # the final metrics — the informative retrieval metric (the row-level
     # recall saturates at 1.0 whenever users have <100 val rows). Off by

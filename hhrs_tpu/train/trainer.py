@@ -78,6 +78,16 @@ def derive_impl_key(epoch_rng, impl: str):
         jnp.concatenate(jax.random.split(epoch_rng)), impl=impl)
 
 
+def _val_arrays(splits: DatasetSplits):
+    return {
+        "user": jnp.asarray(splits.val_user, jnp.int32),
+        "item": jnp.asarray(splits.val_item, jnp.int32),
+        "cat": jnp.asarray(splits.val_cat, jnp.int32),
+        "num": jnp.asarray(splits.val_num, jnp.float32),
+        "y": jnp.asarray(splits.val_y, jnp.float32),
+    }
+
+
 def _device_put_splits(splits: DatasetSplits):
     put = jax.device_put
     train = {
@@ -87,14 +97,7 @@ def _device_put_splits(splits: DatasetSplits):
         "num": put(jnp.asarray(splits.train_num, jnp.float32)),
         "y": put(jnp.asarray(splits.train_y, jnp.float32)),
     }
-    val = {
-        "user": jnp.asarray(splits.val_user, jnp.int32),
-        "item": jnp.asarray(splits.val_item, jnp.int32),
-        "cat": jnp.asarray(splits.val_cat, jnp.int32),
-        "num": jnp.asarray(splits.val_num, jnp.float32),
-        "y": jnp.asarray(splits.val_y, jnp.float32),
-    }
-    return train, val
+    return train, _val_arrays(splits)
 
 
 def _make_update_block(cfg: ModelConfig, train_cfg=None):
@@ -192,6 +195,35 @@ def make_streamed_train_step(cfg: ModelConfig, batch_sharding=None, train_cfg=No
             params, bn_state, opt_state, tx_update, batch, rng
         )
         return new_params, new_bn, new_opt, loss, s + 1
+
+    return step
+
+
+def make_slab_train_step(cfg: ModelConfig, batch_sharding=None, train_cfg=None):
+    """Out-of-core step over a [K, B, ·] slab (train.stream_slab_steps).
+
+    Two device-carried counters: ``s_local`` indexes the slab, ``s_global``
+    drives the dropout rng (``fold_in(epoch_rng, s_global)``) — the SAME
+    stream as the resident path's step index, so slab streaming is
+    bit-interchangeable with the resident dataset."""
+    update = _make_update_block(cfg, train_cfg)
+
+    def step(params, bn_state, opt_state, tx_update, slab, s_local, s_global,
+             epoch_rng):
+        rng = jax.random.fold_in(epoch_rng, s_global)
+        batch = jax.tree.map(
+            lambda x: jax.lax.dynamic_index_in_dim(x, s_local, 0, keepdims=False),
+            slab,
+        )
+        if batch_sharding is not None:
+            batch = jax.tree.map(
+                lambda x: jax.lax.with_sharding_constraint(x, batch_sharding(x.ndim)),
+                batch,
+            )
+        new_params, new_bn, new_opt, loss = update(
+            params, bn_state, opt_state, tx_update, batch, rng
+        )
+        return new_params, new_bn, new_opt, loss, s_local + 1, s_global + 1
 
     return step
 
@@ -374,6 +406,10 @@ def train_dcn(
             "num": jax.device_put(jnp.asarray(splits.val_num, jnp.float32), val_sharding(2)),
             "y": jax.device_put(jnp.asarray(splits.val_y, jnp.float32), val_sharding(1)),
         }
+    elif train_cfg.stream_slab_steps > 0:
+        # out-of-core: the train split never leaves the host whole; slabs
+        # upload per epoch (see the slab branch of the epoch loop)
+        train_data, val_data = None, jax.device_put(_val_arrays(splits))
     else:
         train_data, val_data = _device_put_splits(splits)
 
@@ -389,7 +425,14 @@ def train_dcn(
 
     # tx.update is a function — close over it instead of passing it traced.
     # params/bn/opt donate: the step updates them in place in HBM.
-    if streaming:
+    out_of_core = train_cfg.stream_slab_steps > 0
+    if out_of_core:
+        raw_step = make_slab_train_step(model_cfg, batch_sharding, train_cfg)
+        step_fn = jax.jit(
+            lambda p, b, o, sl, i, s, r: raw_step(p, b, o, tx.update, sl, i, s, r),
+            donate_argnums=(0, 1, 2),
+        )
+    elif streaming:
         raw_step = make_streamed_train_step(model_cfg, batch_sharding, train_cfg)
         step_fn = jax.jit(
             lambda p, b, o, e, s, r: raw_step(p, b, o, tx.update, e, s, r),
@@ -434,6 +477,12 @@ def train_dcn(
     # Uniform batch shapes hold in both modes (wrap-padded permutation).
     # The fused-epoch scan is a single-device dispatch optimization; the
     # mesh path streams epochs instead.
+    if train_cfg.fused_epoch and out_of_core:
+        raise ValueError(
+            "train.fused_epoch and train.stream_slab_steps are mutually "
+            "exclusive: a fused epoch scans a device-resident dataset, "
+            "slab streaming exists so the dataset is NOT device-resident"
+        )
     fused = train_cfg.fused_epoch and not streaming
     epoch_fn = None
     if fused:
@@ -530,7 +579,55 @@ def train_dcn(
                 # changes representation (derive_impl_key: four distinct
                 # words via a split of the threefry epoch key).
                 epoch_rng = derive_impl_key(epoch_rng, train_cfg.rng_impl)
-            if streaming:
+            if out_of_core:
+                perm_host = perm_host[:perm_len]
+                K = train_cfg.stream_slab_steps
+                tr_user = np.asarray(splits.train_user, np.int32)
+                tr_item = np.asarray(splits.train_item, np.int32)
+                tr_cat = np.asarray(splits.train_cat, np.int32)
+                tr_num = np.asarray(splits.train_num, np.float32)
+                tr_y = np.asarray(splits.train_y, np.float32)
+
+                def slab_dev(i0: int):
+                    """Host-gather steps [i0, i0+K) and start their upload
+                    (device_put is async — the transfer overlaps the
+                    previous slab's compute)."""
+                    i1 = min(i0 + K, steps_per_epoch)
+                    k = i1 - i0
+                    sl = perm_host[i0 * B:i1 * B]
+                    host = {
+                        "user": tr_user[sl].reshape(k, B),
+                        "item": tr_item[sl].reshape(k, B),
+                        "cat": tr_cat[sl].reshape(k, B, tr_cat.shape[1]),
+                        "num": tr_num[sl].reshape(k, B, tr_num.shape[1]),
+                        "y": tr_y[sl].reshape(k, B),
+                    }
+                    if streaming:
+                        return jax.device_put(
+                            host,
+                            {kk: epoch_sharding(v.ndim) for kk, v in host.items()},
+                        )
+                    return jax.device_put(host)
+
+                epoch_losses = []
+                s = jnp.asarray(0, jnp.int32)
+                nxt = slab_dev(0)
+                i0 = 0
+                while i0 < steps_per_epoch:
+                    cur, i1 = nxt, min(i0 + K, steps_per_epoch)
+                    if i1 < steps_per_epoch:
+                        nxt = slab_dev(i1)  # double-buffer: upload next now
+                    s_local = jnp.asarray(0, jnp.int32)
+                    for _ in range(i1 - i0):
+                        params, bn_state, opt_state, loss, s_local, s = step_fn(
+                            params, bn_state, opt_state, cur, s_local, s, epoch_rng
+                        )
+                        if sync_each_step:
+                            loss.block_until_ready()
+                        epoch_losses.append(loss)
+                    i0 = i1
+                mean_loss = jnp.mean(jnp.stack(epoch_losses))
+            elif streaming:
                 S = steps_per_epoch
                 # exactly S*B rows stream (drop_remainder truncates the tail
                 # here, exactly like the resident path's dynamic_slice never
