@@ -129,6 +129,14 @@ class MeshConfig:
     data_axis: int = -1  # -1 → all devices on the data axis
     model_axis: int = 1
     axis_names: tuple = ("data", "model")
+    # Row-sharded table lookups in the mesh train step: '' (default) writes
+    # the global-view gather and lets GSPMD lower it — verified to produce
+    # NO full-table all-gathers (tests/test_hlo_lowering.py pins the HLO);
+    # 'all_to_all' | 'psum' route lookups through the hand-written shard_map
+    # exchange kernels (parallel/embedding.py) instead — the explicit
+    # fallback if a future XLA's lowering regresses, and the observable
+    # form of the north-star two-hop ID/vector exchange.
+    explicit_exchange: str = ""
 
 
 @dataclass

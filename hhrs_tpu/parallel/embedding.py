@@ -118,3 +118,53 @@ def all_to_all_lookup(mesh: Mesh, table: jnp.ndarray, ids: jnp.ndarray,
         in_specs=(P(model_axis, None), P((data_axis, model_axis))),
         out_specs=P((data_axis, model_axis), None),
     )(table, ids)
+
+
+def explicit_x0(
+    mesh: Mesh,
+    params: dict,
+    user_ids: jnp.ndarray,
+    item_ids: jnp.ndarray,
+    cat_features: jnp.ndarray,
+    num_features: jnp.ndarray,
+    *,
+    kind: str = "all_to_all",
+    model_axis: str = "model",
+    data_axis: str = "data",
+) -> jnp.ndarray:
+    """Assemble the DCN-R input ``x0`` with EXPLICIT exchange lookups.
+
+    The GSPMD default (``models.dcn.apply_dcn``) writes ``table[ids]``
+    global-view and trusts XLA to lower the row-sharded gather to
+    collectives — verified by the HLO assertions in
+    tests/test_hlo_lowering.py. This is the hand-written fallback/north-star
+    form (SURVEY.md §2 parallelism row: "row-sharded embedding tables with
+    all-to-all ID exchange"): each table that is actually row-sharded
+    (rows divide the model axis — the same rule ``parallel.sharding.
+    param_shardings`` uses) goes through the explicit shard_map exchange;
+    replicated tiny tables (uneven categorical vocabularies) use a local
+    gather. Differentiable: the exchange transposes to a scatter-add onto
+    the owning shard, so table gradients stay sharded.
+
+    kind: 'all_to_all' (two-hop ID/vector exchange) or 'psum'
+    (masked-gather + reduction).
+    """
+    if kind not in ("all_to_all", "psum"):
+        raise ValueError(
+            f"unknown exchange kind {kind!r}; expected 'all_to_all' or 'psum'"
+        )
+    lookup = all_to_all_lookup if kind == "all_to_all" else psum_lookup
+    m = mesh.shape.get(model_axis, 1)
+
+    def one(table, ids):
+        if m > 1 and table.shape[0] % m == 0:
+            return lookup(mesh, table, ids, model_axis, data_axis)
+        return table[ids]
+
+    user_emb = one(params["user_embedding"], user_ids)
+    item_emb = one(params["item_embedding"], item_ids)
+    cat_embs = [
+        one(tab, cat_features[:, i])
+        for i, tab in enumerate(params["cat_embeddings"])
+    ]
+    return jnp.concatenate([user_emb, item_emb, *cat_embs, num_features], axis=1)

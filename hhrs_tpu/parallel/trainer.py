@@ -68,11 +68,17 @@ def make_parallel_train_step(
     state: ParallelTrainState,
     data_axis: str = "data",
     donate: bool = True,
+    exchange: str | None = None,
 ):
     """Jit the full train step with explicit shardings.
 
     ``batch`` is a dict of arrays (user/item/cat/num/y) whose leading axis
     is sharded over ``data``; the rng key is replicated.
+
+    ``exchange`` ('all_to_all' | 'psum') swaps the global-view table
+    lookups for the explicit shard_map exchange kernels
+    (parallel/embedding.py); default None trusts GSPMD's lowering, which
+    tests/test_hlo_lowering.py pins (no full-table all-gathers).
     """
     rep = NamedSharding(mesh, P())
 
@@ -81,6 +87,18 @@ def make_parallel_train_step(
 
     def step(params, bn_state, opt_state, batch, rng):
         def loss_fn(p):
+            if exchange:
+                from hhrs_tpu.models.dcn import apply_dcn_from_x0
+                from hhrs_tpu.parallel.embedding import explicit_x0
+
+                x0 = explicit_x0(
+                    mesh, p, batch["user"], batch["item"], batch["cat"],
+                    batch["num"], kind=exchange, data_axis=data_axis,
+                )
+                logits, new_bn = apply_dcn_from_x0(
+                    p, bn_state, x0, cfg=model_cfg, train=True, rng=rng,
+                )
+                return bce_with_logits(logits, batch["y"]), new_bn
             logits, new_bn = apply_dcn(
                 p,
                 bn_state,

@@ -195,6 +195,7 @@ def main(argv=None) -> int:
     with profile_cm:
         result = train_dcn(
             splits, dims, cfg.model, cfg.train, mesh=mesh,
+            explicit_exchange=cfg.mesh.explicit_exchange or None,
             metrics_logger=metrics_logger, checkpoint_dir=args.checkpoint_dir,
             init_state=init_state,
         )

@@ -100,15 +100,53 @@ def _device_put_splits(splits: DatasetSplits):
     return train, _val_arrays(splits)
 
 
-def _make_update_block(cfg: ModelConfig, train_cfg=None):
+def _make_update_block(cfg: ModelConfig, train_cfg=None, *, mesh=None,
+                       exchange: str | None = None):
     """The loss/grad/optimizer core shared by both step builders: the dense
     reference-parity path by default, the lazy sparse-row table path when
     ``train_cfg.lazy_table_updates`` (train/lazy.py — opt_state is then a
-    LazyOptState)."""
+    LazyOptState).
+
+    ``exchange`` ('all_to_all' | 'psum', requires ``mesh``) swaps the
+    global-view ``table[ids]`` lookups for the EXPLICIT shard_map exchange
+    kernels (parallel/embedding.py) — the hand-written form of the
+    row-sharded lookup, available as the fallback should GSPMD's lowering
+    regress (the default lowering is pinned by tests/test_hlo_lowering.py).
+    """
     if train_cfg is not None and getattr(train_cfg, "lazy_table_updates", False):
+        if exchange:
+            raise ValueError(
+                "train.lazy_table_updates and mesh.explicit_exchange are "
+                "mutually exclusive (lazy differentiates w.r.t. gathered "
+                "rows; the exchange differentiates w.r.t. sharded tables)"
+            )
         from hhrs_tpu.train.lazy import make_lazy_update
 
         return make_lazy_update(cfg, train_cfg)
+
+    if exchange:
+        if mesh is None:
+            raise ValueError("explicit_exchange requires a mesh")
+        from hhrs_tpu.models.dcn import apply_dcn_from_x0
+        from hhrs_tpu.parallel.embedding import explicit_x0
+
+        def update(params, bn_state, opt_state, tx_update, batch, rng):
+            def loss_fn(p):
+                x0 = explicit_x0(
+                    mesh, p, batch["user"], batch["item"], batch["cat"],
+                    batch["num"], kind=exchange,
+                )
+                logits, new_bn = apply_dcn_from_x0(
+                    p, bn_state, x0, cfg=cfg, train=True, rng=rng,
+                )
+                return bce_with_logits(logits, batch["y"]), new_bn
+
+            (loss, new_bn), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            updates, new_opt = tx_update(grads, opt_state, params)
+            new_params = jax.tree.map(lambda p, u: p + u, params, updates)
+            return new_params, new_bn, new_opt, loss
+
+        return update
 
     def update(params, bn_state, opt_state, tx_update, batch, rng):
         def loss_fn(p):
@@ -134,7 +172,7 @@ def _make_update_block(cfg: ModelConfig, train_cfg=None):
 
 
 def make_train_step(cfg: ModelConfig, batch_size: int, batch_sharding=None,
-                    train_cfg=None):
+                    train_cfg=None, mesh=None, exchange=None):
     """Build the jitted train step.
 
     The step receives the WHOLE epoch permutation (device-resident, uploaded
@@ -146,7 +184,7 @@ def make_train_step(cfg: ModelConfig, batch_size: int, batch_sharding=None,
     fused-epoch paths.
     """
     B = batch_size
-    update = _make_update_block(cfg, train_cfg)
+    update = _make_update_block(cfg, train_cfg, mesh=mesh, exchange=exchange)
 
     def step(params, bn_state, opt_state, tx_update, data, perm, s, epoch_rng):
         idx = jax.lax.dynamic_slice(perm, (s * B,), (B,))
@@ -170,7 +208,8 @@ def make_train_step(cfg: ModelConfig, batch_size: int, batch_sharding=None,
     return step
 
 
-def make_streamed_train_step(cfg: ModelConfig, batch_sharding=None, train_cfg=None):
+def make_streamed_train_step(cfg: ModelConfig, batch_sharding=None, train_cfg=None,
+                             mesh=None, exchange=None):
     """Mesh-mode step over a streamed epoch tensor.
 
     ``epoch_data`` is a dict of [steps, B, ·] arrays sharded
@@ -180,7 +219,7 @@ def make_streamed_train_step(cfg: ModelConfig, batch_sharding=None, train_cfg=No
     ``make_train_step``'s resident-gather path, so the two are numerically
     interchangeable.
     """
-    update = _make_update_block(cfg, train_cfg)
+    update = _make_update_block(cfg, train_cfg, mesh=mesh, exchange=exchange)
 
     def step(params, bn_state, opt_state, tx_update, epoch_data, s, epoch_rng):
         rng = jax.random.fold_in(epoch_rng, s)
@@ -313,6 +352,7 @@ def train_dcn(
     model_cfg: ModelConfig,
     train_cfg: TrainConfig,
     mesh=None,
+    explicit_exchange: str | None = None,
     report_fn: Callable[[int, float], bool] | None = None,
     metrics_logger=None,
     checkpoint_dir: str | None = None,
@@ -326,11 +366,17 @@ def train_dcn(
     state saves every ``checkpoint_every`` epochs and a rerun resumes from
     the latest completed epoch (train/checkpoint.py).
 
+    ``explicit_exchange`` ('all_to_all' | 'psum'; mesh mode only) routes
+    the row-sharded table lookups through the hand-written shard_map
+    exchange kernels instead of GSPMD's lowering (parallel/embedding.py).
+
     ``init_state=(params, bn_state)`` replaces the fresh ``init_dcn`` —
     the warm-start fine-tuning path (train/warmstart.py): optimizer
     moments start at zero and the rng streams (shuffle, dropout) are
     identical to a cold run, only the starting point differs.
     """
+    if explicit_exchange and mesh is None:
+        raise ValueError("train.explicit_exchange requires --mesh")
     if train_cfg.debug_nans:
         # Sticky for the process by design: a NaN aborts the run anyway.
         jax.config.update("jax_debug_nans", True)
@@ -433,7 +479,8 @@ def train_dcn(
             donate_argnums=(0, 1, 2),
         )
     elif streaming:
-        raw_step = make_streamed_train_step(model_cfg, batch_sharding, train_cfg)
+        raw_step = make_streamed_train_step(model_cfg, batch_sharding, train_cfg,
+                                            mesh=mesh, exchange=explicit_exchange)
         step_fn = jax.jit(
             lambda p, b, o, e, s, r: raw_step(p, b, o, tx.update, e, s, r),
             donate_argnums=(0, 1, 2),

@@ -104,3 +104,33 @@ def test_mesh_checkpoint_resume_bit_exact(eight_devices, data, tmp_path):
     full_vl = [h["val_loss"] for h in full.history]
     res_vl = [h["val_loss"] for h in resumed.history]
     np.testing.assert_allclose(res_vl, full_vl, rtol=1e-6)
+
+
+@pytest.mark.parametrize("exchange", ["psum", "all_to_all"])
+def test_mesh_full_run_explicit_exchange_matches(eight_devices, exchange):
+    """The FULL streamed trainer with mesh.explicit_exchange routes its
+    table lookups through the hand-written shard_map exchange kernels
+    (parallel/embedding.py) and must reproduce the GSPMD-lowered run.
+    Table sizes here divide the model axis so the exchange actually
+    engages (non-divisible tables legitimately fall back to local gathers).
+    """
+    ds = generate_synthetic_dataset(n_users=256, n_items=64, n_reviews=5000, seed=3)
+    df = add_engineered_features(noise_filter(
+        ds.reviews.rename(columns={"guest_id": "user_id", "hotel_id": "item_id"})))
+    splits, art = Preprocessor().fit_transform(df)
+    dims = ModelDims.from_artifacts(art)
+    mesh = make_mesh(4, 2)
+
+    base = train_dcn(splits, dims, MCFG, TCFG, mesh=mesh)
+    ex = train_dcn(splits, dims, MCFG, TCFG, mesh=mesh, explicit_exchange=exchange)
+
+    base_vl = np.array([h["val_loss"] for h in base.history])
+    ex_vl = np.array([h["val_loss"] for h in ex.history])
+    assert len(base_vl) == len(ex_vl)
+    # psum is bit-equivalent to GSPMD's own lowering; all_to_all re-orders
+    # the grad scatter-add reductions, which Adam amplifies slightly.
+    tol = 1e-6 if exchange == "psum" else 2e-3
+    np.testing.assert_allclose(ex_vl, base_vl, rtol=tol)
+    assert ex.final_metrics["val_auc"] == pytest.approx(
+        base.final_metrics["val_auc"], abs=5e-3 if exchange == "all_to_all" else 1e-5
+    )
