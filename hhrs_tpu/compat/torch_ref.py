@@ -134,6 +134,50 @@ def _val_tensors(splits):
     )
 
 
+def catalog_recall_torch(
+    model: "TorchDCN",
+    splits,
+    k: int = 100,
+    max_users: int = 512,
+    exclude_train: bool = True,
+    user_chunk: int = 64,
+    seed: int = 0,
+) -> float:
+    """Catalog-ranking recall@k of a torch DCN-R — the reference stack's
+    side of the recall parity measurement (VERDICT r3 item 3).
+
+    Uses the SAME metric harness as the JAX engine
+    (train/eval_retrieval.py::catalog_recall_from_scores): identical user
+    sample, item table, train-seen masking, and denominator convention —
+    only the scoring stack differs.
+    """
+    from hhrs_tpu.train.eval_retrieval import (
+        _item_feature_table,
+        catalog_recall_from_scores,
+    )
+
+    items, X_cat, X_num = _item_feature_table(splits)
+    M = len(items)
+    t_item = torch.from_numpy(np.asarray(items, np.int64))
+    t_cat = torch.from_numpy(np.asarray(X_cat, np.int64))
+    t_num = torch.from_numpy(np.asarray(X_num, np.float32))
+
+    model.eval()
+
+    def score_fn(chunk: np.ndarray) -> np.ndarray:
+        with torch.no_grad():
+            out = []
+            for u in chunk.tolist():
+                users = torch.full((M,), int(u), dtype=torch.int64)
+                out.append(model(users, t_item, t_cat, t_num).numpy())
+        return np.stack(out)
+
+    return catalog_recall_from_scores(
+        score_fn, items, splits, k=k, max_users=max_users,
+        exclude_train=exclude_train, user_chunk=user_chunk, seed=seed,
+    )
+
+
 def train_reference_loop(
     splits,
     dims: ModelDims,
@@ -141,6 +185,7 @@ def train_reference_loop(
     train_cfg: TrainConfig,
     perms: list[np.ndarray] | None = None,
     init_params: dict | None = None,
+    return_model: bool = False,
 ) -> dict:
     """The reference training loop (train.py:195-253), faithfully.
 
@@ -240,7 +285,7 @@ def train_reference_loop(
     # torch BCEWithLogitsLoss mean, recomputed in numpy for exactness
     z = logits.astype(np.float64)
     logloss = float(np.mean(np.maximum(z, 0) - z * y + np.log1p(np.exp(-np.abs(z)))))
-    return {
+    out = {
         "history": history,
         "best_val_loss": best_val,
         "best_epoch": best_epoch,
@@ -250,3 +295,6 @@ def train_reference_loop(
             "val_rmse": rmse_of_probs(y, logits),
         },
     }
+    if return_model:
+        out["model"] = model  # best-checkpoint weights, eval mode
+    return out

@@ -70,3 +70,32 @@ def test_matched_trajectories(optimizer):
     assert ours.final_metrics["val_auc"] == pytest.approx(
         ref["final_metrics"]["val_auc"], abs=2e-3
     )
+
+
+def test_catalog_recall_scorer_parity():
+    """Identical weights through the JAX scorer and the torch-oracle scorer
+    must yield (near-)identical catalog recall@k — the two sides of the
+    recall-parity measurement (benchmarks/parity_train.py) share the metric
+    harness, so any gap could only come from the scoring stacks."""
+    from hhrs_tpu.compat.torch_ref import TorchDCN, catalog_recall_torch, copy_params_to_torch
+    from hhrs_tpu.train.eval_retrieval import catalog_recall_at_k
+
+    splits, art = _splits()
+    dims = ModelDims.from_artifacts(art)
+    mcfg = ModelConfig(emb_dim=8, hidden_dim=32, n_cross_layers=2, n_res_blocks=1,
+                       dropout=0.0)
+    params, _ = init_dcn(jax.random.PRNGKey(0), dims, mcfg)
+    from hhrs_tpu.models.dcn import init_bn_state
+
+    bn = init_bn_state(mcfg)
+
+    tmodel = TorchDCN(dims, mcfg)
+    copy_params_to_torch(params, tmodel)
+
+    # k small vs the 80-item catalog so the metric has headroom
+    r_jax = catalog_recall_at_k(params, bn, mcfg, splits, k=20)
+    r_torch = catalog_recall_torch(tmodel, splits, k=20)
+    assert np.isfinite(r_jax) and np.isfinite(r_torch)
+    # same weights, same harness: only f32 vs f64 matmul rounding at the
+    # top-k boundary can differ
+    assert abs(r_jax - r_torch) <= 0.005, (r_jax, r_torch)
