@@ -290,3 +290,124 @@ def check_overrides(tokens: list) -> list:
 
 def from_cli(argv: list[str]) -> Config:
     return Config().apply_overrides(check_overrides(list(argv)))
+
+
+# --- presets -----------------------------------------------------------------
+
+# Named config presets: measured multi-knob configurations reachable as ONE
+# switch (VERDICT r3 item 5). Values are (section.field -> value); an
+# explicit env/CLI override of the same field still wins (presets apply
+# first).
+PRESETS: dict[str, dict[str, Any]] = {
+    # The measured-fastest full-trainer stack (benchmarks/trainer_tuned.py,
+    # both orders, RESULTS.md): dispatch-amortizing batch + hardware-RBG
+    # dropout bits + bf16 activation storage ≈ 3.8M ex/s incl. eval on the
+    # tunneled chip vs ~1.9-2.7M for reference-parity defaults. Throughput
+    # knobs only — statistically equivalent training, not bit-identical
+    # to the defaults (see each field's docstring).
+    "tuned": {
+        "train.batch_size": 32768,
+        "train.rng_impl": "rbg",
+        "model.compute_dtype": "bfloat16",
+        "model.storage_dtype": "bfloat16",
+    },
+    # Reference-parity semantics — the defaults, named so deployments can
+    # say so explicitly (HHRS_PRESET=reference).
+    "reference": {},
+}
+
+
+def apply_preset(cfg: Config, name: str) -> list[str]:
+    """Apply a named preset in place; returns the changes for loud logging."""
+    if name not in PRESETS:
+        raise ValueError(
+            f"unknown preset {name!r}; available: {sorted(PRESETS)}"
+        )
+    changed = []
+    for key, value in PRESETS[name].items():
+        section_name, _, field_name = key.partition(".")
+        section = getattr(cfg, section_name)
+        old = getattr(section, field_name)
+        setattr(section, field_name, value)
+        changed.append(f"{key}: {old!r} -> {value!r}")
+    return changed
+
+
+# --- environment overrides ---------------------------------------------------
+
+_ENV_PREFIX = "HHRS_"
+
+
+def apply_env_overrides(cfg: Config, environ=None) -> list[str]:
+    """Apply ``HHRS_<SECTION>_<FIELD>=value`` environment overrides in place.
+
+    The reference is configured via .env + dotenv (reference
+    .env.exemple:1-7, database_setup.py:10-15); this is the equivalent
+    contract for the compose deployment, layered between presets and CLI
+    overrides (env beats preset, CLI beats env). Example:
+    ``HHRS_SERVE_PORT=8000``, ``HHRS_TRAIN_BATCH_SIZE=32768``. Field names
+    contain underscores, so the section is matched as the longest known
+    prefix. Unknown HHRS_* variables fail loudly — a typo'd variable that
+    silently falls back to defaults is a misconfigured deployment.
+    ``HHRS_PRESET`` is consumed by the CLIs (build_config), not here.
+    Returns the applied overrides for logging.
+    """
+    import os
+
+    environ = os.environ if environ is None else environ
+    sections = {f.name for f in dataclasses.fields(cfg)}
+    applied = []
+    for var in sorted(environ):
+        if not var.startswith(_ENV_PREFIX):
+            continue
+        rest = var[len(_ENV_PREFIX):].lower()
+        if rest in ("preset",):
+            continue
+        section_name = next(
+            (s for s in sorted(sections, key=len, reverse=True)
+             if rest.startswith(s + "_")),
+            None,
+        )
+        if section_name is None:
+            raise ValueError(
+                f"unknown config environment variable {var} "
+                f"(sections: {sorted(sections)})"
+            )
+        field_name = rest[len(section_name) + 1:]
+        section = getattr(cfg, section_name)
+        if not hasattr(section, field_name):
+            raise ValueError(
+                f"{var}: section {section_name!r} has no field {field_name!r}"
+            )
+        cur = getattr(section, field_name)
+        setattr(section, field_name, _coerce(environ[var], cur))
+        applied.append(f"{section_name}.{field_name}={environ[var]}")
+    return applied
+
+
+def build_config(
+    overrides: list | None = None,
+    preset: str | None = None,
+    environ=None,
+    log=None,
+) -> Config:
+    """The CLIs' config assembly: defaults → preset (--preset or
+    HHRS_PRESET) → HHRS_* env overrides → CLI overrides (last wins)."""
+    import os
+
+    environ = os.environ if environ is None else environ
+    cfg = Config()
+    preset = preset or environ.get("HHRS_PRESET") or ""
+    if preset:
+        changed = apply_preset(cfg, preset)
+        if log is not None:
+            for c in changed:
+                log.info("preset %r: %s", preset, c)
+            if not changed:
+                log.info("preset %r: no changes (reference defaults)", preset)
+    applied = apply_env_overrides(cfg, environ)
+    if log is not None:
+        for a in applied:
+            log.info("env override: %s", a)
+    cfg.apply_overrides(check_overrides(list(overrides or [])))
+    return cfg

@@ -15,7 +15,7 @@ import dataclasses
 import logging
 import sys
 
-from hhrs_tpu.config import Config, check_overrides, ModelConfig, TrainConfig
+from hhrs_tpu.config import Config, build_config, check_overrides, ModelConfig, TrainConfig
 from hhrs_tpu.hpo.space import reference_search_space
 from hhrs_tpu.hpo.study import TrialPruned, create_study
 from hhrs_tpu.utils.logging import enable_compilation_cache, setup_logging
@@ -196,7 +196,7 @@ def main(argv=None) -> int:
         except ValueError as e:
             p.error(str(e))
 
-    cfg = Config().apply_overrides(check_overrides(args.overrides))
+    cfg = build_config(args.overrides, log=log)
     if args.epochs is not None:
         cfg.train.n_epochs = args.epochs
 

@@ -72,11 +72,11 @@ def main(argv=None) -> int:
     p.add_argument("overrides", nargs="*")
     args = p.parse_args(argv)
 
-    from hhrs_tpu.config import Config, check_overrides
+    from hhrs_tpu.config import build_config
     from hhrs_tpu.db.registry import resolve_artifacts_dir
     from hhrs_tpu.serve.engine import RecommendationEngine
 
-    cfg = Config().apply_overrides(check_overrides(args.overrides))
+    cfg = build_config(args.overrides, log=log)
     engine = RecommendationEngine.from_dirs(
         resolve_artifacts_dir(args.artifacts), args.data,
         retrieval_cfg=cfg.retrieval,

@@ -29,10 +29,19 @@ import zlib
 _HASH_SPACE = 2**32
 
 
-def routes_to_canary(user_id, fraction: float) -> bool:
+def routes_to_canary(user_id, fraction: float, salt: str = "") -> bool:
     """Sticky arm assignment: stable across processes and restarts (crc32 of
-    the decimal user id — no Python hash randomization)."""
-    return zlib.crc32(str(user_id).encode()) < fraction * _HASH_SPACE
+    the decimal user id — no Python hash randomization).
+
+    With the default empty ``salt`` the slice is the SAME fixed user
+    population for every rollout (that is what makes it restart-sticky with
+    zero configuration) — meaning those users always bear first-exposure
+    risk and any bias in that slice biases every canary evaluation. Pass a
+    per-experiment ``salt`` (e.g. the candidate dir or a release id,
+    ``--canary-salt``) to rotate the slice per rollout while keeping
+    within-rollout stickiness. (ADVICE r3.)"""
+    key = f"{salt}:{user_id}" if salt else str(user_id)
+    return zlib.crc32(key.encode()) < fraction * _HASH_SPACE
 
 
 class CanaryEngine:
@@ -42,12 +51,17 @@ class CanaryEngine:
     while the canary slice stays pinned to the candidate)."""
 
     def __init__(self, primary, canary, fraction: float, *,
-                 canary_dir: str | None = None):
-        if not 0.0 < fraction <= 1.0:
-            raise ValueError(f"canary fraction must be in (0, 1], got {fraction}")
+                 canary_dir: str | None = None, salt: str = ""):
+        # Delegation targets FIRST: __getattr__ resolves via self._primary,
+        # so any attribute access on a half-constructed instance (the
+        # fraction ValueError below, unpickling) must find _primary/_canary
+        # already present instead of recursing to RecursionError (ADVICE r3).
         self._primary = primary
         self._canary = canary
+        if not 0.0 < fraction <= 1.0:
+            raise ValueError(f"canary fraction must be in (0, 1], got {fraction}")
         self.fraction = fraction
+        self.salt = salt
         self.canary_dir = canary_dir or getattr(canary, "artifacts_dir", None)
         self._lock = threading.Lock()
         self._primary_served = 0
@@ -56,7 +70,7 @@ class CanaryEngine:
 
     # ------------------------------------------------------------- serving
     def recommend(self, user_id, city, rec_type, lambda_param):
-        if routes_to_canary(user_id, self.fraction):
+        if routes_to_canary(user_id, self.fraction, self.salt):
             try:
                 result = self._canary.recommend(user_id, city, rec_type,
                                                 lambda_param)
@@ -73,7 +87,7 @@ class CanaryEngine:
 
     def recommend_many(self, requests, pad_to=None):
         idx_c = [i for i, r in enumerate(requests)
-                 if routes_to_canary(r[0], self.fraction)]
+                 if routes_to_canary(r[0], self.fraction, self.salt)]
         if not idx_c:
             out = self._primary.recommend_many(requests, pad_to=pad_to)
             with self._lock:
@@ -104,6 +118,11 @@ class CanaryEngine:
         return out
 
     def __getattr__(self, name):
+        if name.startswith("_"):
+            # never delegate privates: during unpickling or partial
+            # construction _primary itself is absent, and delegating its
+            # lookup back through __getattr__ would recurse forever
+            raise AttributeError(name)
         return getattr(self._primary, name)
 
     # --------------------------------------------------------------- stats
@@ -113,6 +132,7 @@ class CanaryEngine:
             stats = {
                 "canary_model": self.canary_dir,
                 "fraction": self.fraction,
+                "salt": self.salt,
                 "primary_served": self._primary_served,
                 "canary_served": served,
                 "errors": self._errors,

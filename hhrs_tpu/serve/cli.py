@@ -15,7 +15,7 @@ import argparse
 import logging
 import sys
 
-from hhrs_tpu.config import Config, check_overrides
+from hhrs_tpu.config import Config, build_config, check_overrides
 from hhrs_tpu.utils.logging import enable_compilation_cache, setup_logging
 
 log = logging.getLogger("hhrs_tpu.serve")
@@ -69,6 +69,12 @@ def main(argv=None) -> int:
     p.add_argument("--canary-fraction", type=float, default=0.1,
                    help="fraction of users (by stable id hash) the --canary "
                         "model answers (default 0.1, range (0, 1])")
+    p.add_argument("--canary-salt", default="",
+                   help="salt folded into the canary routing hash: rotates "
+                        "WHICH users form the slice per rollout (e.g. pass "
+                        "a release id). Default '' keeps the zero-config "
+                        "restart-sticky slice — the same fixed user "
+                        "population for every rollout")
     p.add_argument("--reload-poll-s", type=float, default=0.0,
                    help="with --artifacts registry:<db>: poll the registry "
                         "every N seconds and hot-swap to a newly activated "
@@ -81,7 +87,7 @@ def main(argv=None) -> int:
     p.add_argument("overrides", nargs="*", help="section.field=value config overrides")
     args = p.parse_args(argv)
 
-    cfg_all = Config().apply_overrides(check_overrides(args.overrides))
+    cfg_all = build_config(args.overrides, log=log)
     cfg = cfg_all.serve
     artifacts = args.artifacts if args.artifacts is not None else cfg.artifacts_dir
     data_dir = args.data if args.data is not None else cfg.data_dir
@@ -173,12 +179,19 @@ def main(argv=None) -> int:
                 canary_eng.warmup()
             # wraps the (possibly swappable) primary: a hot swap replaces
             # the primary arm while the canary slice stays pinned; the
-            # cache sits OUTSIDE so hits stay arm-consistent (routing is
-            # deterministic and sticky) yet skip the device either way.
+            # cache sits OUTSIDE so hits skip the device, and routing is
+            # deterministic and sticky so cached entries normally stay
+            # arm-consistent. Known exception (ADVICE r3): if the canary
+            # arm errors transiently, the primary's FALLBACK response for a
+            # canary-slice user is cached and keeps serving that user until
+            # TTL/eviction/hot-swap — fallbacks are cached cross-arm by
+            # design (availability over arm purity); serve.cache_ttl_s
+            # bounds the window.
             try:
                 engine = CanaryEngine(engine, canary_eng,
                                       args.canary_fraction,
-                                      canary_dir=canary_dir)
+                                      canary_dir=canary_dir,
+                                      salt=args.canary_salt)
             except ValueError as e:
                 p.error(str(e))
             log.info("canary serving on: %s answers %.1f%% of users",
@@ -195,6 +208,16 @@ def main(argv=None) -> int:
                      cache_entries, cfg.cache_ttl_s)
         if args.shadow:
             from hhrs_tpu.serve.shadow import ShadowEngine
+
+            if args.canary:
+                # the shadow mirrors the CanaryEngine's mixed output, so
+                # for canary-slice users "agreement" compares the shadow
+                # against the canary (possibly the same model) — a muddied
+                # pre-promotion signal (ADVICE r3)
+                log.warning(
+                    "--shadow with --canary: shadow agreement is computed "
+                    "against MIXED primary/canary responses; prefer running "
+                    "the shadow phase before the canary phase")
 
             shadow_dir = resolve_artifacts_dir(args.shadow)
             if shadow_dir == artifacts_dir:

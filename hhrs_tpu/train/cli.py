@@ -13,7 +13,7 @@ import logging
 import os
 import sys
 
-from hhrs_tpu.config import Config, check_overrides
+from hhrs_tpu.config import Config, build_config, check_overrides
 from hhrs_tpu.utils.logging import MetricsLogger, enable_compilation_cache, setup_logging
 
 log = logging.getLogger("hhrs_tpu.train")
@@ -124,10 +124,15 @@ def main(argv=None) -> int:
                         "row-sharded tables); requires that many devices")
     p.add_argument("--distributed", action="store_true",
                    help="multi-host: run jax.distributed.initialize first")
+    p.add_argument("--preset", default=None,
+                   help="named config preset applied before overrides "
+                        "(e.g. 'tuned' = B=32768 + rng_impl=rbg + bf16 "
+                        "storage, the measured-fastest trainer stack — "
+                        "RESULTS.md; env: HHRS_PRESET)")
     p.add_argument("overrides", nargs="*", help="section.field=value config overrides")
     args = p.parse_args(argv)
 
-    cfg = Config().apply_overrides(check_overrides(args.overrides))
+    cfg = build_config(args.overrides, preset=args.preset, log=log)
     if args.epochs is not None:
         cfg.train.n_epochs = args.epochs
     if args.promote and not args.register_db:

@@ -43,11 +43,11 @@ def main(argv=None) -> int:
     p.add_argument("overrides", nargs="*", help="section.field=value config overrides")
     args = p.parse_args(argv)
 
-    from hhrs_tpu.config import Config, check_overrides
+    from hhrs_tpu.config import build_config
     from hhrs_tpu.db.registry import resolve_artifacts_dir
     from hhrs_tpu.train.evaluate import evaluate_artifacts
 
-    cfg = Config().apply_overrides(check_overrides(args.overrides))
+    cfg = build_config(args.overrides, log=log)
     artifacts_dir = resolve_artifacts_dir(args.artifacts)
     try:
         res = evaluate_artifacts(

@@ -4,7 +4,11 @@ against volume-shaped dirs and a SEEDED sqlite registry — serves /healthz
 and a real recommendation. Docker itself cannot run in this image, so the
 smoke emulates the container contract: same entrypoint, same volume layout
 (artifacts/ + data/ + registry db), registry-resolved artifacts
-(`--artifacts registry:<db>`), fail-fast on bad state."""
+(`--artifacts registry:<db>`), fail-fast on bad state.
+
+Two boots are exercised: the flagged Dockerfile CMD, and the compose
+service's ENV-ONLY form (`python -m hhrs_tpu.serve.cli` with nothing but
+HHRS_* variables — docker-compose.yaml; VERDICT r3 item 6)."""
 
 import json
 import os
@@ -15,6 +19,12 @@ import time
 import urllib.request
 
 import pytest
+
+BASE_ENV = {
+    "PATH": "/usr/bin:/bin:/usr/local/bin",
+    "JAX_PLATFORMS": "cpu",
+    "PYTHONPATH": "/root/repo",
+}
 
 
 def _free_port():
@@ -27,44 +37,35 @@ def _free_port():
     return port
 
 
-@pytest.mark.slow
-def test_dockerfile_cmd_boots_from_seeded_registry(tmp_path):
-    env = {
-        "PATH": "/usr/bin:/bin:/usr/local/bin",
-        "JAX_PLATFORMS": "cpu",
-        "PYTHONPATH": "/root/repo",
-    }
-    vol = tmp_path  # the compose volume mount
+@pytest.fixture(scope="module")
+def seeded_volume(tmp_path_factory):
+    """Artifacts + data + seeded registry, exactly as an operator would
+    produce them (train CLI then db CLI) — the compose volume."""
+    vol = tmp_path_factory.mktemp("compose_vol")
     data_dir = str(vol / "data")
     art_dir = str(vol / "artifacts")
     db = str(vol / "registry.sqlite")
 
-    # Produce artifacts exactly as an operator would (train CLI), then seed
-    # the registry volume (db CLI) — the compose recipe from README/verify.
     r = subprocess.run(
         [sys.executable, "-m", "hhrs_tpu.train.cli", "--synthetic",
          "--data", data_dir, "--out", art_dir,
          "--synth-users", "120", "--synth-items", "50", "--synth-reviews", "1500",
          "--epochs", "1", "train.batch_size=256", "train.eval_batch_size=512"],
-        capture_output=True, text=True, timeout=420, env=env, cwd="/root/repo",
+        capture_output=True, text=True, timeout=420, env=BASE_ENV, cwd="/root/repo",
     )
     assert r.returncode == 0, r.stderr[-2000:]
     for cmd in (["seed", "--db", db, "--data", data_dir],
                 ["register", "--db", db, "--artifacts", art_dir]):
         r = subprocess.run(
             [sys.executable, "-m", "hhrs_tpu.db.cli", *cmd],
-            capture_output=True, text=True, timeout=120, env=env, cwd="/root/repo",
+            capture_output=True, text=True, timeout=120, env=BASE_ENV, cwd="/root/repo",
         )
         assert r.returncode == 0, (cmd, r.stderr[-2000:])
+    return vol, db
 
-    # Boot the Dockerfile CMD against the volume (registry-resolved).
-    port = _free_port()
-    proc = subprocess.Popen(
-        [sys.executable, "-m", "hhrs_tpu.serve.cli",
-         "--artifacts", f"registry:{db}", "--data", "data", "--port", str(port)],
-        stdout=subprocess.DEVNULL, stderr=subprocess.PIPE, text=True,
-        env=env, cwd=str(vol),
-    )
+
+def _drive_boot(proc, port, check_graceful=True):
+    """Wait for /healthz, make one real request, SIGTERM, assert drain."""
     body_ok = False
     try:
         deadline = time.time() + 300
@@ -80,7 +81,6 @@ def test_dockerfile_cmd_boots_from_seeded_registry(tmp_path):
         assert proc.poll() is None, proc.stderr.read()[-2000:]
         assert health and "ok" in health
 
-        # one real request through the booted service
         body = json.dumps({"user_id": 1, "city": "Sochi", "type": "friends",
                            "lambda_param": 1.0}).encode()
         req = urllib.request.Request(
@@ -99,7 +99,42 @@ def test_dockerfile_cmd_boots_from_seeded_registry(tmp_path):
             exit_code = None
         # Only judge the shutdown when the body passed — a failing body
         # assertion must surface as itself, not as a shutdown-code error.
-        if body_ok:
+        if body_ok and check_graceful:
             # graceful drain: SIGTERM must finish in-flight requests and
             # exit 0 (serve/http.py serve_forever), not die on the signal
             assert exit_code == 0
+
+
+@pytest.mark.slow
+def test_dockerfile_cmd_boots_from_seeded_registry(seeded_volume):
+    vol, db = seeded_volume
+    port = _free_port()
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "hhrs_tpu.serve.cli",
+         "--artifacts", f"registry:{db}", "--data", "data", "--port", str(port)],
+        stdout=subprocess.DEVNULL, stderr=subprocess.PIPE, text=True,
+        env=BASE_ENV, cwd=str(vol),
+    )
+    _drive_boot(proc, port)
+
+
+@pytest.mark.slow
+def test_compose_env_only_boot(seeded_volume):
+    """The compose service's command is flag-free: `python -m
+    hhrs_tpu.serve.cli` configured PURELY by HHRS_* environment variables
+    (port, registry-resolved artifacts, data dir, a cache knob)."""
+    vol, db = seeded_volume
+    port = _free_port()
+    env = dict(
+        BASE_ENV,
+        HHRS_SERVE_PORT=str(port),
+        HHRS_SERVE_ARTIFACTS_DIR=f"registry:{db}",
+        HHRS_SERVE_DATA_DIR="data",
+        HHRS_SERVE_CACHE_ENTRIES="16",
+    )
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "hhrs_tpu.serve.cli"],
+        stdout=subprocess.DEVNULL, stderr=subprocess.PIPE, text=True,
+        env=env, cwd=str(vol),
+    )
+    _drive_boot(proc, port)

@@ -176,3 +176,37 @@ def test_canary_stats_in_http_surface(engines):
     finally:
         server.shutdown()
         server.server_close()
+
+
+def test_salt_rotates_the_slice():
+    """A per-rollout salt must change WHICH users route to the canary while
+    staying deterministic (ADVICE r3: the unsalted slice is the same fixed
+    user population for every rollout)."""
+    users = range(5000)
+    unsalted = {u for u in users if routes_to_canary(u, 0.2)}
+    salted = {u for u in users if routes_to_canary(u, 0.2, salt="release-2")}
+    assert unsalted != salted  # slice rotated
+    # determinism + roughly proportional in both cases
+    assert salted == {u for u in users if routes_to_canary(u, 0.2, salt="release-2")}
+    assert 0.15 < len(salted) / 5000 < 0.25
+
+
+def test_half_constructed_instance_raises_attribute_error_not_recursion():
+    """fraction=0 raises in __init__ — attribute access on the partially
+    constructed instance (repr, pickle) must not recurse through
+    __getattr__ (ADVICE r3)."""
+
+    class Obj:
+        pass
+
+    eng = CanaryEngine.__new__(CanaryEngine)  # nothing assigned at all
+    with pytest.raises(AttributeError):
+        eng._primary  # noqa: B018
+    with pytest.raises(AttributeError):
+        # public attr on a half-constructed instance: __getattr__ looks up
+        # self._primary, which must itself raise AttributeError (private),
+        # not recurse
+        eng.latency  # noqa: B018
+
+    with pytest.raises(ValueError):
+        CanaryEngine(Obj(), Obj(), 0.0)
