@@ -5,7 +5,10 @@ Endpoints:
   POST /recommendations   → RecommendationResponse (422 invalid, 500 internal)
   GET  /similar_items?item_id=&n=   → SimilarItemsResponse (404 unknown item)
   GET  /healthz           → liveness + latency summary
-  GET  /docs              → minimal human-readable API page
+  GET  /openapi.json      → OpenAPI 3.1 spec generated from serve/schemas.py
+  GET  /docs              → self-contained interactive explorer of the spec
+                            (reference parity: FastAPI's /docs + openapi.json,
+                            reference main.py:287-291)
 
 ``create_fastapi_app`` provides the same routes as a FastAPI app when
 fastapi is installed (it is not baked into this image — the stdlib server
@@ -22,6 +25,7 @@ from urllib.parse import parse_qs, urlparse
 
 from pydantic import ValidationError
 
+from hhrs_tpu.serve.openapi import DOCS_HTML, openapi_json
 from hhrs_tpu.serve.schemas import RecommendationRequest
 
 log = logging.getLogger(__name__)
@@ -30,16 +34,6 @@ log = logging.getLogger(__name__)
 # call compiles/reuses exactly one vmapped program.
 HTTP_BATCH_PAD = 64
 
-DOCS_HTML = """<!doctype html><html><head><title>Hybrid Recommendation API</title></head>
-<body><h1>Hybrid Recommendation API (TPU-native)</h1>
-<h2>POST /recommendations</h2>
-<pre>{"user_id": 15, "city": "Sochi", "type": "friends"|"personal", "lambda_param": 0.7}</pre>
-<p>Returns ranked hotels with recommended_by friend ids. lambda_param&lt;1.0 applies MMR top-20.</p>
-<h2>POST /recommendations/batch</h2>
-<pre>{"requests": [{...RecommendationRequest...}, ...]}  (1..64 items, one device program)</pre>
-<h2>GET /similar_items?item_id=123&amp;n=10</h2>
-<p>n in [1, 50]. 404 if the item is unknown.</p>
-<h2>GET /healthz</h2></body></html>"""
 
 
 def _prometheus_metrics(engine) -> str:
@@ -141,6 +135,9 @@ def make_handler(engine):
                     return self._send(200, payload)
                 if url.path == "/metrics":
                     return self._send(200, _prometheus_metrics(engine), "text/plain; version=0.0.4")
+                if url.path == "/openapi.json":
+                    return self._send(200, openapi_json(HTTP_BATCH_PAD),
+                                      "application/json")
                 if url.path == "/docs":
                     return self._send(200, DOCS_HTML, "text/html")
                 if url.path in ("/recommendations", "/recommendations/batch"):
@@ -205,7 +202,8 @@ def make_handler(engine):
                         pad_to=HTTP_BATCH_PAD,
                     )
                     return self._send(200, {"responses": results})
-                if url.path in ("/similar_items", "/healthz", "/metrics", "/docs"):
+                if url.path in ("/similar_items", "/healthz", "/metrics",
+                                "/docs", "/openapi.json"):
                     # known GET route hit with POST — FastAPI answers 405
                     return self._send(405, {"detail": "Method Not Allowed"})
                 return self._send(404, {"detail": "Not Found"})

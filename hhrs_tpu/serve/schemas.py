@@ -35,3 +35,21 @@ class HotelResponse(BaseModel):
 class RecommendationResponse(BaseModel):
     ranked_hotels: List[HotelResponse]
     message: Optional[str] = None
+
+
+class BatchRecommendationRequest(BaseModel):
+    """POST /recommendations/batch: up to HTTP_BATCH_PAD requests scored as
+    ONE padded device program (beyond the reference's contract)."""
+
+    requests: List[RecommendationRequest] = Field(..., min_length=1)
+
+
+class BatchRecommendationResponse(BaseModel):
+    responses: List[RecommendationResponse]
+
+
+class ErrorResponse(BaseModel):
+    """404/405/422/500 body shape (FastAPI-compatible ``detail``; 422
+    detail may be a string or the validator's structured error list)."""
+
+    detail: object
