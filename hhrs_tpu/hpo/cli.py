@@ -71,14 +71,17 @@ def _optimize_vectorized(args, cfg, splits, dims, preproc, space, study, best_bo
     from hhrs_tpu.hpo.vectorized import ARCH_KEYS
 
     shared = () if args.vectorize_independent else ARCH_KEYS
-    while len(study.trials) < args.trials:
-        k = min(args.vectorize, args.trials - len(study.trials))
+    asked_total = len(study.trials)  # resumed journals count toward the budget
+    while asked_total < args.trials:
+        k = min(args.vectorize, args.trials - asked_total)
         asked = study.ask(space, k, shared=shared)
+        asked_total += k
         groups = group_trials([t.params for t in asked])
         log.info("vectorized round: %d trials → %d group(s) of sizes %s",
                  k, len(groups), sorted((len(v) for v in groups.values()), reverse=True))
         for idxs in groups.values():
             members = [asked[i] for i in idxs]
+            all_members = list(members)
             mcfg = model_cfg_from_params(members[0].params, cfg.model)
             tcfg = train_cfg_from_params(members[0].params, cfg.train)
             if tcfg.batch_size > splits.n_train:
@@ -91,18 +94,34 @@ def _optimize_vectorized(args, cfg, splits, dims, preproc, space, study, best_bo
                 if not shard:
                     log.info("group of %d not a multiple of %d devices — unsharded",
                              len(members), jax.device_count())
+
+            refill_fn = None
+            if getattr(args, "reclaim_lanes", False):
+                group_arch = {key: members[0].params[key] for key in ARCH_KEYS}
+
+                def refill_fn(group_arch=group_arch, all_members=all_members):
+                    # dead lane + budget left → ask ONE more trial with the
+                    # group's architecture pinned (conditional proposal)
+                    nonlocal asked_total
+                    if asked_total >= args.trials:
+                        return None
+                    t = study.ask(space, 1, fixed=group_arch)[0]
+                    asked_total += 1
+                    all_members.append(t)
+                    return t.params, make_report(t)
+
             try:
                 results = run_group(
                     splits, dims, mcfg, tcfg, [t.params for t in members],
                     report_fns=[make_report(t) for t in members],
-                    shard_lanes=shard,
+                    shard_lanes=shard, refill_fn=refill_fn,
                 )
             except Exception as e:  # noqa: BLE001 — a failed group must not kill the sweep
-                log.exception("vectorized group of %d failed", len(members))
-                for t in members:
+                log.exception("vectorized group of %d failed", len(all_members))
+                for t in all_members:
                     study.tell(t, "failed", error=repr(e))
                 continue
-            for t, r in zip(members, results):
+            for t, r in zip(all_members, results):
                 if r.pruned:
                     study.tell(t, "pruned")
                     continue
@@ -167,6 +186,13 @@ def main(argv=None) -> int:
                         "(incompatible with --mesh). By default the K "
                         "trials share one sampled architecture per round "
                         "(arch-major ask) so they form ONE group")
+    p.add_argument("--reclaim-lanes", action="store_true",
+                   help="with --vectorize: when a lane's trial prunes / "
+                        "early-stops / completes mid-round, immediately "
+                        "refill the lane with a freshly asked trial sharing "
+                        "the group's architecture (index updates only — no "
+                        "recompile) instead of letting it ride as dead "
+                        "weight. Built-in and optuna backends")
     p.add_argument("--vectorize-independent", action="store_true",
                    help="with --vectorize: sample all K trials' params "
                         "independently instead of sharing the architecture "

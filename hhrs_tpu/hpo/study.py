@@ -83,10 +83,17 @@ class Trial:
             [t["intermediates_by_step"] for t in self._study.trials if t["state"] == "complete"],
             # richer evidence for rung-based pruners (SuccessiveHalving):
             # pruned and failed trials' curves count at the rungs they
-            # reached — asynchronous halving never waits for completions
+            # reached, and so do the RUNNING siblings of a vectorized
+            # round (asked-but-untold) — asynchronous halving never waits
+            # for completions, which is exactly what lets lanes prune each
+            # other mid-round and free lanes for reclamation
             all_intermediates=[
                 t["intermediates_by_step"] for t in self._study.trials
                 if t.get("intermediates_by_step")
+            ] + [
+                dict(t.intermediates)
+                for t in getattr(self._study, "_in_flight", [])
+                if t is not self and t.intermediates
             ],
         )
 
@@ -111,6 +118,7 @@ class Study:
         self.sampler = sampler or TPESampler(seed=seed)
         self._pruner = pruner if pruner is not None else MedianPruner()
         self.trials: list[dict] = []
+        self._in_flight: list = []  # asked-but-untold Trial objects
         if journal_path and os.path.exists(journal_path):
             self._load()
             log.info("resumed study from %s: %d prior trials", journal_path, len(self.trials))
@@ -159,12 +167,20 @@ class Study:
                     history.append((t["params"], min(vals)))
         return history
 
-    def ask(self, space: dict, k: int = 1, shared: tuple = ()) -> list[Trial]:
+    def ask(self, space: dict, k: int = 1, shared: tuple = (),
+            fixed: dict | None = None) -> list[Trial]:
         """Propose ``k`` trials from the current evidence (ask/tell API —
         the vectorized-HPO driver asks a batch, runs same-architecture
         groups in one vmapped program, then tells each result). Siblings
         of one batch are sampled from the same history, like optuna's
         parallel ask().
+
+        ``fixed``: params PINNED to given values in every proposed trial,
+        with the rest sampled conditionally from the same history (the
+        sampler is univariate, so this is the exact conditional proposal).
+        The lane-reclamation path uses this to refill a dead lane of a
+        running vectorized group: the group's architecture dims are fixed,
+        the vmapped scalars are fresh proposals.
 
         ``shared``: param names sampled ONCE per batch — trial 0's values
         are copied into every sibling. The vectorized driver shares the
@@ -177,18 +193,26 @@ class Study:
         proposal; the trade (one architecture evidence point per round
         instead of k) is the standard batched-HPO trade."""
         history = self._history()
+        fixed = fixed or {}
+        unknown = set(fixed) - set(space)
+        if unknown:
+            raise ValueError(f"fixed params not in space: {sorted(unknown)}")
         out = []
-        scalar_space = {n: d for n, d in space.items() if n not in shared}
+        free_space = {n: d for n, d in space.items() if n not in fixed}
+        scalar_space = {n: d for n, d in free_space.items() if n not in shared}
         base = None
         for i in range(k):
             if i == 0 or not shared:
-                params = self.sampler.sample(space, history)
-                base = params
+                sampled = self.sampler.sample(free_space, history)
+                base = sampled
             else:
                 scalars = self.sampler.sample(scalar_space, history)
-                params = {n: (base[n] if n in shared else scalars[n]) for n in space}
+                sampled = {n: (base[n] if n in shared else scalars[n])
+                           for n in free_space}
+            params = {n: (fixed[n] if n in fixed else sampled[n]) for n in space}
             out.append(Trial(self._next_number, space, params, self))
             self._next_number += 1
+        self._in_flight.extend(out)
         return out
 
     def tell(self, trial: Trial, state: str, value=None, error: str | None = None) -> dict:
@@ -212,6 +236,7 @@ class Study:
         rec["intermediates"] = {str(k): v for k, v in trial.intermediates.items()}
         rec["intermediates_by_step"] = dict(trial.intermediates)
         rec["user_attrs"] = trial.user_attrs
+        self._in_flight = [t for t in self._in_flight if t is not trial]
         self.trials.append(rec)
         self._append(rec)
         return rec
@@ -309,19 +334,24 @@ class OptunaStudyAdapter:
                 )
         return params
 
-    def ask(self, space: dict, k: int = 1, shared: tuple = ()) -> list[Trial]:
+    def ask(self, space: dict, k: int = 1, shared: tuple = (),
+            fixed: dict | None = None) -> list[Trial]:
         """Batch proposal through real optuna's ask() (vectorized HPO).
 
         ``shared`` dims are fixed to trial 0's values for the siblings via
         ``enqueue_trial`` with partial params (optuna samples the rest) —
-        the same arch-major batching as the built-in Study.ask."""
+        the same arch-major batching as the built-in Study.ask. ``fixed``
+        pins params in EVERY proposed trial (lane reclamation), via the
+        same enqueue mechanism."""
+        fixed = fixed or {}
         out = []
         base = None
         for i in range(k):
+            pin = dict(fixed)
             if i > 0 and shared and base is not None:
-                self._study.enqueue_trial(
-                    {n: base[n] for n in shared}, skip_if_exists=False
-                )
+                pin.update({n: base[n] for n in shared})
+            if pin:
+                self._study.enqueue_trial(pin, skip_if_exists=False)
             otrial = self._study.ask()
             params = self._suggest_params(otrial, space)
             if i == 0:

@@ -146,6 +146,7 @@ def run_group(
     trial_params: list[dict],
     report_fns: list | None = None,
     shard_lanes: bool = False,
+    refill_fn=None,
 ) -> list[VTrialResult]:
     """Train every trial in ``trial_params`` (which must share an
     ``arch_key``) in one vmapped program; returns per-trial results.
@@ -167,6 +168,23 @@ def run_group(
     f32-accumulation-order level — the partitioned program tiles the
     batched matmuls at [K/n, B, ·] — tested on the 8-device CPU mesh
     (tests/test_hpo_vectorized.py).
+
+    ``refill_fn`` enables LANE RECLAMATION (VERDICT r3 item 4): without
+    it, a pruned/early-stopped lane keeps riding the vectorized program as
+    dead weight until the group ends. With it, at each epoch boundary
+    every newly-dead lane is finalized and refilled with a freshly asked
+    same-architecture trial — ``refill_fn() -> (params_dict, report_fn) |
+    None`` (None = trial budget exhausted; the lane then goes dormant).
+    A refill is pure index updates on the stacked pytrees (params/bn/opt/
+    best reset to the shared init, scalar lanes to the new trial's
+    lr/wd/dropout) — the compiled program never changes. Each lane's
+    plateau/early-stop/pruning clock runs on its OWN age (epoch 0 = the
+    lane's first epoch), so a refilled trial trains a full epoch budget;
+    its shuffle/dropout stream continues the group's epoch stream from its
+    join point (statistically equivalent to, but not bit-identical with,
+    a fresh sequential trial — the same class of trade as rng_impl=rbg).
+    Returns one VTrialResult per trial EVER run: the initial K first, then
+    refills in ask order.
     """
     K = len(trial_params)
     keys = {arch_key(p) for p in trial_params}
@@ -247,10 +265,9 @@ def run_group(
         return jax.vmap(one)(vp, vb)
 
     @jax.jit
-    def veval_logits(vp, vb, val):
-        return jax.vmap(
-            lambda p, b: _eval_logits_body(mcfg, tcfg.eval_batch_size, p, b, val)
-        )(vp, vb)
+    def eval_lane_logits(p, b, val):
+        # single-lane final eval (the lane is gathered on device first)
+        return _eval_logits_body(mcfg, tcfg.eval_batch_size, p, b, val)
 
     @jax.jit
     def vsnap(best, cur, improved):
@@ -260,23 +277,66 @@ def run_group(
 
         return jax.tree.map(sel, best, cur)
 
+    # Lane reset for reclamation: pure index updates on the stacked trees —
+    # no recompile, the program shape never changes.
+    opt0 = sb.init(params)
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def reset_lane(vtree, k_idx, fresh):
+        return jax.tree.map(lambda s, x: s.at[k_idx].set(x), vtree, fresh)
+
     # Per-trial host bookkeeping — the same machinery train_dcn runs for a
     # single trial (plateau feeds next epoch's lr lane; early stop /
-    # pruning deactivate a lane).
+    # pruning deactivate a lane). Each lane's clock is its OWN age so
+    # refilled trials get a full epoch budget.
     plateaus = [
         PlateauScheduler(float(p["lr"]), int(p["lr_plateau_patience"]),
                          float(p["lr_plateau_factor"]))
         for p in trial_params
     ]
     results = [VTrialResult(params=None, bn_state=None) for _ in range(K)]
+    lane_result = list(range(K))  # lane -> index into results
     active = np.ones(K, bool)
     no_improve = np.zeros(K, int)
+    ages = np.zeros(K, int)  # epochs the lane's CURRENT trial has trained
     # never-improved lanes keep init
     vbest = (lane_put(stack(params)), lane_put(stack(bn_state)))
     shuffle_rng = np.random.default_rng(tcfg.seed)
     epoch_times: list[float] = []
+    y_val = splits.val_y
 
-    for epoch in range(tcfg.n_epochs):
+    def finalize_lane(k):
+        """Final metrics for lane k's trial from its best snapshot
+        (reference train.py:365-387 semantics). The lane gather stays ON
+        DEVICE (a host round-trip of K param stacks costs seconds-to-
+        minutes on the tunnel, RESULTS.md) with the lane index TRACED, so
+        one compiled eval serves every lane; only [n_val] logits transfer.
+        Pruned lanes are skipped entirely — the driver discards them, and
+        the host-side AUC/recall sorts over the full val set aren't free."""
+        r = results[lane_result[k]]
+        if r.pruned:
+            return
+        k_idx = jnp.asarray(k, jnp.int32)
+        p_k, b_k = take(vbest, k_idx)
+        r.params, r.bn_state = p_k, b_k
+        lk = np.asarray(jax.device_get(eval_lane_logits(p_k, b_k, val_data)))
+        r.final_metrics = {
+            "val_logloss": float(
+                np.asarray(bce_with_logits(jnp.asarray(lk), jnp.asarray(y_val)))
+            ),
+            "val_auc": auc_score(y_val, lk),
+            "val_rmse": rmse_of_probs(y_val, lk),
+            "val_recall_at_100": recall_at_k(splits.val_user, y_val, lk, 100),
+        }
+
+    take = jax.jit(
+        lambda t, k: jax.tree.map(
+            lambda x: jax.lax.dynamic_index_in_dim(x, k, 0, keepdims=False), t
+        )
+    )
+
+    first_epoch = True
+    while active.any():
         t_epoch = time.perf_counter()
         perm_host = shuffle_rng.permutation(n_train)
         if perm_len > n_train:
@@ -309,66 +369,90 @@ def run_group(
             vl = float(val_losses[k])
             lr_new = plateaus[k].step(vl)
             lrs[k] = lr_new
-            r = results[k]
+            r = results[lane_result[k]]
+            age = ages[k]
             r.history.append(
-                {"epoch": epoch, "train_loss": float(train_losses[k]),
+                {"epoch": int(age), "train_loss": float(train_losses[k]),
                  "val_loss": vl, "lr": lr_new}
             )
             if vl < r.best_val_loss:
                 r.best_val_loss = vl
-                r.best_epoch = epoch
+                r.best_epoch = int(age)
                 no_improve[k] = 0
                 improved[k] = True
             else:
                 no_improve[k] += 1
-            if report_fns[k] is not None and report_fns[k](epoch, vl):
+            ages[k] += 1
+            if report_fns[k] is not None and report_fns[k](int(age), vl):
                 r.pruned = True
                 active[k] = False
-                log.info("vectorized trial lane %d pruned at epoch %d", k, epoch)
+                log.info("vectorized trial lane %d pruned at epoch %d", k, age)
             elif no_improve[k] >= tcfg.early_stop_patience:
                 active[k] = False
-                log.info("vectorized trial lane %d early-stopped at epoch %d", k, epoch + 1)
+                log.info("vectorized trial lane %d early-stopped at epoch %d", k, age + 1)
+            elif ages[k] >= tcfg.n_epochs:
+                active[k] = False  # trial completed its epoch budget
 
         if improved.any():
             vbest = vsnap(vbest, (vparams, vbn), lane_put(jnp.asarray(improved)))
 
-        if epoch > 0:
+        if not first_epoch:  # epoch 0 carries the XLA compile
             epoch_times.append(time.perf_counter() - t_epoch)
-        if not active.any():
-            break
+        first_epoch = False
+
+        # Lane reclamation: finalize every newly-dead lane, then refill it
+        # with a freshly asked same-architecture trial if the budget
+        # allows; an unrefilled lane goes dormant (its compute is wasted —
+        # exactly the cost reclamation exists to avoid while trials remain).
+        # Without refill_fn the dead lanes finalize once, after the loop.
+        if refill_fn is not None:
+            for k in range(K):
+                if active[k] or lane_result[k] is None:
+                    continue
+                finalize_lane(k)
+                ask = refill_fn()
+                if ask is None:
+                    lane_result[k] = None  # dormant: budget exhausted
+                    continue
+                new_params, new_report = ask
+                if arch_key(new_params) != arch_key(trial_params[0]):
+                    raise ValueError(
+                        "refill_fn returned a trial with a different "
+                        "architecture than the running group"
+                    )
+                lrs[k] = float(new_params["lr"])
+                wds[k] = float(new_params["weight_decay"])
+                drs[k] = float(new_params["dropout"])
+                plateaus[k] = PlateauScheduler(
+                    float(new_params["lr"]),
+                    int(new_params["lr_plateau_patience"]),
+                    float(new_params["lr_plateau_factor"]),
+                )
+                report_fns[k] = new_report
+                no_improve[k] = 0
+                ages[k] = 0
+                results.append(VTrialResult(params=None, bn_state=None))
+                lane_result[k] = len(results) - 1
+                active[k] = True
+                k_idx = jnp.asarray(k, jnp.int32)
+                vparams = reset_lane(vparams, k_idx, params)
+                vbn = reset_lane(vbn, k_idx, bn_state)
+                vopt = reset_lane(vopt, k_idx, opt0)
+                vbest = (reset_lane(vbest[0], k_idx, params),
+                         reset_lane(vbest[1], k_idx, bn_state))
+                log.info("vectorized lane %d reclaimed for a new trial", k)
+
+    # Any lane never finalized above (refill_fn=None path finalizes only
+    # at the very end; bookkeeping above handles the refill path).
+    for k in range(K):
+        if lane_result[k] is not None:
+            finalize_lane(k)
+            lane_result[k] = None
 
     per_trial_rate = 0.0
     if epoch_times:
         per_trial_rate = steps_per_epoch * B / max(statistics.median(epoch_times), 1e-9)
-
-    # Final metrics per lane from its best snapshot (reference
-    # train.py:365-387 semantics, one vmapped eval + ONE device_get).
-    # Pruned lanes are skipped entirely — the driver discards them, and
-    # the host-side AUC/recall sorts over the full val set aren't free.
-    # The lane gather stays ON DEVICE (a host round-trip of K param
-    # stacks costs seconds-to-minutes on the tunnel, RESULTS.md) with the
-    # lane index TRACED, so one program serves every lane.
-    vlogits = np.asarray(jax.device_get(veval_logits(vbest[0], vbest[1], val_data)))
-    y_val = splits.val_y
-    take = jax.jit(
-        lambda t, k: jax.tree.map(
-            lambda x: jax.lax.dynamic_index_in_dim(x, k, 0, keepdims=False), t
-        )
-    )
-    for k in range(K):
-        r = results[k]
+    for r in results:
         r.examples_per_s = per_trial_rate
         r.group_examples_per_s = per_trial_rate * K
-        if r.pruned:
-            continue
-        r.params, r.bn_state = take(vbest, jnp.asarray(k, jnp.int32))
-        lk = vlogits[k]
-        r.final_metrics = {
-            "val_logloss": float(
-                np.asarray(bce_with_logits(jnp.asarray(lk), jnp.asarray(y_val)))
-            ),
-            "val_auc": auc_score(y_val, lk),
-            "val_rmse": rmse_of_probs(y_val, lk),
-            "val_recall_at_100": recall_at_k(splits.val_user, y_val, lk, 100),
-        }
     return results

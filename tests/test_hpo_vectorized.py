@@ -271,3 +271,105 @@ def test_cli_vectorize_shard_requires_vectorize():
 
     with pytest.raises(SystemExit):
         main(["--vectorize-shard", "--trials", "2"])
+
+
+def test_lane_reclamation_refills_dead_lanes(dataset):
+    """VERDICT r3 item 4: a pruned lane is finalized and refilled with a
+    fresh same-arch trial at the epoch boundary — index updates only, the
+    compiled program never changes — and the refilled trial trains a FULL
+    epoch budget on its own age clock."""
+    splits, dims = dataset
+    t0 = _trial(3e-3, 1e-4, 0.0)
+    t1 = _trial(1e-3, 1e-5, 0.1)
+    mcfg, tcfg = _cfgs(t0)  # n_epochs=4
+
+    prune_lane1_at_0 = [
+        None,
+        lambda epoch, vl: epoch == 0,  # lane 1 dies after its first epoch
+    ]
+    # ONE refill in the budget: the pruned lane consumes it; when lane 0
+    # later completes its budget, refill_fn returns None and it goes dormant
+    refills = [_trial(2e-3, 1e-6, 0.2)]
+    handed = []
+
+    def refill_fn():
+        if not refills:
+            return None
+        p = refills.pop(0)
+        handed.append(p)
+        return p, None  # no pruning hook for the refills
+
+    results = run_group(splits, dims, mcfg, tcfg, [t0, t1],
+                        report_fns=prune_lane1_at_0, refill_fn=refill_fn)
+
+    # initial 2 trials + 1 refill (only one lane ever died with budget left)
+    assert len(results) == 3
+    assert results[1].pruned and len(results[1].history) == 1
+    assert not results[0].pruned and len(results[0].history) == 4
+    # the refilled trial ran its FULL budget from age 0
+    r2 = results[2]
+    assert not r2.pruned
+    assert [h["epoch"] for h in r2.history] == [0, 1, 2, 3]
+    assert np.isfinite(r2.best_val_loss)
+    assert "val_auc" in r2.final_metrics and "val_auc" in results[0].final_metrics
+    # results[1] (pruned) has no final metrics, per the no-refill contract
+    assert results[1].final_metrics == {}
+    assert len(handed) == 1
+
+
+def test_lane_reclamation_refill_starts_from_fresh_init(dataset):
+    """A refilled lane must NOT inherit the dead trial's weights: with
+    identical hyperparams, a lane refilled at epoch boundary e produces a
+    first-epoch val loss in the same range as a from-scratch first epoch,
+    not a continued-training loss."""
+    splits, dims = dataset
+    base = _trial(3e-3, 1e-4, 0.0)
+    mcfg, tcfg = _cfgs(base)
+
+    refilled = []
+
+    def refill_fn():
+        if refilled:
+            return None
+        refilled.append(True)
+        return dict(base), None
+
+    # lane 0 pruned after epoch 0; refill with IDENTICAL hyperparams
+    results = run_group(
+        splits, dims, mcfg, tcfg, [base],
+        report_fns=[lambda e, v: e == 0], refill_fn=refill_fn,
+    )
+    assert len(results) == 2
+    first_epoch_loss_original = results[0].history[0]["val_loss"]
+    first_epoch_loss_refill = results[1].history[0]["val_loss"]
+    # same init, same scalars, different shuffle epoch: close but the
+    # original's CONTINUED loss would be much lower than a first epoch
+    assert abs(first_epoch_loss_refill - first_epoch_loss_original) < 0.05
+
+
+def test_refill_arch_mismatch_rejected(dataset):
+    splits, dims = dataset
+    base = _trial(3e-3, 1e-4, 0.0)
+    mcfg, tcfg = _cfgs(base)
+    bad = dict(base, hidden_dim=base["hidden_dim"] * 2)
+
+    with pytest.raises(ValueError, match="different"):
+        run_group(splits, dims, mcfg, tcfg, [base],
+                  report_fns=[lambda e, v: e == 0],
+                  refill_fn=lambda: (bad, None))
+
+
+def test_study_ask_fixed_pins_params():
+    from hhrs_tpu.hpo.vectorized import ARCH_KEYS
+
+    space = reference_search_space()
+    study = Study(seed=3)
+    fixed = {k: v for k, v in ARCH.items() if k in ARCH_KEYS}
+    trials = study.ask(space, k=4, fixed=fixed)
+    for t in trials:
+        for k, v in fixed.items():
+            assert t.params[k] == v
+    # non-fixed scalars vary across proposals
+    assert len({t.params["lr"] for t in trials}) > 1
+    with pytest.raises(ValueError, match="not in space"):
+        study.ask(space, fixed={"bogus_param": 1})
