@@ -368,63 +368,25 @@ def bench_jax() -> float:
 def bench_torch_reference() -> float:
     """The reference stack's step (torch, single device) on the same config.
 
-    Architecture mirrors the reference DCN-R (train.py:90-170): scalar-gate
-    cross layers + BN residual blocks, Adam-family optimizer, BCE loss —
-    written fresh in torch here purely as the baseline under measurement.
+    The model is the shared torch oracle (hhrs_tpu/compat/torch_ref.py —
+    the faithful replica of the reference DCN-R, train.py:90-170) so the
+    baseline under measurement and the parity oracle cannot drift apart.
     """
     import torch
     import torch.nn as nn
 
+    from hhrs_tpu.compat.torch_ref import TorchDCN
+    from hhrs_tpu.config import ModelConfig
+    from hhrs_tpu.models.dcn import ModelDims
+
     torch.manual_seed(0)
     dev = torch.device("cuda" if torch.cuda.is_available() else "cpu")
 
-    class Cross(nn.Module):
-        def __init__(self, d):
-            super().__init__()
-            self.w = nn.Linear(d, 1, bias=False)
-            self.b = nn.Parameter(torch.zeros(d))
-
-        def forward(self, x):
-            return x + x * self.w(x) + self.b
-
-    class Res(nn.Module):
-        def __init__(self, h, p):
-            super().__init__()
-            self.net = nn.Sequential(
-                nn.Linear(h, h), nn.BatchNorm1d(h), nn.ReLU(), nn.Dropout(p),
-                nn.Linear(h, h), nn.BatchNorm1d(h),
-            )
-            self.act = nn.ReLU()
-
-        def forward(self, x):
-            return self.act(self.net(x) + x)
-
-    class DCN(nn.Module):
-        def __init__(self):
-            super().__init__()
-            self.ue = nn.Embedding(N_USERS, EMB_DIM)
-            self.ie = nn.Embedding(N_ITEMS, EMB_DIM)
-            self.ce = nn.ModuleList(
-                [nn.Embedding(d, int(d**0.5) + 1) for _, d in CAT_DIMS]
-            )
-            d_in = 2 * EMB_DIM + sum(int(d**0.5) + 1 for _, d in CAT_DIMS) + N_NUM
-            self.deep0 = nn.Linear(d_in, HIDDEN)
-            self.res = nn.ModuleList([Res(HIDDEN, DROPOUT) for _ in range(N_RES)])
-            self.cross = nn.ModuleList([Cross(d_in) for _ in range(N_CROSS)])
-            self.final = nn.Linear(HIDDEN + d_in, 1)
-
-        def forward(self, u, i, c, n):
-            embs = [self.ue(u), self.ie(i)] + [e(c[:, k]) for k, e in enumerate(self.ce)]
-            x0 = torch.cat(embs + [n], dim=1)
-            deep = self.deep0(x0)
-            for r in self.res:
-                deep = r(deep)
-            xc = x0
-            for cr in self.cross:
-                xc = cr(xc)
-            return self.final(torch.cat([deep, xc], dim=1)).squeeze(-1)
-
-    model = DCN().to(dev)
+    model = TorchDCN(
+        ModelDims(N_USERS, N_ITEMS, CAT_DIMS, N_NUM),
+        ModelConfig(emb_dim=EMB_DIM, hidden_dim=HIDDEN, n_cross_layers=N_CROSS,
+                    n_res_blocks=N_RES, dropout=DROPOUT),
+    ).to(dev)
     optim = torch.optim.AdamW(model.parameters(), lr=LR, weight_decay=WD)
     lossf = nn.BCEWithLogitsLoss()
     nb = _np_batch(np.random.default_rng(0), BATCH)

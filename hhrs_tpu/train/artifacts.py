@@ -55,7 +55,12 @@ def export_artifacts(
     dims: ModelDims,
     preproc: PreprocessArtifacts,
     metrics: dict | None = None,
+    train_cfg=None,
 ) -> None:
+    """``train_cfg`` (optional TrainConfig) is recorded in the manifest as
+    provenance — which optimizer/batch/rng_impl produced these weights —
+    and is never read back by the serve path (model_config alone defines
+    the serving program)."""
     os.makedirs(out_dir, exist_ok=True)
     host = jax.device_get({"params": params, "bn_state": bn_state})
     with open(os.path.join(out_dir, PARAMS), "wb") as f:
@@ -72,6 +77,8 @@ def export_artifacts(
         "metrics": metrics or {},
         "files": [PARAMS, PREPROC, ITEM_EMB],
     }
+    if train_cfg is not None:
+        manifest["train_config"] = dataclasses.asdict(train_cfg)
     with open(os.path.join(out_dir, MANIFEST), "w") as f:
         json.dump(manifest, f, indent=2)
 

@@ -211,7 +211,8 @@ def main(argv=None) -> int:
     log.info("Final Validation RMSE:    %.4f", m["val_rmse"])
     log.info("Throughput: %.0f examples/s", result.examples_per_s)
 
-    export_artifacts(args.out, result.params, result.bn_state, cfg.model, dims, preproc, m)
+    export_artifacts(args.out, result.params, result.bn_state, cfg.model, dims,
+                     preproc, m, train_cfg=cfg.train)
     log.info("artifacts exported to %s", args.out)
 
     if args.register_db:

@@ -100,3 +100,7 @@ def test_train_cli_preset_composes_e2e(tmp_path):
     assert mc["storage_dtype"] == "bfloat16"
     assert mc["compute_dtype"] == "bfloat16"
     assert "val_auc" in manifest["metrics"]
+    # train-config provenance: the preset's rbg knob and the CLI-overridden
+    # batch are recorded in the manifest
+    tc = manifest["train_config"]
+    assert tc["rng_impl"] == "rbg" and tc["batch_size"] == 256
