@@ -120,6 +120,70 @@ def all_to_all_lookup(mesh: Mesh, table: jnp.ndarray, ids: jnp.ndarray,
     )(table, ids)
 
 
+def capped_all_to_all_lookup(
+    mesh: Mesh,
+    table: jnp.ndarray,
+    ids: jnp.ndarray,
+    capacity_factor: float = 1.25,
+    model_axis: str = "model",
+    data_axis: str = "data",
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Skew-BOUNDED two-hop exchange: capacity ``c = ceil(b/m ·
+    capacity_factor)`` ids per (source, destination) pair instead of the
+    exact variant's worst-case ``b``.
+
+    This is the bandwidth-optimal production form ``all_to_all_lookup``'s
+    docstring promises: wire bytes drop from ``m·b·(4 + D·4)`` per shard to
+    ``≈ b·capacity_factor·(4 + D·4)`` — an ``m/capacity_factor``× cut (6.4×
+    on an 8-way model axis at factor 1.25), visible directly in the
+    compiled HLO's all-to-all operand shapes (tests/test_parallel.py).
+
+    The trade, exactly as in production TPU embedding systems (DLRM-class
+    trainers, MoE token routing): ids beyond a bucket's capacity are
+    DROPPED — their output row is 0 — so this is an opt-in approximation
+    for skew-tolerant workloads, never a silent default. Returns
+    ``(vectors [B, D], dropped [B] bool mask)`` so callers can count/log
+    the overflow rate; with uniformly-hashed ids at factor ≥1.25 overflow
+    is rare, and ``capacity_factor = m`` recovers the exact variant.
+    """
+    m = mesh.shape[model_axis]
+
+    def f(table_local, ids_local):
+        rows_per = table_local.shape[0]
+        b = ids_local.shape[0]
+        c = min(b, max(1, int(-(-b // m) * capacity_factor)))
+        owner = jnp.clip(ids_local // rows_per, 0, m - 1)  # [b]
+
+        oh = jax.nn.one_hot(owner, m, dtype=jnp.int32)
+        rank = (jnp.cumsum(oh, axis=0) * oh).sum(axis=1) - 1  # [b] pos in bucket
+        kept = rank < c
+
+        # mode='drop': scatter indices with rank >= c fall out of bounds on
+        # the capacity axis and are dropped — the capacity bound itself.
+        send_ids = jnp.zeros((m, c), jnp.int32).at[owner, rank].set(
+            ids_local - owner * rows_per, mode="drop")
+        send_valid = jnp.zeros((m, c), jnp.bool_).at[owner, rank].set(
+            True, mode="drop")
+
+        recv_ids = jax.lax.all_to_all(send_ids, model_axis, 0, 0, tiled=False)
+        recv_valid = jax.lax.all_to_all(send_valid, model_axis, 0, 0, tiled=False)
+
+        served = table_local[jnp.clip(recv_ids, 0, rows_per - 1)]  # [m, c, D]
+        served = jnp.where(recv_valid[:, :, None], served, 0)
+
+        back = jax.lax.all_to_all(served, model_axis, 0, 0, tiled=False)
+        out = back[owner, jnp.clip(rank, 0, c - 1)]  # [b, D]
+        out = jnp.where(kept[:, None], out, 0)
+        return out, ~kept
+
+    return shard_map(
+        f,
+        mesh=mesh,
+        in_specs=(P(model_axis, None), P((data_axis, model_axis))),
+        out_specs=(P((data_axis, model_axis), None), P((data_axis, model_axis))),
+    )(table, ids)
+
+
 def explicit_x0(
     mesh: Mesh,
     params: dict,

@@ -256,3 +256,81 @@ def test_hardware_order_mesh(eight_devices):
     ids = jax.random.randint(jax.random.PRNGKey(1), (16,), 0, 32)
     out = psum_lookup(mesh, table, ids)
     np.testing.assert_allclose(np.asarray(out), np.asarray(table[ids]), rtol=1e-6)
+
+
+def test_capped_lookup_exact_when_capacity_suffices(eight_devices):
+    """With near-uniform ids and factor 1.25, nothing overflows and the
+    capped exchange equals the exact gather; factor=m always does."""
+    from hhrs_tpu.parallel.embedding import capped_all_to_all_lookup
+
+    mesh = make_mesh(4, 2)
+    table = jax.random.normal(jax.random.PRNGKey(0), (64, 16))
+    # balanced per DEVICE-LOCAL slice: the id vector shards contiguously
+    # over 8 devices (8 ids each), so alternate owners by POSITION to give
+    # every device a 4/4 destination split (capacity ceil(8/2)*1.25 = 5)
+    pos = jnp.arange(64)
+    ids = jnp.where(pos % 2 == 0, pos % 32, 32 + pos % 32).astype(jnp.int32)
+    out, dropped = capped_all_to_all_lookup(mesh, table, ids, capacity_factor=1.25)
+    assert not bool(dropped.any())
+    np.testing.assert_allclose(np.asarray(out), np.asarray(table[ids]), rtol=1e-6)
+
+    # worst-case skew + factor=m (capacity b): still exact
+    skew = jnp.zeros((64,), jnp.int32)
+    out, dropped = capped_all_to_all_lookup(mesh, table, skew, capacity_factor=2.0)
+    assert not bool(dropped.any())
+    np.testing.assert_allclose(np.asarray(out), np.asarray(table[skew]), rtol=1e-6)
+
+
+def test_capped_lookup_counts_and_zeroes_overflow(eight_devices):
+    """Adversarial skew beyond capacity: overflow rows come back 0 and the
+    dropped mask reports exactly which — the documented approximation."""
+    from hhrs_tpu.parallel.embedding import capped_all_to_all_lookup
+
+    mesh = make_mesh(4, 2)
+    table = jax.random.normal(jax.random.PRNGKey(0), (64, 8)) + 1.0  # no zero rows
+    ids = jnp.zeros((64,), jnp.int32)  # every id owned by shard 0
+    out, dropped = capped_all_to_all_lookup(mesh, table, ids, capacity_factor=1.0)
+    out, dropped = np.asarray(out), np.asarray(dropped)
+    # per device-local vector of b=8, m=2 → capacity ceil(8/2)*1 = 4 per
+    # destination: half of each local batch overflows
+    assert dropped.sum() == 32, dropped.sum()
+    np.testing.assert_allclose(out[dropped], 0.0)
+    np.testing.assert_allclose(out[~dropped], np.asarray(table[ids])[~dropped],
+                               rtol=1e-6)
+
+
+def test_capped_lookup_shrinks_all_to_all_wire_shapes(eight_devices):
+    """The bandwidth claim, verified in the compiled HLO: the capped
+    exchange's all-to-all operands carry capacity c per destination, not
+    the exact variant's worst-case b."""
+    import re
+
+    from hhrs_tpu.parallel.embedding import (
+        all_to_all_lookup,
+        capped_all_to_all_lookup,
+    )
+
+    mesh = make_mesh(4, 2)
+    table = jax.random.normal(jax.random.PRNGKey(0), (64, 16))
+    ids = jnp.arange(256, dtype=jnp.int32) % 64
+
+    def a2a_shapes(fn):
+        hlo = jax.jit(fn).lower(table, ids).compile().as_text()
+        shapes = set()
+        for line in hlo.splitlines():
+            if " all-to-all(" not in line:
+                continue
+            # result shapes print as a tuple BEFORE the op name:
+            #   %x = (f32[1,32,16]{...}, ...) all-to-all(...)
+            shapes.update(re.findall(r"f32\[([\d,]+)\]",
+                                     line.split(" all-to-all(")[0]))
+        return sorted(shapes)
+
+    exact = a2a_shapes(lambda t, i: all_to_all_lookup(mesh, t, i))
+    capped = a2a_shapes(
+        lambda t, i: capped_all_to_all_lookup(mesh, t, i, capacity_factor=1.25)[0])
+    # per-device b = 256/8 = 32; exact vector hop slices are [1, 32, 16]
+    # per destination; capped: c = ceil(32/2)*1.25 = 20 → [1, 20, 16]
+    assert any(s.endswith("32,16") for s in exact), exact
+    assert any(s.endswith("20,16") for s in capped), capped
+    assert not any(s.endswith("32,16") for s in capped), capped
