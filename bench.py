@@ -144,12 +144,18 @@ def _watchdog():
         with _PROGRESS.lock:
             if _PROGRESS.done:
                 return
-            expired = time.monotonic() > _PROGRESS.deadline
+            if time.monotonic() <= _PROGRESS.deadline:
+                continue
+            # CLAIM completion under the lock: main's final emit also
+            # claims `done` before printing, so exactly one of the two can
+            # write the last JSON line (a successful run finishing in the
+            # same poll window must not be trailed by a budget_exceeded
+            # record — the driver parses the LAST line).
+            _PROGRESS.done = True
             phase = _PROGRESS.phase
-        if expired:
-            _PROGRESS.emit(error=f"budget_exceeded:{phase}")
-            sys.stdout.flush()
-            os._exit(0)
+        _PROGRESS.emit(error=f"budget_exceeded:{phase}")
+        sys.stdout.flush()
+        os._exit(0)
 
 
 def _maybe_fake_hang(phase: str):
@@ -461,8 +467,10 @@ def main():
         else:
             _PROGRESS.torch_error = torch_err
 
-    _PROGRESS.set_phase("complete")
     with _PROGRESS.lock:
+        if _PROGRESS.done:
+            return  # watchdog claimed completion first; it owns the last line
+        _PROGRESS.phase = "complete"
         _PROGRESS.done = True
     _PROGRESS.emit()
 

@@ -349,7 +349,8 @@ def apply_env_overrides(cfg: Config, environ=None) -> list[str]:
     contain underscores, so the section is matched as the longest known
     prefix. Unknown HHRS_* variables fail loudly — a typo'd variable that
     silently falls back to defaults is a misconfigured deployment.
-    ``HHRS_PRESET`` is consumed by the CLIs (build_config), not here.
+    ``HHRS_PRESET`` (consumed by build_config) and ``HHRS_BENCH_*``
+    (bench.py's own knobs) are exempt.
     Returns the applied overrides for logging.
     """
     import os
@@ -361,7 +362,10 @@ def apply_env_overrides(cfg: Config, environ=None) -> list[str]:
         if not var.startswith(_ENV_PREFIX):
             continue
         rest = var[len(_ENV_PREFIX):].lower()
-        if rest in ("preset",):
+        if rest == "preset" or rest.startswith("bench_"):
+            # HHRS_PRESET is consumed by build_config; HHRS_BENCH_* are
+            # bench.py's own knobs (budget/probe/fake-hang/shapes) — both
+            # legitimate in the same shell as any CLI
             continue
         section_name = next(
             (s for s in sorted(sections, key=len, reverse=True)

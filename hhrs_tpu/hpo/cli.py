@@ -222,6 +222,8 @@ def main(argv=None) -> int:
         except ValueError as e:
             p.error(str(e))
 
+    if args.reclaim_lanes and args.vectorize <= 1:
+        p.error("--reclaim-lanes requires --vectorize K>1 (lanes to reclaim)")
     cfg = build_config(args.overrides, log=log)
     if args.epochs is not None:
         cfg.train.n_epochs = args.epochs

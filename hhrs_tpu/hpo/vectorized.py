@@ -266,8 +266,18 @@ def run_group(
 
     @jax.jit
     def eval_lane_logits(p, b, val):
-        # single-lane final eval (the lane is gathered on device first)
+        # single-lane final eval (reclaim path: lanes finalize at different
+        # epochs; the lane is gathered on device first)
         return _eval_logits_body(mcfg, tcfg.eval_batch_size, p, b, val)
+
+    @jax.jit
+    def veval_logits(vp, vb, val):
+        # all-lanes final eval (no-refill path: every lane finalizes
+        # together — ONE dispatch and ONE [K, n_val] device_get instead of
+        # K round-trips; transfers are seconds-scale on the tunnel)
+        return jax.vmap(
+            lambda p, b: _eval_logits_body(mcfg, tcfg.eval_batch_size, p, b, val)
+        )(vp, vb)
 
     @jax.jit
     def vsnap(best, cur, improved):
@@ -305,12 +315,13 @@ def run_group(
     epoch_times: list[float] = []
     y_val = splits.val_y
 
-    def finalize_lane(k):
+    def finalize_lane(k, lk=None):
         """Final metrics for lane k's trial from its best snapshot
         (reference train.py:365-387 semantics). The lane gather stays ON
         DEVICE (a host round-trip of K param stacks costs seconds-to-
         minutes on the tunnel, RESULTS.md) with the lane index TRACED, so
-        one compiled eval serves every lane; only [n_val] logits transfer.
+        one compiled eval serves every lane; only [n_val] logits transfer
+        (``lk`` pre-supplies them from the batched all-lanes eval).
         Pruned lanes are skipped entirely — the driver discards them, and
         the host-side AUC/recall sorts over the full val set aren't free."""
         r = results[lane_result[k]]
@@ -319,7 +330,8 @@ def run_group(
         k_idx = jnp.asarray(k, jnp.int32)
         p_k, b_k = take(vbest, k_idx)
         r.params, r.bn_state = p_k, b_k
-        lk = np.asarray(jax.device_get(eval_lane_logits(p_k, b_k, val_data)))
+        if lk is None:
+            lk = np.asarray(jax.device_get(eval_lane_logits(p_k, b_k, val_data)))
         r.final_metrics = {
             "val_logloss": float(
                 np.asarray(bce_with_logits(jnp.asarray(lk), jnp.asarray(y_val)))
@@ -443,10 +455,14 @@ def run_group(
                 log.info("vectorized lane %d reclaimed for a new trial", k)
 
     # Any lane never finalized above (refill_fn=None path finalizes only
-    # at the very end; bookkeeping above handles the refill path).
-    for k in range(K):
-        if lane_result[k] is not None:
-            finalize_lane(k)
+    # at the very end; bookkeeping above handles the refill path). All
+    # remaining lanes share ONE vmapped eval + ONE device_get.
+    pending = [k for k in range(K) if lane_result[k] is not None]
+    if pending:
+        vlogits = np.asarray(jax.device_get(
+            veval_logits(vbest[0], vbest[1], val_data)))
+        for k in pending:
+            finalize_lane(k, lk=vlogits[k])
             lane_result[k] = None
 
     per_trial_rate = 0.0

@@ -35,6 +35,7 @@ intentionally do NOT agree on them.
 
 from __future__ import annotations
 
+import math
 from functools import partial
 
 import jax
@@ -151,7 +152,9 @@ def capped_all_to_all_lookup(
     def f(table_local, ids_local):
         rows_per = table_local.shape[0]
         b = ids_local.shape[0]
-        c = min(b, max(1, int(-(-b // m) * capacity_factor)))
+        # ceil(b/m · factor), matching the docstring's formula exactly —
+        # flooring the product would under-provision fractional capacities
+        c = min(b, max(1, math.ceil(b / m * capacity_factor)))
         owner = jnp.clip(ids_local // rows_per, 0, m - 1)  # [b]
 
         oh = jax.nn.one_hot(owner, m, dtype=jnp.int32)

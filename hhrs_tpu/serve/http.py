@@ -26,13 +26,12 @@ from urllib.parse import parse_qs, urlparse
 from pydantic import ValidationError
 
 from hhrs_tpu.serve.openapi import DOCS_HTML, openapi_json
-from hhrs_tpu.serve.schemas import RecommendationRequest
+from hhrs_tpu.serve.schemas import HTTP_BATCH_PAD, RecommendationRequest
 
 log = logging.getLogger(__name__)
 
-# The batch endpoint's single padded program shape (and request cap): every
-# call compiles/reuses exactly one vmapped program.
-HTTP_BATCH_PAD = 64
+# HTTP_BATCH_PAD (re-exported from schemas): every /recommendations/batch
+# call compiles/reuses exactly one vmapped program of this pad.
 
 
 

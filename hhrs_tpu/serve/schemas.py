@@ -8,6 +8,11 @@ from typing import List, Optional
 
 from pydantic import BaseModel, Field
 
+# The batch endpoint's single padded program shape (and request cap); the
+# HTTP layer re-exports it — one source for the enforced and published
+# contract.
+HTTP_BATCH_PAD = 64
+
 
 class RecommendationRequest(BaseModel):
     user_id: int = Field(..., examples=[15], description="ID of the user for personalization")
@@ -41,7 +46,8 @@ class BatchRecommendationRequest(BaseModel):
     """POST /recommendations/batch: up to HTTP_BATCH_PAD requests scored as
     ONE padded device program (beyond the reference's contract)."""
 
-    requests: List[RecommendationRequest] = Field(..., min_length=1)
+    requests: List[RecommendationRequest] = Field(..., min_length=1,
+                                                  max_length=HTTP_BATCH_PAD)
 
 
 class BatchRecommendationResponse(BaseModel):

@@ -238,14 +238,15 @@ def make_streamed_train_step(cfg: ModelConfig, batch_sharding=None, train_cfg=No
     return step
 
 
-def make_slab_train_step(cfg: ModelConfig, batch_sharding=None, train_cfg=None):
+def make_slab_train_step(cfg: ModelConfig, batch_sharding=None, train_cfg=None,
+                         mesh=None, exchange=None):
     """Out-of-core step over a [K, B, ·] slab (train.stream_slab_steps).
 
     Two device-carried counters: ``s_local`` indexes the slab, ``s_global``
     drives the dropout rng (``fold_in(epoch_rng, s_global)``) — the SAME
     stream as the resident path's step index, so slab streaming is
     bit-interchangeable with the resident dataset."""
-    update = _make_update_block(cfg, train_cfg)
+    update = _make_update_block(cfg, train_cfg, mesh=mesh, exchange=exchange)
 
     def step(params, bn_state, opt_state, tx_update, slab, s_local, s_global,
              epoch_rng):
@@ -473,7 +474,8 @@ def train_dcn(
     # params/bn/opt donate: the step updates them in place in HBM.
     out_of_core = train_cfg.stream_slab_steps > 0
     if out_of_core:
-        raw_step = make_slab_train_step(model_cfg, batch_sharding, train_cfg)
+        raw_step = make_slab_train_step(model_cfg, batch_sharding, train_cfg,
+                                        mesh=mesh, exchange=explicit_exchange)
         step_fn = jax.jit(
             lambda p, b, o, sl, i, s, r: raw_step(p, b, o, tx.update, sl, i, s, r),
             donate_argnums=(0, 1, 2),

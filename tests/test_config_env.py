@@ -43,6 +43,9 @@ def test_env_overrides_apply_and_coerce():
         "HHRS_DATA_LEAKAGE_COMPAT": "false",
         "HHRS_MODEL_STORAGE_DTYPE": "bfloat16",
         "UNRELATED": "ignored",
+        "HHRS_PRESET": "reference",       # consumed by build_config, not here
+        "HHRS_BENCH_BUDGET_S": "600",     # bench.py's own knobs are exempt
+        "HHRS_BENCH_FAKE_HANG": "probe",
     })
     assert cfg.serve.port == 8765
     assert cfg.train.batch_size == 1024

@@ -373,3 +373,10 @@ def test_study_ask_fixed_pins_params():
     assert len({t.params["lr"] for t in trials}) > 1
     with pytest.raises(ValueError, match="not in space"):
         study.ask(space, fixed={"bogus_param": 1})
+
+
+def test_reclaim_lanes_requires_vectorize():
+    from hhrs_tpu.hpo.cli import main as hpo_main
+
+    with pytest.raises(SystemExit):
+        hpo_main(["--synthetic", "--trials", "2", "--reclaim-lanes"])

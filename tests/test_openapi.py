@@ -109,6 +109,9 @@ def test_spec_is_structurally_sound(spec):
                 walk(v)
 
     walk(spec["paths"])
+    # the enforced batch cap is published, not just enforced (one source)
+    batch_req = comps["BatchRecommendationRequest"]["properties"]["requests"]
+    assert batch_req["maxItems"] == 64 and batch_req["minItems"] == 1
 
 
 def test_recommendations_response_matches_schema(spec, server):

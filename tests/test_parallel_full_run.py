@@ -134,3 +134,25 @@ def test_mesh_full_run_explicit_exchange_matches(eight_devices, exchange):
     assert ex.final_metrics["val_auc"] == pytest.approx(
         base.final_metrics["val_auc"], abs=5e-3 if exchange == "all_to_all" else 1e-5
     )
+
+
+def test_slab_streaming_composes_with_explicit_exchange(eight_devices):
+    """stream_slab_steps + mesh + explicit_exchange must route the slab
+    step's lookups through the exchange too (the out-of-core branch was
+    silently dropping the flag — r4 review finding)."""
+    ds = generate_synthetic_dataset(n_users=256, n_items=64, n_reviews=4000, seed=9)
+    df = add_engineered_features(noise_filter(
+        ds.reviews.rename(columns={"guest_id": "user_id", "hotel_id": "item_id"})))
+    splits, art = Preprocessor().fit_transform(df)
+    dims = ModelDims.from_artifacts(art)
+    mesh = make_mesh(4, 2)
+    tcfg2 = TrainConfig(batch_size=256, n_epochs=2, seed=7, drop_remainder=False,
+                        eval_batch_size=512, early_stop_patience=10,
+                        stream_slab_steps=2)
+
+    base = train_dcn(splits, dims, MCFG, tcfg2, mesh=mesh)
+    ex = train_dcn(splits, dims, MCFG, tcfg2, mesh=mesh,
+                   explicit_exchange="psum")
+    base_vl = [h["val_loss"] for h in base.history]
+    ex_vl = [h["val_loss"] for h in ex.history]
+    np.testing.assert_allclose(ex_vl, base_vl, rtol=1e-6)
