@@ -98,12 +98,19 @@ def _optimize_vectorized(args, cfg, splits, dims, preproc, space, study, best_bo
             refill_fn = None
             if getattr(args, "reclaim_lanes", False):
                 group_arch = {key: members[0].params[key] for key in ARCH_KEYS}
+                # Refills share the round's architecture, so an unbounded
+                # round would drain the WHOLE trial budget into one arch
+                # (measured: 120 trials through a single round — great
+                # wall-clock, zero architecture exploration). The cap ends
+                # the round so the next one samples a fresh arch.
+                cap = args.reclaim_round_cap or 3 * len(members)
 
-                def refill_fn(group_arch=group_arch, all_members=all_members):
+                def refill_fn(group_arch=group_arch, all_members=all_members,
+                              cap=cap):
                     # dead lane + budget left → ask ONE more trial with the
                     # group's architecture pinned (conditional proposal)
                     nonlocal asked_total
-                    if asked_total >= args.trials:
+                    if asked_total >= args.trials or len(all_members) >= cap:
                         return None
                     t = study.ask(space, 1, fixed=group_arch)[0]
                     asked_total += 1
@@ -186,6 +193,12 @@ def main(argv=None) -> int:
                         "(incompatible with --mesh). By default the K "
                         "trials share one sampled architecture per round "
                         "(arch-major ask) so they form ONE group")
+    p.add_argument("--reclaim-round-cap", type=int, default=0,
+                   help="with --reclaim-lanes: max trials one vectorized "
+                        "round may consume before a fresh architecture is "
+                        "sampled (0 = 3x the round's K). Bounds the "
+                        "arch-exploration trade of reclaiming into a "
+                        "pinned architecture")
     p.add_argument("--reclaim-lanes", action="store_true",
                    help="with --vectorize: when a lane's trial prunes / "
                         "early-stops / completes mid-round, immediately "

@@ -334,3 +334,46 @@ def test_capped_lookup_shrinks_all_to_all_wire_shapes(eight_devices):
     assert any(s.endswith("32,16") for s in exact), exact
     assert any(s.endswith("20,16") for s in capped), capped
     assert not any(s.endswith("32,16") for s in capped), capped
+
+
+def test_capped_lookup_property_random_ids(eight_devices):
+    """Property over random id distributions and capacity factors: kept
+    rows are exactly the table rows, dropped rows are exactly zero, and
+    the kept/dropped partition respects per-(device, destination) capacity."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from hhrs_tpu.parallel.embedding import capped_all_to_all_lookup
+
+    mesh = make_mesh(4, 2)
+    table = jax.random.normal(jax.random.PRNGKey(0), (64, 8)) + 2.0  # no zeros
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        seed=st.integers(0, 2**31 - 1),
+        factor=st.sampled_from([1.0, 1.25, 1.5, 2.0]),
+    )
+    def check(seed, factor):
+        ids = jax.random.randint(jax.random.PRNGKey(seed), (64,), 0, 64)
+        out, dropped = capped_all_to_all_lookup(mesh, table, ids,
+                                                capacity_factor=factor)
+        out, dropped = np.asarray(out), np.asarray(dropped)
+        expect = np.asarray(table[ids])
+        np.testing.assert_allclose(out[~dropped], expect[~dropped], rtol=1e-6)
+        np.testing.assert_allclose(out[dropped], 0.0)
+        # capacity accounting: per device-local slice of 8 ids, at most
+        # c = ceil(8/2 * factor) survive per destination shard
+        import math
+
+        c = min(8, math.ceil(8 / 2 * factor))
+        ids_np, kept = np.asarray(ids), ~dropped
+        for dev in range(8):
+            sl = slice(dev * 8, (dev + 1) * 8)
+            owners = ids_np[sl] // 32
+            for dst in (0, 1):
+                n_kept = int((kept[sl] & (owners == dst)).sum())
+                assert n_kept <= c, (dev, dst, n_kept, c)
+                # and the bound is tight: kept count = min(bucket size, c)
+                assert n_kept == min(int((owners == dst).sum()), c)
+
+    check()
