@@ -76,11 +76,12 @@ class TrainConfig:
     # O(B·d) table HBM traffic per step instead of the dense optimizer's
     # O(n_rows·d). Identical to dense when every row is touched every step.
     # Measured (benchmarks/lazy_ab.py, both orders, real chip): dense WINS
-    # at 1M rows (3.6x) and still at 10M rows (1.55x) — the dense moment
-    # sweep streams at full HBM bandwidth while lazy pays random
-    # gather/scatter; lazy's rate is size-flat (~1.6M ex/s), so it only
-    # pays past the extrapolated ~30M-row crossover (or when dense moments
-    # don't fit HBM). Off by default.
+    # at 1M rows (3.6x) and 10M rows (1.55x) — the dense moment sweep
+    # streams at full HBM bandwidth while lazy pays random gather/scatter
+    # — but LAZY WINS at 30M rows (1.39x, both orders, r4): lazy's rate is
+    # size-flat (~1.6M ex/s) while dense scales down with table bytes.
+    # Guidance: dense below ~20M table rows, lazy above (or whenever dense
+    # moments don't fit HBM). Off by default.
     lazy_table_updates: bool = False
     # PRNG impl for the IN-STEP randomness (dropout masks): 'threefry2x32'
     # (JAX default — sharding-invariant bits, mesh-vs-single-device
