@@ -15,7 +15,7 @@ import dataclasses
 import logging
 import sys
 
-from hhrs_tpu.config import Config, build_config, check_overrides, ModelConfig, TrainConfig
+from hhrs_tpu.config import build_config, ModelConfig, TrainConfig
 from hhrs_tpu.hpo.space import reference_search_space
 from hhrs_tpu.hpo.study import TrialPruned, create_study
 from hhrs_tpu.utils.logging import enable_compilation_cache, setup_logging
@@ -126,7 +126,15 @@ def _optimize_vectorized(args, cfg, splits, dims, preproc, space, study, best_bo
             except Exception as e:  # noqa: BLE001 — a failed group must not kill the sweep
                 log.exception("vectorized group of %d failed", len(all_members))
                 for t in all_members:
-                    study.tell(t, "failed", error=repr(e))
+                    # A mid-round crash loses run_group's results, but any
+                    # trial that already REPORTED epochs carries its curve:
+                    # journal those as 'pruned' (their best intermediate
+                    # stays TPE evidence — Study._history) instead of
+                    # erasing finished work as 'failed'.
+                    if t.intermediates:
+                        study.tell(t, "pruned", error=repr(e))
+                    else:
+                        study.tell(t, "failed", error=repr(e))
                 continue
             for t, r in zip(all_members, results):
                 if r.pruned:
@@ -289,10 +297,15 @@ def main(argv=None) -> int:
         if result.best_val_loss < best_box["value"]:
             best_box["value"] = result.best_val_loss
             log.info("new best (%.5f) — exporting artifacts to %s", result.best_val_loss, args.out)
-            export_artifacts(
-                args.out, result.params, result.bn_state, mcfg, dims, preproc,
-                result.final_metrics,
-            )
+            try:
+                export_artifacts(
+                    args.out, result.params, result.bn_state, mcfg, dims, preproc,
+                    result.final_metrics,
+                )
+            except Exception:  # noqa: BLE001 — the TRIAL succeeded; an export
+                # IO failure must not journal a completed trial as 'failed'
+                # (same guard as the vectorized path)
+                log.exception("best-artifact export failed (trial %d)", trial.number)
         return result.best_val_loss
 
     if args.vectorize > 1:

@@ -71,12 +71,14 @@ class Trial:
         # optuna MedianPruner semantics: the trial's BEST intermediate so
         # far (minimize direction) is compared against the median, so a
         # trial that already posted a good epoch is not pruned on a later
-        # regression. A NaN best (diverged trial) prunes IMMEDIATELY —
+        # regression. A NaN ANYWHERE (diverged trial) prunes IMMEDIATELY —
         # optuna does the same; letting it run would burn epochs until
-        # early-stop and poison future medians.
-        best = min(self.intermediates.values())
-        if math.isnan(best):
+        # early-stop and poison future medians. (min() alone is
+        # order-dependent: min(0.65, nan) returns 0.65, so a trial that
+        # diverged AFTER a finite first epoch would never be caught.)
+        if any(math.isnan(v) for v in self.intermediates.values()):
             return True
+        best = min(self.intermediates.values())
         return self._study._pruner.should_prune(
             self._last_step,
             best,
@@ -137,7 +139,8 @@ class Study:
                     log.warning("skipping corrupt journal line (torn write)")
                     continue
                 rec["intermediates_by_step"] = {
-                    int(k): v for k, v in rec.get("intermediates", {}).items()
+                    int(k): (float("nan") if v is None else v)
+                    for k, v in rec.get("intermediates", {}).items()
                 }
                 self.trials.append(rec)
 
@@ -233,7 +236,14 @@ class Study:
             rec["value"] = None
             if error is not None:
                 rec["error"] = error
-        rec["intermediates"] = {str(k): v for k, v in trial.intermediates.items()}
+        # journal field must stay STRICT JSON (json.dumps would emit the
+        # non-standard NaN/Infinity tokens otherwise — same reason the
+        # non-finite objective above becomes 'failed'); non-finite
+        # intermediates round-trip as null → nan (see _load)
+        rec["intermediates"] = {
+            str(k): (v if math.isfinite(v) else None)
+            for k, v in trial.intermediates.items()
+        }
         rec["intermediates_by_step"] = dict(trial.intermediates)
         rec["user_attrs"] = trial.user_attrs
         self._in_flight = [t for t in self._in_flight if t is not trial]

@@ -408,7 +408,9 @@ def run_group(
         if improved.any():
             vbest = vsnap(vbest, (vparams, vbn), lane_put(jnp.asarray(improved)))
 
-        if not first_epoch:  # epoch 0 carries the XLA compile
+        if first_epoch:  # epoch 0 carries the XLA compile
+            compile_epoch_time = time.perf_counter() - t_epoch
+        else:
             epoch_times.append(time.perf_counter() - t_epoch)
         first_epoch = False
 
@@ -468,6 +470,10 @@ def run_group(
     per_trial_rate = 0.0
     if epoch_times:
         per_trial_rate = steps_per_epoch * B / max(statistics.median(epoch_times), 1e-9)
+    elif not first_epoch:
+        # single-epoch groups have only the compile epoch to report —
+        # a conservative measured rate beats a wrong 0.0
+        per_trial_rate = steps_per_epoch * B / max(compile_epoch_time, 1e-9)
     for r in results:
         r.examples_per_s = per_trial_rate
         r.group_examples_per_s = per_trial_rate * K

@@ -20,15 +20,15 @@ from dataclasses import dataclass
 from typing import Any, Callable
 
 import jax
-import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh
 
 from hhrs_tpu.config import ModelConfig
 from hhrs_tpu.models.dcn import apply_dcn
 from hhrs_tpu.parallel.sharding import (
-    batch_pspec,
+    batch_shardings,
     opt_state_shardings,
     param_shardings,
+    replicated,
 )
 from hhrs_tpu.train.metrics import bce_with_logits
 
@@ -50,7 +50,7 @@ def shard_train_state(
 ) -> ParallelTrainState:
     """device_put the train state with row-sharded tables + replicated rest."""
     p_sh = param_shardings(params, mesh, model_axis)
-    rep = NamedSharding(mesh, P())
+    rep = replicated(mesh)
     bn_sh = jax.tree.map(lambda _: rep, bn_state)
     opt_sh = opt_state_shardings(opt_state, params, p_sh, mesh)
     return ParallelTrainState(
@@ -80,10 +80,7 @@ def make_parallel_train_step(
     (parallel/embedding.py); default None trusts GSPMD's lowering, which
     tests/test_hlo_lowering.py pins (no full-table all-gathers).
     """
-    rep = NamedSharding(mesh, P())
-
-    def batch_sharding(x):
-        return NamedSharding(mesh, batch_pspec(x.ndim, data_axis))
+    rep = replicated(mesh)
 
     def step(params, bn_state, opt_state, batch, rng):
         def loss_fn(p):
@@ -118,7 +115,7 @@ def make_parallel_train_step(
         return new_params, new_bn, new_opt, loss
 
     def batch_shardings_of(batch):
-        return jax.tree.map(batch_sharding, batch)
+        return batch_shardings(mesh, batch, data_axis)
 
     def jit_for(batch_example):
         return jax.jit(

@@ -277,3 +277,40 @@ def test_asha_in_study_uses_pruned_trial_evidence(tmp_path):
     states = [t["state"] for t in study.trials]
     assert states[:2] == ["complete", "complete"]
     assert states[2:] == ["pruned"] * 4  # every later bad trial cut at rung 1
+
+
+def test_nan_after_finite_epoch_prunes_immediately():
+    """min() is order-dependent over NaN — a trial that diverges AFTER a
+    finite first epoch must still insta-prune (r4 review finding)."""
+    from hhrs_tpu.hpo.study import Study, Trial
+
+    study = Study(seed=0)
+    t = Trial(0, {}, {}, study)
+    t.report(0.65, 0)
+    assert not t.should_prune()
+    t.report(float("nan"), 1)
+    assert t.should_prune()
+
+
+def test_journal_stays_strict_json_with_nan_intermediates(tmp_path):
+    """Non-finite intermediates must round-trip through the journal as
+    null (strict JSON — no NaN tokens), restored as nan for the pruners."""
+    import json
+    import math
+
+    from hhrs_tpu.hpo.study import Study, Trial
+
+    path = str(tmp_path / "j.jsonl")
+    study = Study(journal_path=path, seed=0)
+    t = Trial(0, {}, {"lr": 1e-3}, study)
+    t.report(0.6, 0)
+    t.report(float("nan"), 1)
+    study.tell(t, "pruned")
+
+    for line in open(path):
+        json.loads(line, parse_constant=lambda c: (_ for _ in ()).throw(
+            ValueError(f"non-standard JSON token {c}")))
+
+    resumed = Study(journal_path=path, seed=0)
+    inter = resumed.trials[0]["intermediates_by_step"]
+    assert inter[0] == 0.6 and math.isnan(inter[1])
