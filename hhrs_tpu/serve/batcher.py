@@ -55,10 +55,16 @@ class BatchingEngine:
         # Bounded waits so a dead worker or a close() race surfaces as an
         # error instead of hanging the caller forever.
         while not p.event.wait(timeout=1.0):
-            if not self._worker.is_alive() or self._stop.is_set():
-                if p.event.is_set():
-                    break
+            if p.event.is_set():
+                break
+            if not self._worker.is_alive():
                 raise RuntimeError("BatchingEngine worker is gone")
+            # _stop set with the worker still ALIVE means close() is
+            # draining: this request may be mid-flight in the batch the
+            # worker is executing right now — keep waiting (close() joins
+            # the worker and errors out everything left in the queue, so
+            # the wait terminates either way) instead of turning an
+            # about-to-succeed request into a 500.
         if p.error is not None:
             # Fresh exception per waiter: N handler threads re-raising the
             # SAME instance race on its __traceback__ (garbled 500 logs).

@@ -15,7 +15,7 @@ import argparse
 import logging
 import sys
 
-from hhrs_tpu.config import Config, build_config, check_overrides
+from hhrs_tpu.config import build_config
 from hhrs_tpu.utils.logging import enable_compilation_cache, setup_logging
 
 log = logging.getLogger("hhrs_tpu.serve")
@@ -113,7 +113,21 @@ def main(argv=None) -> int:
         artifacts_dir = resolve_artifacts_dir(artifacts)
         want_batching = window_ms > 0
 
-        def build_stack(adir: str):
+        # Parse the CSVs ONCE: the primary/shadow/canary stacks share the
+        # identical data_dir, and the parse is seconds-to-minutes of
+        # startup each. The hot-reload poller passes frames=None so a
+        # reload re-reads possibly-refreshed data.
+        import os as _os
+
+        from hhrs_tpu.data.features import add_engineered_features
+        from hhrs_tpu.data.ingest import load_friendships_csv, load_reviews_csv
+
+        _main_df = add_engineered_features(load_reviews_csv(
+            _os.path.join(data_dir, "hackathon_augmented_data.csv")))
+        _frames = (_main_df, load_friendships_csv(
+            _os.path.join(data_dir, "friendships.csv")))
+
+        def build_stack(adir: str, frames: tuple | None = None):
             """The full engine stack for one artifact dir — used at startup
             and verbatim by the hot-reload poller, so a reloaded model gets
             the same mesh/bf16/quantization/warmup/batching treatment.
@@ -126,7 +140,7 @@ def main(argv=None) -> int:
                 retrieval_cfg=cfg_all.retrieval,  # retrieval.* overrides apply
                 quantize_tables=args.quantize_tables or cfg.quantize_tables,
                 candidate_cap=cap, city_bounded=cfg.city_bounded,
-                use_pallas=cfg.use_pallas)
+                use_pallas=cfg.use_pallas, frames=frames)
             if not args.no_warmup:
                 log.info("warming up compiled request program...")
                 eng.warmup(batch_pad=max_batch if want_batching else None)
@@ -146,7 +160,7 @@ def main(argv=None) -> int:
                          window_ms, max_batch)
             return eng
 
-        engine = build_stack(artifacts_dir)
+        engine = build_stack(artifacts_dir, frames=_frames)
         if args.reload_poll_s > 0:
             if not artifacts.startswith("registry:"):
                 log.warning("--reload-poll-s needs --artifacts registry:<db>; "
@@ -174,9 +188,22 @@ def main(argv=None) -> int:
                 quantize_tables=args.quantize_tables or cfg.quantize_tables,
                 candidate_cap=args.candidate_cap if args.candidate_cap is not None
                 else cfg.candidate_cap,
-                city_bounded=cfg.city_bounded)
+                city_bounded=cfg.city_bounded, frames=_frames)
             if not args.no_warmup:
                 canary_eng.warmup()
+                if args.warm_http_batch:
+                    # the canary arm answers its slice of /recommendations/
+                    # batch via recommend_many(pad_to=HTTP_BATCH_PAD) — an
+                    # unwarmed batched shape would compile ON the request
+                    # path (minutes on the tunneled chip) and trip the
+                    # canary fallback
+                    uni = canary_eng.gen.universe
+                    if uni.n_users and len(uni.cities):
+                        canary_eng.recommend_many(
+                            [(int(uni.user_ids[0]), uni.cities[0], "friends", 0.7)],
+                            pad_to=HTTP_BATCH_PAD,
+                        )
+                    canary_eng.latency = type(canary_eng.latency)()
             # wraps the (possibly swappable) primary: a hot swap replaces
             # the primary arm while the canary slice stays pinned; the
             # cache sits OUTSIDE so hits skip the device, and routing is
@@ -230,7 +257,7 @@ def main(argv=None) -> int:
                 quantize_tables=args.quantize_tables or cfg.quantize_tables,
                 candidate_cap=args.candidate_cap if args.candidate_cap is not None
                 else cfg.candidate_cap,
-                city_bounded=cfg.city_bounded)
+                city_bounded=cfg.city_bounded, frames=_frames)
             if not args.no_warmup:
                 shadow_eng.warmup()
             # OUTERMOST wrapper: sees every request, incl. cache hits (the

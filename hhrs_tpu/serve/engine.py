@@ -551,14 +551,24 @@ class RecommendationEngine:
                   use_pallas: bool = False, mesh=None, bf16: bool = False,
                   quantize_tables: bool = False,
                   candidate_cap: int = 0,
-                  city_bounded: bool = True) -> "RecommendationEngine":
-        """Startup loader (reference load_artifacts, main.py:233-277)."""
+                  city_bounded: bool = True,
+                  frames: tuple | None = None) -> "RecommendationEngine":
+        """Startup loader (reference load_artifacts, main.py:233-277).
+
+        ``frames=(main_df, friendships)`` skips the CSV parse — the CLI
+        loads the data ONCE and shares it across the primary/shadow/canary
+        stacks (identical data_dir; parsing is seconds-to-minutes of
+        startup each). The hot-reload poller passes None so a reload
+        re-reads refreshed data."""
         import os
 
         bundle = load_artifact_bundle(artifacts_dir)
-        main_df = load_reviews_csv(os.path.join(data_dir, "hackathon_augmented_data.csv"))
-        main_df = add_engineered_features(main_df)
-        friendships = load_friendships_csv(os.path.join(data_dir, "friendships.csv"))
+        if frames is not None:
+            main_df, friendships = frames
+        else:
+            main_df = load_reviews_csv(os.path.join(data_dir, "hackathon_augmented_data.csv"))
+            main_df = add_engineered_features(main_df)
+            friendships = load_friendships_csv(os.path.join(data_dir, "friendships.csv"))
         eng = cls(bundle, main_df, friendships, retrieval_cfg, use_pallas=use_pallas,
                   mesh=mesh, bf16=bf16, quantize_tables=quantize_tables,
                   candidate_cap=candidate_cap, city_bounded=city_bounded)

@@ -85,8 +85,14 @@ class RegistryReloader(threading.Thread):
         self.current_key = (None, current_dir)
         self._failed_key = None
         self._failed_at = 0.0
+        import time as _time
+
+        # wall clock, same base as the registry's created_at column — lets
+        # the adopt branch below tell a pre-boot registration (the one the
+        # server loaded) from a post-boot re-registration over the same dir
+        self._boot_at = _time.time()
         try:
-            active = self._active()
+            active, _created = self._active()
             if active[1] == current_dir:
                 self.current_key = active
         except Exception:  # registry unreadable at init → first poll decides
@@ -97,12 +103,13 @@ class RegistryReloader(threading.Thread):
         return self.current_key[1]
 
     def _active(self) -> tuple:
-        """(model_id, artifact_path) of the active registration."""
+        """((model_id, artifact_path), created_at) of the active registration."""
         reg = ModelRegistry(self.spec[len("registry:"):])
         active = reg.active()
         if active is None:
             raise FileNotFoundError("no active model in registry")
-        return (active["model_id"], active["artifact_path"])
+        return ((active["model_id"], active["artifact_path"]),
+                float(active.get("created_at") or 0.0))
 
     def check_once(self) -> bool:
         """One poll: swap if the active registration moved. Returns True
@@ -111,16 +118,21 @@ class RegistryReloader(threading.Thread):
         import time
 
         try:
-            new_key = self._active()
+            new_key, created_at = self._active()
         except Exception as e:
             log.warning("registry poll failed (%s); keeping current model", e)
             return False
         if new_key == self.current_key:
             return False
-        if self.current_key[0] is None and new_key[1] == self.current_dir:
+        if (self.current_key[0] is None and new_key[1] == self.current_dir
+                and created_at <= self._boot_at):
             # Init couldn't read the registry (transient lock) but the
-            # active registration points at the dir ALREADY serving —
-            # adopt its key instead of rebuilding the identical stack.
+            # active registration PREDATES boot and points at the dir
+            # ALREADY serving — it is the registration the server loaded;
+            # adopt its key instead of rebuilding the identical stack. A
+            # registration CREATED AFTER boot over the same dir is a new
+            # snapshot (new weights on disk) and falls through to a real
+            # rebuild+swap below.
             self.current_key = new_key
             return False
         if new_key == self._failed_key and (

@@ -4,9 +4,10 @@ At reference scale a request scores the whole item universe in one MXU
 batch (serve/engine.py). When the catalog outgrows one chip, the item axis
 is the serve path's "large axis" (SURVEY.md §5): this module shards the
 item-feature matrices over the mesh and pjit's the same DCN-R forward —
-each device scores its slice of the catalog, XLA all-gathers only the
-[M]-vector of logits (or, with ``top_k``, only [devices·k] after a
-per-shard top-k — the same merge identity as retrieval/sharded.py).
+each device scores its slice of the catalog; ``score_all`` all-gathers
+the [M] logits vector, while ``top_k`` reduces each shard to its local
+top-k FIRST so only [devices·k] score/index pairs cross the mesh — the
+same merge identity as retrieval/sharded.py.
 
 Works with BOTH mesh axes as a flat shard axis (a serve fleet has no
 gradient sync, so every device can hold catalog rows).
@@ -90,7 +91,67 @@ class ShardedItemScorer:
         )
         return out[: self.M]
 
+    def _topk_program(self, k: int):
+        """Jitted score + PER-SHARD top-k + merge for one static k.
+
+        The module's bandwidth contract, implemented for real (it
+        previously all-gathered the full [M] logits and ran a replicated
+        top_k — r4 review finding): every global top-k item is in its own
+        shard's local top-k, so each shard reduces its slice to k
+        candidates FIRST and the all-gather moves only [shards·k] score/
+        index pairs instead of the O(M) logits vector. Exact — same merge
+        identity as retrieval/sharded.py."""
+        from jax import shard_map
+
+        axes = tuple(self.mesh.axis_names)
+        n_shards = self.mesh.devices.size
+        mesh = self.mesh
+        cfg = self.cfg
+
+        def local_merge(logits_local, gids_local):
+            k_local = min(k, logits_local.shape[0])
+            v, i = jax.lax.top_k(logits_local, k_local)
+            g = gids_local[i]
+            v_all = jax.lax.all_gather(v, axes, tiled=True)  # [shards·k_local]
+            g_all = jax.lax.all_gather(g, axes, tiled=True)
+            vv, ii = jax.lax.top_k(v_all, k)
+            return vv, g_all[ii]
+
+        # check_vma=False: the outputs ARE replicated (both come out of
+        # an all_gather over every mesh axis + identical pure math), but
+        # the static varying-axes checker cannot infer that through the
+        # gather.
+        sm = shard_map(
+            local_merge, mesh=mesh,
+            in_specs=(P(axes), P(axes)),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+
+        def run(params, bn, item, cat, num, valid, user_internal):
+            users = jnp.full(item.shape, user_internal, jnp.int32)
+            logits, _ = apply_dcn(
+                params, bn, users, item, cat, num, cfg=cfg, train=False
+            )
+            logits = jnp.where(valid, logits, -jnp.inf)
+            gids = jnp.arange(item.shape[0], dtype=jnp.int32)
+            gids = jax.lax.with_sharding_constraint(
+                gids, NamedSharding(mesh, P(axes)))
+            return sm(logits, gids)
+
+        return jax.jit(run), n_shards
+
     def top_k(self, user_internal: int, k: int):
-        """(scores, indices) of the user's global top-k items."""
-        logits = self.score_all(user_internal)
-        return jax.lax.top_k(logits, k)
+        """(scores, indices) of the user's global top-k items — per-shard
+        top-k + merge; only [shards·k] values cross the mesh."""
+        if k > self.M:
+            raise ValueError(f"k={k} > catalog size {self.M}")
+        cache = getattr(self, "_topk_cache", None)
+        if cache is None:
+            cache = self._topk_cache = {}
+        if k not in cache:
+            cache[k], _ = self._topk_program(k)
+        return cache[k](
+            self._params, self._bn, self._item, self._cat, self._num,
+            self._valid, jnp.asarray(user_internal, jnp.int32),
+        )

@@ -13,7 +13,7 @@ import logging
 import os
 import sys
 
-from hhrs_tpu.config import Config, build_config, check_overrides
+from hhrs_tpu.config import Config, build_config
 from hhrs_tpu.utils.logging import MetricsLogger, enable_compilation_cache, setup_logging
 
 log = logging.getLogger("hhrs_tpu.train")

@@ -37,9 +37,19 @@ def make_optimizer(name: str, lr: float, weight_decay: float) -> optax.GradientT
 def set_learning_rate(opt_state, lr: float):
     """Mutate the injected LR in an optax InjectHyperparamsState (reaching
     through a LazyOptState wrapper — train/lazy.py reads the same injected
-    value for its row updates, so plateau decays cover the tables too)."""
+    value for its row updates, so plateau decays cover the tables too).
+
+    The new value is stored as an f32 ARRAY leaf: inject_hyperparams
+    initializes the leaf as f32[], and writing a python float would change
+    the leaf's aval (weak-typed scalar) — silently re-tracing and
+    RE-COMPILING the donated train step on the first plateau decay
+    (empirically: jit cache 1 → 2; a compile is 40-300s on the tunneled
+    chip). With the dtype preserved, decays never recompile — the module
+    contract."""
+    import jax.numpy as jnp
+
     inner = getattr(opt_state, "dense", opt_state)
-    inner.hyperparams["learning_rate"] = lr
+    inner.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
     return opt_state
 
 

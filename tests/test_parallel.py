@@ -377,3 +377,51 @@ def test_capped_lookup_property_random_ids(eight_devices):
                 assert n_kept == min(int((owners == dst).sum()), c)
 
     check()
+
+
+def test_sharded_scorer_topk_merge_exact_and_shard_local(eight_devices):
+    """top_k must equal the full-gather reference AND actually lower to a
+    per-shard reduction: the all-gather operands in the compiled HLO carry
+    k elements per shard, never the full catalog slice."""
+    import re
+
+    from hhrs_tpu.config import ModelConfig
+    from hhrs_tpu.models.dcn import init_dcn
+    from hhrs_tpu.parallel.mesh import make_mesh
+    from hhrs_tpu.serve.sharded_scoring import ShardedItemScorer
+
+    mesh = make_mesh(4, 2)
+    dims = DIMS
+    mcfg = ModelConfig(emb_dim=8, hidden_dim=16, n_cross_layers=1, n_res_blocks=1)
+    params, bn = init_dcn(jax.random.PRNGKey(0), dims, mcfg)
+    M = 203  # ragged → padding path
+    ks = jax.random.split(jax.random.PRNGKey(5), 3)
+    scorer = ShardedItemScorer(
+        mesh, params, bn, mcfg,
+        jax.random.randint(ks[0], (M,), 0, dims.n_items),
+        jnp.stack([jax.random.randint(ks[1], (M,), 0, n) for _, n in dims.cat_dims], axis=1),
+        jax.random.normal(ks[2], (M, dims.n_num_features)),
+    )
+    for k in (5, 40):
+        vals, idx = scorer.top_k(user_internal=3, k=k)
+        ref_logits = np.asarray(scorer.score_all(3))
+        ref_v, ref_i = jax.lax.top_k(jnp.asarray(ref_logits), k)
+        np.testing.assert_allclose(np.asarray(vals), np.asarray(ref_v), rtol=1e-6)
+        # indices may differ on exact ties; scores at those indices may not
+        np.testing.assert_allclose(ref_logits[np.asarray(idx)], np.asarray(ref_v),
+                                   rtol=1e-6)
+
+    # wire-shape proof: the merge's f32 all-gather moves k per shard, not
+    # the 26-row catalog slice
+    fn, n_shards = scorer._topk_program(5)
+    hlo = fn.lower(scorer._params, scorer._bn, scorer._item, scorer._cat,
+                   scorer._num, scorer._valid, jnp.asarray(3, jnp.int32)
+                   ).compile().as_text()
+    ag_shapes = set()
+    for line in hlo.splitlines():
+        if " all-gather(" in line:
+            ag_shapes.update(re.findall(r"f32\[([\d,]+)\]",
+                                        line.split(" all-gather(")[0]))
+    # padded catalog 208 → 26 rows/shard; gathered vector = 8 shards × 5
+    assert any(s == "40" for s in ag_shapes), ag_shapes
+    assert not any(s in ("208", "26") for s in ag_shapes), ag_shapes

@@ -193,3 +193,36 @@ def test_dp_mesh_training_runs(eight_devices):
     mesh = Mesh(np.asarray(eight_devices), ("data",))
     result = train_dcn(splits, dims, mcfg, tcfg, mesh=mesh)
     assert np.isfinite(result.best_val_loss)
+
+
+def test_plateau_lr_decay_never_recompiles():
+    """The LR is an injected hyperparameter precisely so plateau decays
+    never re-trace the donated step. Writing a python float into the
+    hyperparams changed the leaf's aval and silently recompiled (r4 review
+    finding, empirically cache 1 -> 2); pin the contract via the jit cache."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from hhrs_tpu.train.optimizers import (
+        get_learning_rate,
+        make_optimizer,
+        set_learning_rate,
+    )
+
+    tx = make_optimizer("adamw", 1e-3, 1e-4)
+    params = {"w": jnp.ones((4, 4))}
+    opt = tx.init(params)
+
+    @jax.jit
+    def step(p, o):
+        g = jax.tree.map(jnp.ones_like, p)
+        up, no = tx.update(g, o, p)
+        return jax.tree.map(lambda a, u: a + u, p, up), no
+
+    params, opt = step(params, opt)
+    assert step._cache_size() == 1
+    opt = set_learning_rate(opt, 5e-4)
+    params, opt = step(params, opt)
+    assert step._cache_size() == 1, "LR decay must not recompile the step"
+    assert get_learning_rate(opt) == np.float32(5e-4)
