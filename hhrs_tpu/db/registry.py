@@ -73,16 +73,26 @@ def connect(db_path: str) -> sqlite3.Connection:
     return conn
 
 
-def create_schema(conn: sqlite3.Connection, drop: bool = True) -> None:
+def create_schema(conn: sqlite3.Connection, drop: bool = True,
+                  commit: bool = True) -> None:
     cur = conn.cursor()
     if drop:
         # Children before parents, with FK enforcement off during the DDL.
         cur.execute("PRAGMA foreign_keys = OFF")
         for t in reversed(TABLES):
             cur.execute(f"DROP TABLE IF EXISTS {t}")
-    cur.executescript(DDL)
+    # statement-by-statement, NOT executescript: executescript commits any
+    # pending transaction first, which would make the DROP above durable
+    # before the seeding inserts run — an insert failure would then roll
+    # back only the inserts and leave the database emptied (r4 review
+    # finding). commit=False lets seed_database wrap drop+create+insert in
+    # ONE transaction (sqlite DDL is transactional).
+    for stmt in DDL.split(";"):
+        if stmt.strip():
+            cur.execute(stmt)
     cur.execute("PRAGMA foreign_keys = ON")
-    conn.commit()
+    if commit:
+        conn.commit()
 
 
 def seed_database(db_path: str, data_dir: str) -> dict:
@@ -136,7 +146,8 @@ def seed_database(db_path: str, data_dir: str) -> dict:
 
     conn = connect(db_path)
     try:
-        create_schema(conn, drop=True)
+        conn.execute("BEGIN")
+        create_schema(conn, drop=True, commit=False)
         cur = conn.cursor()
         cur.executemany("INSERT INTO users (user_id) VALUES (?)", user_rows)
         cur.executemany("INSERT INTO hotels VALUES (?,?,?,?,?,?)", hotel_rows)
@@ -158,6 +169,42 @@ def seed_database(db_path: str, data_dir: str) -> dict:
         raise
     finally:
         conn.close()
+
+
+
+def _auto_version(cur) -> str:
+    """Collision-free auto version: 'v<max_id+1>', bumped past any version
+    string an explicit registration already took (mixing explicit 'v2' with
+    auto-numbering used to hit the UNIQUE constraint — r4 review finding)."""
+    nxt = cur.execute(
+        "SELECT COALESCE(MAX(model_id), 0) + 1 FROM ml_models"
+    ).fetchone()[0]
+    taken = {r[0] for r in cur.execute("SELECT version FROM ml_models")}
+    version = f"v{nxt}"
+    while version in taken:
+        nxt += 1
+        version = f"v{nxt}"
+    return version
+
+
+def _insert_model(cur, version, artifact_path, metrics, hyperparams,
+                  active: bool) -> int:
+    """The ONE insert path register() and promote_if_better() share (two
+    inline copies drifted before)."""
+    if version is None:
+        version = _auto_version(cur)
+    if active:
+        cur.execute("UPDATE ml_models SET is_active = 0")
+    cur.execute(
+        "INSERT INTO ml_models (version, created_at, metrics_json,"
+        " hyperparams_json, artifact_path, is_active) VALUES (?,?,?,?,?,?)",
+        (
+            version, time.time(), json.dumps(metrics or {}),
+            json.dumps(hyperparams or {}), os.path.abspath(artifact_path),
+            1 if active else 0,
+        ),
+    )
+    return cur.lastrowid
 
 
 class ModelRegistry:
@@ -192,30 +239,22 @@ class ModelRegistry:
         hyperparams: dict | None = None,
         activate: bool = True,
     ) -> int:
-        """``version=None`` auto-numbers (v<max_id+1> — collision-free even
-        after deletions); explicit duplicates violate the UNIQUE constraint
+        """``version=None`` auto-numbers (v<max_id+1>, bumped past taken
+        version strings); explicit duplicates violate the UNIQUE constraint
         the reference schema declares (database_setup.py:58)."""
         conn = connect(self.db_path)
         try:
+            # one transaction: the auto-version read and the insert must be
+            # atomic or two concurrent registers race to the same version
+            conn.execute("BEGIN IMMEDIATE")
             cur = conn.cursor()
-            if version is None:
-                nxt = cur.execute(
-                    "SELECT COALESCE(MAX(model_id), 0) + 1 FROM ml_models"
-                ).fetchone()[0]
-                version = f"v{nxt}"
-            if activate:
-                cur.execute("UPDATE ml_models SET is_active = 0")
-            cur.execute(
-                "INSERT INTO ml_models (version, created_at, metrics_json,"
-                " hyperparams_json, artifact_path, is_active) VALUES (?,?,?,?,?,?)",
-                (
-                    version, time.time(), json.dumps(metrics or {}),
-                    json.dumps(hyperparams or {}), os.path.abspath(artifact_path),
-                    1 if activate else 0,
-                ),
-            )
+            rowid = _insert_model(cur, version, artifact_path, metrics,
+                                  hyperparams, activate)
             conn.commit()
-            return cur.lastrowid
+            return rowid
+        except Exception:
+            conn.rollback()
+            raise
         finally:
             conn.close()
 
@@ -308,24 +347,10 @@ class ModelRegistry:
                         f"candidate {metric}={cand:.6g} not {cmp} incumbent "
                         f"{incumbent:.6g} (model {row[0]} stays active)"
                     )
-            if version is None:
-                nxt = cur.execute(
-                    "SELECT COALESCE(MAX(model_id), 0) + 1 FROM ml_models"
-                ).fetchone()[0]
-                version = f"v{nxt}"
-            if promote:
-                cur.execute("UPDATE ml_models SET is_active = 0")
-            cur.execute(
-                "INSERT INTO ml_models (version, created_at, metrics_json,"
-                " hyperparams_json, artifact_path, is_active) VALUES (?,?,?,?,?,?)",
-                (
-                    version, time.time(), json.dumps(metrics),
-                    json.dumps(hyperparams or {}), os.path.abspath(artifact_path),
-                    1 if promote else 0,
-                ),
-            )
+            rowid = _insert_model(cur, version, artifact_path, metrics,
+                                   hyperparams, promote)
             conn.commit()
-            return cur.lastrowid, promote, reason
+            return rowid, promote, reason
         except Exception:
             conn.rollback()
             raise

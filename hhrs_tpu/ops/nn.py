@@ -84,13 +84,20 @@ def batchnorm_apply(
                 "(torch BatchNorm1d parity)"
             )
         mean = jnp.mean(xf, axis=0)
-        mean_sq = jnp.mean(jnp.square(xf), axis=0)
         n_total = n_local
         if axis_name is not None:
             mean = jax.lax.pmean(mean, axis_name)
-            mean_sq = jax.lax.pmean(mean_sq, axis_name)
             n_total = n_local * jax.lax.psum(1, axis_name)
-        var_biased = mean_sq - jnp.square(mean)
+        # CENTERED variance (torch's form), not E[x²]−E[x]²: the one-pass
+        # form cancels catastrophically for |mean| large / var tiny and
+        # can go NEGATIVE past eps, sending rsqrt to NaN (measured:
+        # mean≈300, true var 8e-8 → var_biased −0.0078 → NaN step — r4
+        # review finding). The centered form is a sum of squares, ≥0 by
+        # construction; under sync-BN the GLOBAL mean feeds the local
+        # deviations, so the two pmeans serialize (same collective count).
+        var_biased = jnp.mean(jnp.square(xf - mean), axis=0)
+        if axis_name is not None:
+            var_biased = jax.lax.pmean(var_biased, axis_name)
         bessel = n_total / jnp.maximum(n_total - 1, 1)
         var_unbiased = var_biased * bessel
         new_state = {

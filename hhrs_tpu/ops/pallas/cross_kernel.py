@@ -24,8 +24,7 @@ from jax.experimental.pallas import tpu as pltpu
 from hhrs_tpu.ops.cross import cross_stack_apply
 
 
-def _round_up(x: int, m: int) -> int:
-    return -(-x // m) * m
+from hhrs_tpu.utils.shapes import round_up as _round_up
 
 
 def _kernel(x0_ref, w_ref, b_ref, out_ref, *, n_layers: int, variant: str):

@@ -24,8 +24,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _round_up(x: int, m: int) -> int:
-    return -(-x // m) * m
+from hhrs_tpu.utils.shapes import round_up as _round_up
 
 
 def fold_eval_params(params: dict, state: dict, eps: float = 1e-5) -> dict:
@@ -36,7 +35,8 @@ def fold_eval_params(params: dict, state: dict, eps: float = 1e-5) -> dict:
     Returns a flat dict of folded weights for the tower kernel.
     """
 
-    if "initial_deep" not in params or "res_blocks" not in params:
+    missing = {"initial_deep", "res_blocks", "cross", "final"} - set(params)
+    if missing:
         raise ValueError(
             "fold_eval_params supports arch='dcnr' params only (needs "
             "initial_deep/res_blocks/cross/final; got keys "

@@ -58,12 +58,25 @@ class ServeUniverse:
         item_ids = main_df[schema.ITEM_COL].drop_duplicates().to_numpy()
         user_ids = main_df[schema.USER_COL].drop_duplicates().to_numpy()
         cities = list(pd.unique(main_df["city"].dropna()))
+        try:
+            item_index = {int(v): i for i, v in enumerate(item_ids)}
+            user_index = {int(v): i for i, v in enumerate(user_ids)}
+        except (TypeError, ValueError) as e:
+            # fail at startup with the real reason: the REST contract types
+            # user_id/hotel_id as integers (serve/schemas.py; reference
+            # main.py:23-47), so non-integral ids in the serve CSV can
+            # never be requested or returned — surface that instead of a
+            # bare int() traceback
+            raise ValueError(
+                "serve data contains non-integral user/item ids "
+                f"({e}); the REST contract types ids as integers"
+            ) from e
         return cls(
             item_ids=item_ids,
             user_ids=user_ids,
             cities=cities,
-            item_index={int(v): i for i, v in enumerate(item_ids)},
-            user_index={int(v): i for i, v in enumerate(user_ids)},
+            item_index=item_index,
+            user_index=user_index,
             city_index={c: i for i, c in enumerate(cities)},
         )
 
@@ -119,13 +132,31 @@ class CandidateGenerator:
         # slot n_train is the dump for build_neighbor_table's tiny-catalog
         # padding (neighbor index n_train → serve dump M)
         t2s = np.full(n_train + 1, M, np.int32)  # M = dump slot
+        # PHANTOM neighbors: train items absent from the serve frame (a
+        # refreshed serve CSV). They can never be candidates, but the
+        # reference counts their ext ids in candidate_hotels BEFORE the
+        # <min_candidates popularity-fallback check (main.py:196-207 — the
+        # city intersection that drops them comes later), so each absent
+        # train item gets a GHOST id counted toward the threshold. G=0
+        # whenever serve data ⊇ train vocab (the common case).
+        t2ghost = np.full(n_train + 1, 0, np.int32)
+        n_ghosts = 0
         for ti in range(n_train):
             ext = reverse.get(ti)
             if ext is not None and ext in uni.item_index:
                 t2s[ti] = uni.item_index[ext]
+            else:
+                t2ghost[ti] = n_ghosts
+                n_ghosts += 1
+        self.n_ghosts = G = n_ghosts
+        t2ghost = np.where(t2s[: n_train + 1] == M, t2ghost, G)
+        t2ghost[n_train] = G  # padding slot is never a phantom
         nbr_serve_by_train = t2s[nbr_train]  # [n_train, expand]
+        ghost_by_train = t2ghost[nbr_train]  # [n_train, expand], G = dump
         nbr_by_serve = np.full((M, self.cfg.expand_neighbors), M, np.int32)
         nbr_by_serve[s2t_valid] = nbr_serve_by_train[s2t[s2t_valid]]
+        ghost_by_serve = np.full((M, self.cfg.expand_neighbors), G, np.int32)
+        ghost_by_serve[s2t_valid] = ghost_by_train[s2t[s2t_valid]]
         self.nbr_by_serve_np = nbr_by_serve
 
         # --- per-city masks: membership + popularity fallback pool.
@@ -163,6 +194,10 @@ class CandidateGenerator:
         nbr = np.concatenate(
             [nbr, np.full((Mp - M, self.cfg.expand_neighbors), Mp, np.int32)]
         )
+        ghost_nbr = np.concatenate(
+            [ghost_by_serve,
+             np.full((Mp - M, self.cfg.expand_neighbors), G, np.int32)]
+        )
         # padded review rows: user 0 but neither positive nor negative → inert
         r_pad = Rp - R
         host = {
@@ -172,6 +207,7 @@ class CandidateGenerator:
             "r_neg": np.concatenate([r_rating <= 4.0, np.zeros(r_pad, bool)]),
             "s2t_valid": np.concatenate([s2t_valid, np.zeros(Mp - M, bool)]),
             "nbr": nbr,
+            "ghost_nbr": ghost_nbr,
             "city_item": np.pad(city_item_mask, ((0, 0), (0, Mp - M))),
             "city_pop": np.pad(city_pop_mask, ((0, 0), (0, Mp - M))),
         }
@@ -185,7 +221,9 @@ class CandidateGenerator:
         cc, items_in_city = np.nonzero(city_item_mask)  # row-major → per-city ascending
         city_counts = np.bincount(cc, minlength=C + 1)
         maxc = int(city_counts.max()) if city_counts.size else 0
-        W = min(Mp, max(64, -(-maxc // 64) * 64))
+        from hhrs_tpu.utils.shapes import round_up
+
+        W = min(Mp, max(64, round_up(maxc, 64)))
         city_rows = np.full((C + 1, W), Mp, np.int32)
         starts = np.concatenate([[0], np.cumsum(city_counts)[:-1]])
         city_rows[cc, np.arange(len(cc)) - starts[cc]] = items_in_city
@@ -200,7 +238,8 @@ class CandidateGenerator:
             row1, row2, by_col, _ = row_shardings(mesh)
             sh = {
                 "r_user": row1, "r_item": row1, "r_pos": row1, "r_neg": row1,
-                "s2t_valid": row1, "nbr": row2, "city_item": by_col, "city_pop": by_col,
+                "s2t_valid": row1, "nbr": row2, "ghost_nbr": row2,
+                "city_item": by_col, "city_pop": by_col,
             }
             self.dev = {k: jax.device_put(jnp.asarray(v), sh[k]) for k, v in host.items()}
 
@@ -230,7 +269,16 @@ class CandidateGenerator:
         )
 
         cand = pos_mask | expanded
-        count_before = jnp.sum(cand)
+        # phantom neighbors (train items absent from the serve frame) count
+        # toward the reference's <min_candidates check as UNIQUE ext ids
+        # (set semantics — one ghost slot per absent train item) though
+        # they can never be candidates
+        ghosts = (
+            jnp.zeros(self.n_ghosts + 1, bool)
+            .at[dev["ghost_nbr"]]
+            .max(jnp.broadcast_to(contrib[:, None], dev["ghost_nbr"].shape))[: self.n_ghosts]
+        )
+        count_before = jnp.sum(cand) + jnp.sum(ghosts)
         pop = dev["city_pop"][city_idx]
         cand = cand | ((count_before < self.cfg.min_candidates) & pop)
 

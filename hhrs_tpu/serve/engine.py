@@ -110,7 +110,9 @@ class RecommendationEngine:
         # compile-shape stability across restarts with similar graphs.
         uni = ServeUniverse.from_df(main_df)
         self.graph = FriendGraph.from_pairs(friendships, uni.user_index)
-        max_sources = max(256, -(-self.graph.max_degree // 64) * 64)
+        from hhrs_tpu.utils.shapes import round_up
+
+        max_sources = max(256, round_up(self.graph.max_degree, 64))
         self.gen = CandidateGenerator(
             main_df, art.item_id_mapping, bundle.item_embeddings, self.retrieval_cfg,
             max_sources=max_sources, universe=uni, mesh=mesh,

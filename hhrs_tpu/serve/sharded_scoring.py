@@ -25,8 +25,7 @@ from hhrs_tpu.config import ModelConfig
 from hhrs_tpu.models.dcn import apply_dcn
 
 
-def _round_up(x: int, m: int) -> int:
-    return -(-x // m) * m
+from hhrs_tpu.utils.shapes import round_up as _round_up
 
 
 class ShardedItemScorer:

@@ -86,8 +86,11 @@ class LatencyHistogram:
             if not self.samples:
                 return {"count": 0, "p50_ms": None, "p90_ms": None,
                         "p99_ms": None}
-            s = sorted(self.samples)
+            # copy only — the O(n log n) sort happens OUTSIDE the lock so a
+            # /metrics scrape never stalls request threads in observe()
+            s = list(self.samples)
             total = self.total
+        s.sort()
 
         def q(p):
             return s[min(int(len(s) * p / 100.0), len(s) - 1)] * 1e3

@@ -162,3 +162,25 @@ def test_dcn_jit_compiles():
         jnp.zeros((B, 11), jnp.float32),
     )
     assert out.shape == (B,)
+
+
+def test_batchnorm_no_nan_at_large_mean_tiny_variance():
+    """E[x^2]-E[x]^2 cancels catastrophically (mean~300, var~1e-7 gave a
+    NEGATIVE variance and NaN activations — r4 review finding); the
+    centered form must match torch and stay finite."""
+    import numpy as np
+    import torch
+
+    from hhrs_tpu.ops.nn import batchnorm_apply, batchnorm_init
+
+    rng = np.random.default_rng(0)
+    x = (300.0 + 2.83e-4 * rng.standard_normal((256, 4))).astype(np.float32)
+    params, state = batchnorm_init(4)
+    y, new_state = batchnorm_apply(params, state, jnp.asarray(x), train=True)
+    assert np.isfinite(np.asarray(y)).all()
+    assert (np.asarray(new_state["var"]) >= 0).all()
+
+    tbn = torch.nn.BatchNorm1d(4)
+    ty = tbn(torch.from_numpy(x))
+    np.testing.assert_allclose(np.asarray(y), ty.detach().numpy(),
+                               rtol=2e-2, atol=2e-2)

@@ -291,3 +291,59 @@ def test_batchnorm_batch_of_one_raises():
     state = {"mean": jnp.zeros(4), "var": jnp.ones(4)}
     with pytest.raises(ValueError, match=">1 example"):
         batchnorm_apply(params, state, jnp.ones((1, 4)), train=True)
+
+
+def test_phantom_neighbors_count_toward_fallback_threshold():
+    """Reference parity on REFRESHED serve data (main.py:196-207): kNN
+    neighbors that are train-vocab items absent from the serve frame join
+    candidate_hotels BEFORE the <min_candidates check (the city
+    intersection that drops them comes later), so they must suppress the
+    popularity fallback even though they can never be candidates."""
+    import numpy as np
+    import pandas as pd
+
+    from hhrs_tpu.config import RetrievalConfig
+    from hhrs_tpu.retrieval.candidates import CandidateGenerator
+
+    rows = []
+    # user 10 loves item 1; items 2..6 exist via other users (popularity pool)
+    rows.append((10, 1, "X", 9.0, 50))
+    for it in range(2, 7):
+        rows.append((90 + it, it, "X", 6.0, 100 + it))
+    main_df = pd.DataFrame(rows, columns=["user_id", "item_id", "city",
+                                          "rating_overall", "user_reviews_count"])
+    main_df["hotel_type"] = "h"
+
+    emb_dim = 4
+    rng = np.random.default_rng(0)
+
+    def build(mapping, n_train):
+        emb = rng.standard_normal((n_train, emb_dim)).astype(np.float32)
+        # make ext item 1 (internal 0) nearest to the LAST 10 internals
+        emb[0] = 1.0
+        for j in range(n_train - 10, n_train):
+            emb[j] = 1.0 + 1e-3 * rng.standard_normal(emb_dim)
+        cfg = RetrievalConfig(expand_neighbors=10, min_candidates=5,
+                              popular_pool=100)
+        return CandidateGenerator(main_df, mapping, emb, cfg)
+
+    # train vocab = serve items 1..6 PLUS 15 phantom ext ids 100..114
+    mapping_phantom = {it: i for i, it in enumerate(range(1, 7))}
+    for g, ext in enumerate(range(100, 115)):
+        mapping_phantom[ext] = 6 + g
+    gen_p = build(mapping_phantom, 21)
+    assert gen_p.n_ghosts == 15
+
+    # train vocab = serve items only (no phantoms)
+    mapping_plain = {it: i for i, it in enumerate(range(1, 7))}
+    gen_0 = build(mapping_plain, 6)
+    assert gen_0.n_ghosts == 0
+
+    cand_p, count_p = gen_p.generate(10, "X", "personal", None)
+    cand_0, count_0 = gen_0.generate(10, "X", "personal", None)
+    # phantoms push the pre-fallback count past min_candidates: NO
+    # popularity fallback, so only the user's own positive survives
+    assert count_p == 1, (count_p, cand_p.nonzero())
+    # without phantoms the count stays below 5 and the city's popularity
+    # pool floods in
+    assert count_0 > count_p
