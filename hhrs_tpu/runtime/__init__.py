@@ -103,6 +103,8 @@ def _wire_symbols(lib) -> None:
     lib.csv_n_rows.argtypes = [ctypes.c_void_p]
     lib.csv_n_bad_rows.restype = ctypes.c_int64
     lib.csv_n_bad_rows.argtypes = [ctypes.c_void_p]
+    lib.csv_n_nul_cells.restype = ctypes.c_int64
+    lib.csv_n_nul_cells.argtypes = [ctypes.c_void_p]
     lib.csv_col_n_coerced.restype = ctypes.c_int64
     lib.csv_col_n_coerced.argtypes = [ctypes.c_void_p, ctypes.c_int]
     lib.csv_n_cols.restype = ctypes.c_int

@@ -47,6 +47,16 @@ _PANDAS_TYPED_TOKENS = {
     "#n/a", "#n/a n/a", "#na", "-nan", "<na>",
 }
 
+# pandas' default na_values, matched EXACTLY (case-sensitive: 'NA' is
+# missing, 'Na' is a string). Cells with these tokens in object columns
+# become NaN — keeping them as literal category strings silently diverged
+# from the pandas fallback (r4 review finding).
+_PANDAS_NA_TOKENS = {
+    "#N/A", "#N/A N/A", "#NA", "-1.#IND", "-1.#QNAN", "-NaN", "-nan",
+    "1.#IND", "1.#QNAN", "<NA>", "N/A", "NA", "NULL", "NaN", "None",
+    "n/a", "nan", "null",
+}
+
 
 def _looks_pandas_typed(values: np.ndarray) -> bool:
     """True if every sampled non-NaN string is numeric/bool/NA-ish —
@@ -98,10 +108,18 @@ def read_csv_native(path: str, n_threads: int = 0, strict: bool = False) -> pd.D
         if names and names[0].startswith("\ufeff"):
             raise NativeParseMismatch("UTF-8 BOM in header (pandas strips)")
         bad_rows = lib.csv_n_bad_rows(handle)
+        nul_cells = int(lib.csv_n_nul_cells(handle))
+        if nul_cells:
+            # NUL bytes cannot travel through the c_char_p vocab join at
+            # all (truncation) — always a mismatch, pandas handles them
+            raise NativeParseMismatch(
+                f"{nul_cells} cell(s) contain NUL bytes (undeliverable "
+                "over the native ABI)"
+            )
         coerced = {
-            lib.csv_col_name(handle, i).decode(): int(lib.csv_col_n_coerced(handle, i))
-            for i in range(lib.csv_n_cols(handle))
-            if lib.csv_col_n_coerced(handle, i)
+            names[i]: c
+            for i in range(n_cols)
+            if (c := int(lib.csv_col_n_coerced(handle, i)))
         }
         if bad_rows or coerced:
             msg = (
@@ -120,12 +138,19 @@ def read_csv_native(path: str, n_threads: int = 0, strict: bool = False) -> pd.D
                 arr = np.array(buf, dtype=np.float64)  # copy out before free
                 if arr.size and lib.csv_col_int_like(handle, i):
                     # pandas int64 inference: every token was plain integer text
-                    if strict and np.any(np.abs(arr) >= 2.0**53):
-                        raise NativeParseMismatch(
+                    if np.any(np.abs(arr) >= 2.0**53):
+                        msg = (
                             f"column {name!r} has integers beyond 2^53 — the "
                             "double round-trip loses exactness vs pandas int64"
                         )
-                    arr = arr.astype(np.int64)
+                        if strict:
+                            raise NativeParseMismatch(msg)
+                        # non-strict: WARN and keep float64 — astype(int64)
+                        # would overflow values past 2^63 to INT64_MIN
+                        # (silent id corruption, r4 review finding)
+                        log.warning("%s; keeping float64", msg)
+                    else:
+                        arr = arr.astype(np.int64)
                 cols[name] = arr
             else:
                 codes = np.array(
@@ -139,14 +164,30 @@ def read_csv_native(path: str, n_threads: int = 0, strict: bool = False) -> pd.D
                     )
                 except UnicodeDecodeError as e:
                     raise NativeParseMismatch(f"non-UTF-8 cell bytes: {e}") from e
+                if len(vocab) != nv:
+                    # belt-and-braces behind the NUL-cell counter above
+                    raise NativeParseMismatch(
+                        f"column {name!r} vocab truncated in transit "
+                        f"({len(vocab)} != {nv})"
+                    )
                 lookup = np.asarray(vocab + [np.nan], dtype=object)  # -1 → NaN slot
                 col = lookup[codes]
+                # the typed-column net needs the RAW tokens (an all-'NA'
+                # column must raise here — pandas types it float64)
                 if strict and _looks_pandas_typed(col):
                     raise NativeParseMismatch(
                         f"column {name!r} classified categorical but every "
                         "sampled token is numeric/bool/NA — pandas would "
                         "have typed it"
                     )
+                # pandas' default NA sentinels become NaN in mixed string
+                # columns, exactly as the pandas fallback would produce
+                # (vocab-level membership: one check per distinct string)
+                na_mask = np.asarray(
+                    [v in _PANDAS_NA_TOKENS for v in vocab] + [False]
+                )
+                if na_mask.any():
+                    col = np.where(na_mask[codes], np.nan, col)
                 cols[name] = col
         # copy=False: every array above is freshly owned, and the dict path
         # skips pandas' per-column consolidation copy (~800ms at 500k rows).

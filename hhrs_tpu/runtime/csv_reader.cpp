@@ -47,6 +47,7 @@ struct Column {
 struct CsvResult {
   int64_t n_rows = 0;
   int64_t n_bad_rows = 0;  // non-blank rows dropped for a field-count mismatch
+  int64_t n_nul_cells = 0;  // cells containing NUL (undeliverable over c_char_p)
   std::vector<Column> cols;
   std::string error;
 };
@@ -59,12 +60,25 @@ struct LocalCat {
 };
 
 inline const char* find_eol(const char* p, const char* end) {
+  // pandas honors \n, \r\n, AND bare \r as row terminators; matching only
+  // \n silently merged rows around a stray CR (r4 review finding).
   const char* nl = static_cast<const char*>(memchr(p, '\n', end - p));
-  return nl ? nl : end;
+  const char* cr = static_cast<const char*>(memchr(p, '\r', end - p));
+  if (!nl) return cr ? cr : end;
+  if (!cr) return nl;
+  return nl < cr ? nl : cr;
+}
+
+inline const char* after_eol(const char* eol, const char* end) {
+  if (eol >= end) return end;
+  if (*eol == '\r' && eol + 1 < end && eol[1] == '\n') return eol + 2;
+  return eol + 1;
 }
 
 // Parse one line into fields (no quoted-comma support — the schema's city /
-// hotel_type values never contain commas; quotes are stripped if present).
+// hotel_type values never contain commas; quotes are stripped if present;
+// a fully-quoted field's doubled "" escapes are un-escaped by the caller,
+// RFC-4180/pandas doublequote semantics).
 inline void split_fields(const char* p, const char* eol,
                          std::vector<std::pair<const char*, size_t>>& out) {
   out.clear();
@@ -81,12 +95,27 @@ inline void split_fields(const char* p, const char* eol,
   }
 }
 
+// Field bytes → owned string with "" un-doubled (pandas doublequote=True).
+inline std::string field_string(const char* s, size_t len) {
+  std::string key(s, len);
+  size_t pos = 0;
+  while ((pos = key.find("\"\"", pos)) != std::string::npos) {
+    key.erase(pos, 1);
+    ++pos;
+  }
+  return key;
+}
+
 inline bool parse_f64(const char* s, size_t len, double* out) {
   if (len == 0) { *out = NAN; return true; }  // empty → NaN (pandas parity)
   char buf[64];
   if (len >= sizeof(buf)) return false;
   memcpy(buf, s, len);
   buf[len] = 0;
+  // pandas rejects C-literal forms strtod accepts: hex ('0x1A') and
+  // nan/inf payloads ('nan(chars)') — a hex-id column must stay string
+  for (size_t i = 0; i < len; ++i)
+    if (s[i] == 'x' || s[i] == 'X' || s[i] == '(') return false;
   char* endp = nullptr;
   double v = strtod(buf, &endp);
   if (endp != buf + len) return false;
@@ -136,7 +165,7 @@ CsvResult* csv_load(const char* path, int n_threads) {
   for (size_t i = 0; i < n_cols; ++i)
     res->cols[i].name.assign(fields[i].first, fields[i].second);
 
-  const char* data_start = hdr_eol < end ? hdr_eol + 1 : end;
+  const char* data_start = after_eol(hdr_eol, end);
 
   // Decide column kinds from a sample of up to 1000 data rows: a column is
   // numeric only if EVERY sampled non-empty token parses as a number (a
@@ -156,7 +185,7 @@ CsvResult* csv_load(const char* path, int n_threads) {
           if (!parse_f64(fields[i].first, fields[i].second, &v)) numeric[i] = 0;
         }
       }
-      p = eol < end ? eol + 1 : end;
+      p = after_eol(eol, end);
     }
     // All-empty sample → numeric (pandas reads a fully-empty column as
     // float64 NaN; a numeric column with an empty 1000-row prefix also
@@ -178,7 +207,7 @@ CsvResult* csv_load(const char* path, int n_threads) {
     const char* next = cur + target;
     if (next >= end) { cur = end; break; }
     next = find_eol(next, end);
-    cur = next < end ? next + 1 : end;
+    cur = after_eol(next, end);
   }
   chunk_begin.push_back(end);
   int actual_threads = static_cast<int>(chunk_begin.size()) - 1;
@@ -191,6 +220,7 @@ CsvResult* csv_load(const char* path, int n_threads) {
     std::vector<int64_t> coerced;               // per column NaN coercions
     int64_t rows = 0;
     int64_t bad_rows = 0;
+    int64_t nul_cells = 0;
   };
   std::vector<ChunkOut> outs(actual_threads);
   std::vector<std::thread> threads;
@@ -224,7 +254,8 @@ CsvResult* csv_load(const char* path, int n_threads) {
               if (fl[i].second == 0) {
                 o.cat[i].codes.push_back(-1);
               } else {
-                std::string key(fl[i].first, fl[i].second);
+                if (memchr(fl[i].first, '\0', fl[i].second)) ++o.nul_cells;
+                std::string key = field_string(fl[i].first, fl[i].second);
                 auto it = o.cat[i].dict.find(key);
                 int32_t code;
                 if (it == o.cat[i].dict.end()) {
@@ -241,7 +272,7 @@ CsvResult* csv_load(const char* path, int n_threads) {
         } else if (!(fl.size() == 1 && fl[0].second == 0)) {
           ++o.bad_rows;  // non-blank row with a field-count mismatch
         }
-        p = eol < chunk_end ? eol + 1 : chunk_end;
+        p = after_eol(eol, chunk_end);
       }
     });
   }
@@ -252,6 +283,7 @@ CsvResult* csv_load(const char* path, int n_threads) {
   for (auto& o : outs) {
     total += o.rows;
     res->n_bad_rows += o.bad_rows;
+    res->n_nul_cells += o.nul_cells;
   }
   res->n_rows = total;
   for (size_t i = 0; i < n_cols; ++i) {
@@ -298,6 +330,7 @@ void csv_free(CsvResult* r) { delete r; }
 const char* csv_error(CsvResult* r) { return r->error.empty() ? nullptr : r->error.c_str(); }
 int64_t csv_n_rows(CsvResult* r) { return r->n_rows; }
 int64_t csv_n_bad_rows(CsvResult* r) { return r->n_bad_rows; }
+int64_t csv_n_nul_cells(CsvResult* r) { return r->n_nul_cells; }
 int64_t csv_col_n_coerced(CsvResult* r, int i) { return r->cols[i].n_coerced; }
 int csv_n_cols(CsvResult* r) { return static_cast<int>(r->cols.size()); }
 const char* csv_col_name(CsvResult* r, int i) { return r->cols[i].name.c_str(); }

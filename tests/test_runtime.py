@@ -117,3 +117,68 @@ def test_native_strict_divergence_net(tmp_path):
             expected = pd.read_csv(path)
             assert list(df.columns) == list(expected.columns), label
             assert len(df) == len(expected), label
+
+
+@pytest.mark.skipif(not native_available(), reason="native runtime not built")
+def test_native_pandas_parity_edge_tokens(tmp_path):
+    """r4 review repros, each previously a silent strict-mode divergence:
+    NA sentinels in mixed string columns, hex tokens, doubled-quote
+    escapes, bare-\\r row terminators."""
+    import numpy as np
+
+    from hhrs_tpu.runtime.csv import read_csv_native
+
+    def both(name, text):
+        p = tmp_path / name
+        p.write_bytes(text if isinstance(text, bytes) else text.encode())
+        return pd.read_csv(p), read_csv_native(str(p), strict=True)
+
+    # NA sentinels among real strings -> NaN exactly like pandas
+    # (case-sensitive: 'Null' stays a literal string)
+    ref, nat = both("na_mixed.csv",
+                    "a,b\n1,Paris\n2,NA\n3,London\n4,null\n5,Null\n")
+    assert list(ref["b"].isna()) == [False, True, False, True, False]
+    assert list(nat["b"].isna()) == list(ref["b"].isna())
+    assert list(nat["b"].dropna()) == list(ref["b"].dropna())
+
+    # hex tokens are NOT numbers (strtod would have parsed them)
+    ref, nat = both("hex.csv", "a,b\n1,0x1A\n2,0xFF\n")
+    assert list(nat["b"]) == ["0x1A", "0xFF"] == list(ref["b"])
+
+    # RFC-4180 doubled quotes un-escape
+    ref, nat = both("quotes.csv", 'a,b\n1,"he said ""hi"""\n2,plain\n')
+    assert list(nat["b"]) == ['he said "hi"', "plain"] == list(ref["b"])
+
+    # bare \r is a row terminator for pandas
+    ref, nat = both("bare_cr.csv", b"a,b\n1,x\r2,y\n3,z\n")
+    assert len(nat) == len(ref)
+    assert list(nat["a"])[:1] == list(ref["a"])[:1]
+
+
+@pytest.mark.skipif(not native_available(), reason="native runtime not built")
+def test_native_nul_cell_raises_mismatch(tmp_path):
+    """NUL bytes cannot cross the c_char_p vocab join: must be a
+    NativeParseMismatch (pandas fallback), never an IndexError."""
+    from hhrs_tpu.runtime.csv import NativeParseMismatch, read_csv_native
+
+    p = tmp_path / "nul.csv"
+    p.write_bytes(b"a,b\n1,foo\x00bar\n2,x\n3,y\n")
+    with pytest.raises(NativeParseMismatch):
+        read_csv_native(str(p), strict=True)
+    with pytest.raises(NativeParseMismatch):
+        read_csv_native(str(p), strict=False)  # undeliverable either way
+
+
+@pytest.mark.skipif(not native_available(), reason="native runtime not built")
+def test_native_nonstrict_big_ints_keep_float64(tmp_path):
+    """Non-strict >2^53 ints must stay float64 with a warning — the old
+    astype(int64) overflowed >2^63 values to INT64_MIN (id corruption)."""
+    import numpy as np
+
+    from hhrs_tpu.runtime.csv import read_csv_native
+
+    p = tmp_path / "big.csv"
+    p.write_text("a,b\n99999999999999999999,1\n12345678901234567890,2\n")
+    nat = read_csv_native(str(p), strict=False)
+    assert nat["a"].dtype == np.float64
+    assert (nat["a"] > 0).all()  # approximate, never INT64_MIN garbage
