@@ -64,10 +64,21 @@ TORCH_STEPS = int(os.environ.get("HHRS_BENCH_TORCH_STEPS", "4"))
 
 # Wall-clock budgets (seconds; env-overridable). The driver kills bench.py
 # with an external timeout if it runs long — these keep a valid JSON line
-# on stdout before anyone's deadline hits.
-BUDGET_S = float(os.environ.get("HHRS_BENCH_BUDGET_S", "420"))
-PROBE_S = float(os.environ.get("HHRS_BENCH_PROBE_S", "90"))
-TORCH_S = float(os.environ.get("HHRS_BENCH_TORCH_S", "120"))
+# on stdout before anyone's deadline hits. A malformed override falls back
+# to the default (a typo'd env var must not crash the metric run at import).
+
+
+def _env_f(name: str, default: float) -> float:
+    try:
+        return float(os.environ.get(name, default))
+    except ValueError:
+        print(f"ignoring malformed {name}={os.environ[name]!r}", file=sys.stderr)
+        return default
+
+
+BUDGET_S = _env_f("HHRS_BENCH_BUDGET_S", 420.0)
+PROBE_S = _env_f("HHRS_BENCH_PROBE_S", 90.0)
+TORCH_S = _env_f("HHRS_BENCH_TORCH_S", 120.0)
 
 
 class _Progress:
@@ -102,11 +113,11 @@ class _Progress:
         """The result record from whatever has been measured so far."""
         with self.lock:
             windows = list(self.windows)
+            import statistics
+
             rec = {
                 "metric": "dcnr_train_throughput",
-                "value": round(sorted(windows)[len(windows) // 2], 1)
-                if windows
-                else None,
+                "value": round(statistics.median(windows), 1) if windows else None,
                 "unit": "examples/s/chip",
                 "vs_baseline": self.vs_baseline,
                 # adopted 2026-08-19: hardware-RBG dropout bits (+28-30%,
@@ -161,9 +172,13 @@ def _watchdog():
 def _maybe_fake_hang(phase: str):
     """Test hook: HHRS_BENCH_FAKE_HANG=<phase> simulates a tunnel outage at
     that phase (the subprocess watchdog tests drive this — a real hang is a
-    blocked C call, which a sleep models faithfully for the watchdog)."""
+    blocked C call, which a sleep models faithfully for the watchdog);
+    HHRS_BENCH_FAKE_RAISE=<phase> simulates a raised backend error (e.g.
+    XlaRuntimeError from a failed remote compile)."""
     if os.environ.get("HHRS_BENCH_FAKE_HANG") == phase:
         time.sleep(3600)
+    if os.environ.get("HHRS_BENCH_FAKE_RAISE") == phase:
+        raise RuntimeError(f"injected backend failure at {phase}")
 
 
 def _probe_device():
@@ -475,5 +490,24 @@ def main():
     _PROGRESS.emit()
 
 
+def _main_guarded():
+    """The outage hardening must also cover RAISED errors, not just hangs:
+    a remote-compile failure (HTTP 413 / mid-compile disconnect raising
+    XlaRuntimeError — failure modes RESULTS.md documents) would otherwise
+    exit with a traceback and NOTHING parseable on stdout."""
+    try:
+        main()
+    except SystemExit:
+        raise
+    except BaseException as e:  # noqa: BLE001 — last line must be valid JSON
+        with _PROGRESS.lock:
+            claimed = _PROGRESS.done
+            _PROGRESS.done = True
+        if not claimed:
+            _PROGRESS.emit(error=f"exception:{e!r:.300}")
+        sys.stdout.flush()
+        print(f"bench.py failed: {e!r}", file=sys.stderr)
+
+
 if __name__ == "__main__":
-    main()
+    _main_guarded()

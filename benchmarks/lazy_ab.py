@@ -59,7 +59,7 @@ def main(argv=None) -> int:
         params, bn = init_dcn(jax.random.PRNGKey(0), dims, cfg)
         opt = init_lazy_opt(tx, params) if lazy else tx.init(params)
         s = jnp.zeros((), jnp.int32)
-        r0 = jax.random.PRNGKey(1)
+        r0 = jax.random.key(1, impl='rbg')  # the flagship's key impl
         for _ in range(10):
             params, bn, opt, loss, s = step(params, bn, opt, batch, s, r0)
         float(loss)

@@ -72,6 +72,11 @@ def main(argv=None) -> int:
             break
         note(f"degraded probe {i} ({dt:.1f}s); sleeping 120s")
         time.sleep(120)
+    else:
+        # never healthy: running the timed jobs would enshrine garbage
+        # numbers behind .done markers — exit 2 so the supervisor retries
+        note("tunnel never became healthy — exit 2 for retry")
+        return 2
 
     import bench
     import lazy_ab

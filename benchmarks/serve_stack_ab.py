@@ -145,6 +145,7 @@ def main(argv=None) -> int:
         port = s.getsockname()[1]; s.close()
 
     tmp = tempfile.mkdtemp(prefix="serve_stack_")
+    stderr_path = os.path.join(tmp, "server.stderr")
     t0 = time.time()
     data_dir, dirs, db, df = build_world(tmp, args.items, args.users, args.reviews)
     print(f"# world built in {time.time()-t0:.0f}s", file=sys.stderr)
@@ -157,20 +158,26 @@ def main(argv=None) -> int:
          "--canary", dirs["v2"], "--canary-fraction", "0.1",
          "--cache-entries", "1024", "--candidate-cap", "4096",
          "--batch-window-ms", "5", "--max-batch", "16"],
-        stdout=subprocess.DEVNULL, stderr=subprocess.PIPE, text=True,
+        # stderr to a FILE, not a pipe: an undrained pipe blocks the server
+        # once XLA/absl warnings exceed the buffer, freezing the benchmark
+        stdout=subprocess.DEVNULL, stderr=open(stderr_path, "w"),
         cwd="/root/repo",
     )
     base = f"http://127.0.0.1:{port}"
     results = []
     try:
         deadline = time.time() + 1200  # 100k-catalog warmup compiles
+        healthy = False
         while time.time() < deadline and proc.poll() is None:
             try:
                 _get(base, "/healthz")
+                healthy = True
                 break
             except OSError:
                 time.sleep(2)
-        assert proc.poll() is None, proc.stderr.read()[-4000:]
+        tail = open(stderr_path).read()[-4000:]
+        assert proc.poll() is None, tail
+        assert healthy, f"server never became healthy: {tail}"
         print(f"# server up at {time.time()-t0:.0f}s", file=sys.stderr)
 
         users = df["user_id"].drop_duplicates().tolist()
@@ -215,6 +222,9 @@ def main(argv=None) -> int:
             proc.wait(timeout=30)
         except subprocess.TimeoutExpired:
             proc.kill()
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)  # 500k-review world, tens of MB
 
     if args.out:
         with open(args.out, "w") as f:

@@ -135,9 +135,11 @@ def run_vectorized(splits, dims, mcfg, tcfg, pruner_kind, reclaim):
                 all_members.append(t)
                 return t.params, make_report(t)
 
-        m = dataclasses.replace(mcfg, dropout=float(asked[0].params["dropout"]))
+        # dropout is a per-lane VMAPPED scalar read from each trial's params
+        # (hpo/vectorized.VMAPPED_KEYS) — mcfg.dropout never reaches the
+        # compiled program
         results = run_group(
-            splits, dims, m, tcfg, [t.params for t in asked],
+            splits, dims, mcfg, tcfg, [t.params for t in asked],
             report_fns=[make_report(t) for t in asked], refill_fn=refill_fn)
         for t, r in zip(all_members, results):
             study.tell(t, "pruned" if r.pruned else "complete",

@@ -176,3 +176,30 @@ def test_external_kill_leaves_staged_record():
     assert len(out_lines) == 2, out_lines
     rec = json.loads(out_lines[-1])
     assert rec["value"] is not None and rec["windows_completed"] == 2
+
+
+def test_exception_still_emits_valid_json():
+    """A RAISED error (remote-compile failure, not a hang) must also leave
+    a parseable record."""
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)
+    env.update(
+        {
+            "JAX_PLATFORMS": "cpu",
+            "XLA_FLAGS": "--xla_force_host_platform_device_count=1",
+            "HHRS_BENCH_BATCH": "256",
+            "HHRS_BENCH_WARMUP_STEPS": "2",
+            "HHRS_BENCH_MEASURE_STEPS": "3",
+            "HHRS_BENCH_TORCH_STEPS": "1",
+            "HHRS_BENCH_FAKE_RAISE": "warmup",
+            # malformed budget must fall back to default, not crash import
+            "HHRS_BENCH_BUDGET_S": "not-a-number",
+        }
+    )
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        capture_output=True, text=True, timeout=120, env=env, cwd=REPO,
+    )
+    rec = _last_json_line(proc.stdout)
+    assert rec["value"] is None
+    assert rec["error"].startswith("exception:")
