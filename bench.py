@@ -326,6 +326,37 @@ def make_flagship_step(cfg, tx, *, fold_rng: bool = False, remat: bool = False,
     return step
 
 
+def measure_windows(step, params, bn, opt, batch, rng0, *,
+                    steps: int = MEASURE_STEPS, warmup: int = WARMUP_STEPS,
+                    windows: int = 3, batch_size: int | None = None) -> float:
+    """The canonical fold-rng measurement protocol, shared with the A/B
+    harnesses in benchmarks/ so their loops cannot drift from the bench's
+    (they already had: warmup counts and rng impls diverged — r4 review).
+
+    ``step(params, bn, opt, batch, s, rng0) -> (params, bn, opt, loss, s)``
+    (bench.make_flagship_step's fold_rng form). Each window ends with a
+    loss VALUE fetch — the only true sync on this backend (RESULTS.md).
+    Returns the median window rate in examples/s.
+    """
+    import statistics
+
+    import jax.numpy as jnp
+
+    B = batch_size if batch_size is not None else batch["user"].shape[0]
+    s = jnp.zeros((), jnp.int32)
+    for _ in range(warmup):
+        params, bn, opt, loss, s = step(params, bn, opt, batch, s, rng0)
+    float(loss)
+    rates = []
+    for _ in range(windows):
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            params, bn, opt, loss, s = step(params, bn, opt, batch, s, rng0)
+        float(loss)
+        rates.append(steps * B / (time.perf_counter() - t0))
+    return statistics.median(rates)
+
+
 def bench_jax() -> float:
     import jax
     import jax.numpy as jnp

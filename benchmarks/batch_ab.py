@@ -35,19 +35,9 @@ def run(step, dims, cfg, tx, B, total_examples=200 * 16384):
     # the batch trade-off is dispatch-vs-compute balance, which the 28-30%
     # faster rbg step shifts).
     rng0 = jax.random.key(1, impl="rbg")
-    s = jnp.zeros((), jnp.int32)
     steps = max(50, total_examples // B)
-    for _ in range(20):
-        params, bn, opt, loss, s = step(params, bn, opt, batch, s, rng0)
-    float(loss)
-    rates = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        for _ in range(steps):
-            params, bn, opt, loss, s = step(params, bn, opt, batch, s, rng0)
-        float(loss)
-        rates.append(steps * B / (time.perf_counter() - t0))
-    return sorted(rates)[1]
+    return bench.measure_windows(step, params, bn, opt, batch, rng0,
+                                 steps=steps, warmup=20, batch_size=B)
 
 
 if __name__ == "__main__":

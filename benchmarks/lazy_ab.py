@@ -58,20 +58,12 @@ def main(argv=None) -> int:
         step = bench.make_flagship_step(cfg, tx, fold_rng=True, lazy=lazy)
         params, bn = init_dcn(jax.random.PRNGKey(0), dims, cfg)
         opt = init_lazy_opt(tx, params) if lazy else tx.init(params)
-        s = jnp.zeros((), jnp.int32)
-        r0 = jax.random.key(1, impl='rbg')  # the flagship's key impl
-        for _ in range(10):
-            params, bn, opt, loss, s = step(params, bn, opt, batch, s, r0)
-        float(loss)
-        rates = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            for _ in range(args.steps):
-                params, bn, opt, loss, s = step(params, bn, opt, batch, s, r0)
-            float(loss)
-            rates.append(args.steps * bench.BATCH / (time.perf_counter() - t0))
-        del params, bn, opt  # free the big tables before the other variant
-        return sorted(rates)[1]
+        r0 = jax.random.key(1, impl="rbg")  # the flagship's key impl
+        rate = bench.measure_windows(step, params, bn, opt, batch, r0,
+                                     steps=args.steps, warmup=10)
+        # measure_windows consumed its local references; the big tables are
+        # freed when the jitted step's donated outputs go out of scope here
+        return rate
 
     for c in args.order:
         lazy = c == "l"

@@ -48,18 +48,8 @@ def run(dims, cfg, tx, storage: str, hidden: int | None = None,
     params, bn = init_dcn(jax.random.PRNGKey(0), dims, cfg)
     opt = tx.init(params)
     rng0 = jax.random.key(1, impl="rbg")
-    s = jnp.zeros((), jnp.int32)
-    for _ in range(20):
-        params, bn, opt, loss, s = step(params, bn, opt, batch, s, rng0)
-    float(loss)
-    rates = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        for _ in range(STEPS):
-            params, bn, opt, loss, s = step(params, bn, opt, batch, s, rng0)
-        float(loss)
-        rates.append(STEPS * bench.BATCH / (time.perf_counter() - t0))
-    return sorted(rates)[1]
+    return bench.measure_windows(step, params, bn, opt, batch, rng0,
+                                 steps=STEPS, warmup=20)
 
 
 if __name__ == "__main__":
