@@ -314,3 +314,27 @@ def test_journal_stays_strict_json_with_nan_intermediates(tmp_path):
     resumed = Study(journal_path=path, seed=0)
     inter = resumed.trials[0]["intermediates_by_step"]
     assert inter[0] == 0.6 and math.isnan(inter[1])
+
+
+def test_asha_uses_in_flight_sibling_evidence():
+    """Asynchronous halving must see asked-but-untold siblings' curves —
+    the property that lets vectorized lanes prune each other mid-round."""
+    from hhrs_tpu.hpo.pruner import SuccessiveHalvingPruner
+    from hhrs_tpu.hpo.study import Study
+
+    study = Study(seed=0, pruner=SuccessiveHalvingPruner(min_resource=1,
+                                                         reduction_factor=2))
+    space = {}
+    import hhrs_tpu.hpo.study as S
+
+    trials = [S.Trial(i, space, {}, study) for i in range(3)]
+    study._in_flight.extend(trials)
+    # two in-flight siblings post good rung-1 values; the third posts a bad one
+    trials[0].report(0.10, 0)
+    trials[1].report(0.12, 0)
+    trials[2].report(0.90, 0)
+    # with eta=2 and 3 rung entries, only ceil(3/2)=2 survive: the bad
+    # trial prunes purely on IN-FLIGHT evidence (study.trials is empty)
+    assert study.trials == []
+    assert trials[2].should_prune()
+    assert not trials[0].should_prune()

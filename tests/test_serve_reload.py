@@ -135,3 +135,39 @@ def test_failed_reload_keeps_serving(reload_setup):
     assert holder.artifacts_dir == dir_a_abs
     res = holder.recommend(int(uni.user_ids[0]), uni.cities[0], "friends", 1.0)
     assert "ranked_hotels" in res
+
+
+def test_post_boot_reregister_over_same_dir_swaps(reload_setup):
+    """r4 review finding: when the reloader's INIT registry read failed,
+    the adopt branch must only adopt a registration that PREDATES boot —
+    a post-boot re-register over the same dir is a new snapshot (new
+    weights on disk) and must rebuild+swap."""
+    dirs, db, build, _ = reload_setup
+    from hhrs_tpu.db.registry import ModelRegistry
+    from hhrs_tpu.serve.reload import RegistryReloader, SwappableEngine
+
+    reg = ModelRegistry(db)
+    reg.register("adopt-v1", dirs[0])
+    built = []
+
+    def counting_build(adir):
+        built.append(adir)
+        return build(adir)
+
+    holder = SwappableEngine(build(dirs[0]))
+    reloader = RegistryReloader(holder, f"registry:{db}", counting_build,
+                                poll_s=3600, current_dir=dirs[0])
+    # simulate "init couldn't read the registry" (transient lock)
+    reloader.current_key = (None, dirs[0])
+
+    # pre-boot registration over the same dir: adopt, no rebuild
+    assert reloader.check_once() is False
+    assert built == []
+    assert reloader.current_key[0] is not None  # key adopted
+
+    # now a POST-boot re-register over the SAME dir (fresh snapshot):
+    reloader.current_key = (None, dirs[0])  # init-failed state again
+    reloader._boot_at = 0.0  # boot long before any registration
+    reg.register("adopt-v2", dirs[0])
+    assert reloader.check_once() is True  # rebuilt + swapped, not adopted
+    assert built == [dirs[0]]
