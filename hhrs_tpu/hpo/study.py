@@ -93,9 +93,14 @@ class Trial:
                 t["intermediates_by_step"] for t in self._study.trials
                 if t.get("intermediates_by_step")
             ] + [
+                # the candidate ITSELF is part of its rung cohort (optuna's
+                # ASHA semantics): excluding it computed the survival
+                # quantile over n-1 entries, wrongly killing the
+                # second-best of 3 at eta=2 and never firing with exactly
+                # eta trials at a rung (r4 review finding)
                 dict(t.intermediates)
                 for t in getattr(self._study, "_in_flight", [])
-                if t is not self and t.intermediates
+                if t.intermediates
             ],
         )
 

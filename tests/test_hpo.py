@@ -261,17 +261,20 @@ def test_asha_in_study_uses_pruned_trial_evidence(tmp_path):
     calls = []
 
     def objective(trial):
-        # trials 0,1 post good rung-1 values and complete; later trials post
-        # bad rung-1 values and must be pruned AT step 0
+        # trials 0,1 post the SAME good rung-1 value (a tie is within the
+        # top 1/eta — `value > bests[keep-1]` is strict — so both survive;
+        # the candidate is part of its own rung cohort, true ASHA
+        # semantics); later trials post bad values and must be pruned AT
+        # step 0, without waiting for completions
         good = trial.number < 2
-        v0 = 0.1 + 0.01 * trial.number if good else 0.5 + trial.number * 0.01
+        v0 = 0.1 if good else 0.5 + trial.number * 0.01
         trial.report(v0, 0)
         if trial.should_prune():
             calls.append((trial.number, "pruned@0"))
             raise TrialPruned()
-        trial.report(v0 / 2, 1)
+        trial.report(v0 / 2 + 0.001 * trial.number, 1)
         calls.append((trial.number, "done"))
-        return v0 / 2
+        return v0 / 2 + 0.001 * trial.number
 
     study.optimize(objective, space, n_trials=6)
     states = [t["state"] for t in study.trials]
@@ -320,21 +323,32 @@ def test_asha_uses_in_flight_sibling_evidence():
     """Asynchronous halving must see asked-but-untold siblings' curves —
     the property that lets vectorized lanes prune each other mid-round."""
     from hhrs_tpu.hpo.pruner import SuccessiveHalvingPruner
-    from hhrs_tpu.hpo.study import Study
+    from hhrs_tpu.hpo.study import Study, Trial
 
     study = Study(seed=0, pruner=SuccessiveHalvingPruner(min_resource=1,
                                                          reduction_factor=2))
-    space = {}
-    import hhrs_tpu.hpo.study as S
-
-    trials = [S.Trial(i, space, {}, study) for i in range(3)]
+    trials = [Trial(i, {}, {}, study) for i in range(3)]
     study._in_flight.extend(trials)
     # two in-flight siblings post good rung-1 values; the third posts a bad one
     trials[0].report(0.10, 0)
     trials[1].report(0.12, 0)
     trials[2].report(0.90, 0)
-    # with eta=2 and 3 rung entries, only ceil(3/2)=2 survive: the bad
-    # trial prunes purely on IN-FLIGHT evidence (study.trials is empty)
+    # with eta=2 and 3 rung entries (cohort INCLUDES the candidate),
+    # ceil(3/2)=2 survive: only the bad trial prunes, purely on IN-FLIGHT
+    # evidence (study.trials is empty)
     assert study.trials == []
     assert trials[2].should_prune()
     assert not trials[0].should_prune()
+    assert not trials[1].should_prune()  # second-best of 3 is in the top 1/2
+
+    # exactly eta trials at a rung: halving must already fire (docstring:
+    # "starts cutting as soon as reduction_factor trials have touched a
+    # rung") — the self-excluding cohort could never reach eta entries
+    study2 = Study(seed=0, pruner=SuccessiveHalvingPruner(min_resource=1,
+                                                          reduction_factor=2))
+    pair = [Trial(i, {}, {}, study2) for i in range(2)]
+    study2._in_flight.extend(pair)
+    pair[0].report(0.10, 0)
+    pair[1].report(0.90, 0)
+    assert pair[1].should_prune()
+    assert not pair[0].should_prune()

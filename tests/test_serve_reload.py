@@ -144,7 +144,6 @@ def test_post_boot_reregister_over_same_dir_swaps(reload_setup):
     weights on disk) and must rebuild+swap."""
     dirs, db, build, _ = reload_setup
     from hhrs_tpu.db.registry import ModelRegistry
-    from hhrs_tpu.serve.reload import RegistryReloader, SwappableEngine
 
     reg = ModelRegistry(db)
     reg.register("adopt-v1", dirs[0])
@@ -170,4 +169,9 @@ def test_post_boot_reregister_over_same_dir_swaps(reload_setup):
     reloader._boot_at = 0.0  # boot long before any registration
     reg.register("adopt-v2", dirs[0])
     assert reloader.check_once() is True  # rebuilt + swapped, not adopted
+    assert built == [dirs[0]]
+    # and the swap ADOPTED adopt-v2's key: the next poll is a no-op, not a
+    # rebuild-every-tick loop
+    assert reloader.current_key[0] is not None
+    assert reloader.check_once() is False
     assert built == [dirs[0]]
