@@ -26,15 +26,7 @@ import jax
 import jax.numpy as jnp
 
 
-def timeit(f, *a, n=20):
-    import numpy as np
-
-    float(np.asarray(f(*a)).ravel()[0])  # compile + sync
-    t0 = time.perf_counter()
-    for _ in range(n):
-        y = f(*a)
-    float(np.asarray(y).ravel()[0])
-    return (time.perf_counter() - t0) / n
+from kernels import timeit  # noqa: E402 — one value-sync timing protocol
 
 
 def main(argv=None) -> int:
