@@ -210,6 +210,12 @@ class ServeConfig:
     # evicted/invalidated).
     cache_entries: int = 0
     cache_ttl_s: float = 0.0
+    # >0: poll the data CSVs' stat fingerprints every N seconds and
+    # rebuild+hot-swap the serving stack when they change (serve/reload.py
+    # DataReloader) — new reviews/friendships reach live traffic without a
+    # restart. The reference reads the CSVs once at startup
+    # (main.py:242-245) and needs a restart. 0 disables.
+    data_poll_s: float = 0.0
     # EXACT city-bounded ranking (default on): candidates are provably a
     # subset of the request city's items (candidates.py intersects the
     # mask with city_item), so the single-device engine ranks only the

@@ -79,6 +79,13 @@ def main(argv=None) -> int:
                    help="with --artifacts registry:<db>: poll the registry "
                         "every N seconds and hot-swap to a newly activated "
                         "model without dropping traffic (0 disables)")
+    p.add_argument("--data-poll-s", type=float, default=None,
+                   help=">0: poll the data CSVs every N seconds and rebuild+"
+                        "hot-swap the serving stack when they change — new "
+                        "reviews/friendships reach live traffic without a "
+                        "restart (debounced + torn-write-safe; the shadow/"
+                        "canary arms keep their startup data until restart). "
+                        "The reference requires a restart (main.py:242-245)")
     p.add_argument("--mesh", default=None, metavar="DATAxMODEL",
                    help="serve over a device mesh, e.g. 4x2: the item axis "
                         "(catalog features, masks, kNN table, MMR embeddings) "
@@ -161,19 +168,44 @@ def main(argv=None) -> int:
             return eng
 
         engine = build_stack(artifacts_dir, frames=_frames)
-        if args.reload_poll_s > 0:
-            if not artifacts.startswith("registry:"):
-                log.warning("--reload-poll-s needs --artifacts registry:<db>; "
-                            "ignoring (a plain dir never changes identity)")
-            else:
-                from hhrs_tpu.serve.reload import RegistryReloader, SwappableEngine
+        data_poll_s = (args.data_poll_s if args.data_poll_s is not None
+                       else cfg.data_poll_s)
+        registry_reload = args.reload_poll_s > 0
+        if registry_reload and not artifacts.startswith("registry:"):
+            log.warning("--reload-poll-s needs --artifacts registry:<db>; "
+                        "ignoring (a plain dir never changes identity)")
+            registry_reload = False
+        if registry_reload or data_poll_s > 0:
+            import threading as _threading
 
-                holder = SwappableEngine(engine)
-                RegistryReloader(holder, artifacts, build_stack,
-                                 args.reload_poll_s, artifacts_dir).start()
-                engine = holder
+            from hhrs_tpu.serve.reload import (
+                DataReloader, RegistryReloader, SwappableEngine)
+
+            holder = SwappableEngine(engine)
+            # ONE lock serializes both pollers' build+swap: a registry swap
+            # landing mid-data-rebuild must not be overwritten by an engine
+            # built from the superseded artifact dir (and vice versa).
+            swap_lock = _threading.Lock()
+            reloader = None
+            if registry_reload:
+                reloader = RegistryReloader(holder, artifacts, build_stack,
+                                            args.reload_poll_s, artifacts_dir,
+                                            swap_lock=swap_lock)
+                reloader.start()
                 log.info("registry hot reload on: polling every %.1fs",
                          args.reload_poll_s)
+            if data_poll_s > 0:
+                # rebuild with whatever model is CURRENT at trigger time —
+                # the registry reloader's live dir when both pollers run
+                current_dir_fn = (
+                    (lambda: reloader.current_dir) if reloader is not None
+                    else (lambda: artifacts_dir))
+                DataReloader(holder, data_dir, build_stack, data_poll_s,
+                             current_dir_fn, swap_lock=swap_lock).start()
+                log.info("data hot reload on: polling %s every %.1fs "
+                         "(shadow/canary arms keep startup data)",
+                         data_dir, data_poll_s)
+            engine = holder
         if args.canary:
             from hhrs_tpu.serve.canary import CanaryEngine
 

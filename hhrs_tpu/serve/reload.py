@@ -1,11 +1,15 @@
-"""Hot model reload from the registry (serve `--reload-poll-s`).
+"""Hot reload for a live server: models (`--reload-poll-s`) and data
+(`--data-poll-s`).
 
 The reference designs an `ml_models` registry with an `is_active` flag
 (database_setup.py:54-64, Documentation.md:256-271) but its serving code
-never reads it — models change only by restarting the process. Here the
-registry is live at startup (`--artifacts registry:<db>`) AND during
-serving: a poller thread watches the active registration and swaps in the
-newly activated model without dropping traffic.
+never reads it — models change only by restarting the process, and the
+review/friendship CSVs are read once at startup (main.py:242-245), so new
+reviews or friendships NEVER reach a running server. Here both are live:
+`RegistryReloader` watches the active registration and swaps in a newly
+activated model; `DataReloader` watches the data CSVs' fingerprints and
+rebuilds the serving stack over the refreshed review universe — without
+dropping traffic in either case.
 
 Swap semantics: `SwappableEngine` is one attribute indirection. A request
 thread that already grabbed the old engine finishes on it; every later
@@ -38,6 +42,45 @@ OLD_STACK_CLOSE_GRACE_S = 10.0
 # tick. A registration key change (operator fixed and re-registered)
 # retries immediately; the same broken key retries after this long.
 FAILED_LOAD_RETRY_S = 60.0
+
+# Filenames the serve path reads from the data dir (reference
+# main.py:242-245); the data-reload fingerprint covers exactly these.
+DATA_FILES = ("hackathon_augmented_data.csv", "friendships.csv")
+
+
+def data_fingerprint(data_dir: str) -> tuple:
+    """Cheap change detector over the serve-path CSVs: (name, mtime_ns,
+    size) per file — an os.stat each, no content read. A missing file
+    fingerprints as (name, None, None) so appear/disappear transitions
+    register as changes too."""
+    import os
+
+    fp = []
+    for name in DATA_FILES:
+        try:
+            st = os.stat(os.path.join(data_dir, name))
+            fp.append((name, st.st_mtime_ns, st.st_size))
+        except OSError:
+            fp.append((name, None, None))
+    return tuple(fp)
+
+
+def _defer_close(old) -> None:
+    """Close the previous engine stack after the swap grace period (shared
+    by both reloaders): requests that grabbed the old stack right before
+    the swap — or sat in its batcher queue — finish on it error-free."""
+
+    def _close_old():
+        close = getattr(old, "close", None)
+        if callable(close):
+            try:
+                close()
+            except Exception:  # old stack teardown must never hurt serving
+                log.exception("closing the previous engine failed")
+
+    t = threading.Timer(OLD_STACK_CLOSE_GRACE_S, _close_old)
+    t.daemon = True
+    t.start()
 
 
 class SwappableEngine:
@@ -72,12 +115,19 @@ class RegistryReloader(threading.Thread):
     """
 
     def __init__(self, holder: SwappableEngine, spec: str, build,
-                 poll_s: float, current_dir: str):
+                 poll_s: float, current_dir: str,
+                 swap_lock: threading.Lock | None = None):
         super().__init__(daemon=True, name="hhrs-registry-reloader")
         self.holder = holder
         self.spec = spec
         self.build = build
         self.poll_s = poll_s
+        # Serializes build+swap against a concurrent DataReloader (the CLI
+        # passes ONE lock to both): without it a registry swap landing
+        # mid-data-rebuild could be overwritten by an engine built from the
+        # superseded artifact dir. Builds are long (CSV parse + device
+        # transfers + warmup) so the two pollers simply take turns.
+        self.swap_lock = swap_lock if swap_lock is not None else threading.Lock()
         self._stop = threading.Event()
         # The swap key is (model_id, artifact_path), not the path alone: a
         # retrain exported over the SAME directory and re-registered is a
@@ -142,33 +192,128 @@ class RegistryReloader(threading.Thread):
         new_dir = new_key[1]
         log.info("registry: active model changed %s -> %s (model_id %s); loading...",
                  self.current_dir, new_dir, new_key[0])
-        try:
-            new_engine = self.build(new_dir)
-        except Exception as e:
-            log.error("hot reload of %s FAILED (%s); keeping %s (retry in %.0fs "
-                      "unless the registration changes)",
-                      new_dir, e, self.current_dir, FAILED_LOAD_RETRY_S)
-            self._failed_key = new_key
-            self._failed_at = time.monotonic()
-            return False
-        self._failed_key = None
-        old = self.holder.swap(new_engine)
-        self.current_key = new_key
-
-        def _close_old():
-            close = getattr(old, "close", None)
-            if callable(close):
-                try:
-                    close()
-                except Exception:  # old stack teardown must never hurt serving
-                    log.exception("closing the previous engine failed")
-
-        # Deferred: requests that grabbed the old stack right before the
-        # swap (or sat in its batcher queue) finish on it error-free.
-        t = threading.Timer(OLD_STACK_CLOSE_GRACE_S, _close_old)
-        t.daemon = True
-        t.start()
+        with self.swap_lock:
+            try:
+                new_engine = self.build(new_dir)
+            except Exception as e:
+                log.error("hot reload of %s FAILED (%s); keeping %s (retry in %.0fs "
+                          "unless the registration changes)",
+                          new_dir, e, self.current_dir, FAILED_LOAD_RETRY_S)
+                self._failed_key = new_key
+                self._failed_at = time.monotonic()
+                return False
+            self._failed_key = None
+            old = self.holder.swap(new_engine)
+            self.current_key = new_key
+        _defer_close(old)
         log.info("hot reload complete: serving %s", new_dir)
+        return True
+
+    def run(self):
+        while not self._stop.wait(self.poll_s):
+            self.check_once()
+
+    def stop(self):
+        self._stop.set()
+
+
+class DataReloader(threading.Thread):
+    """Polls the data CSVs' stat fingerprints; on change, rebuilds the
+    serving stack over the refreshed review universe and swaps it in.
+
+    The reference can only pick up new reviews/friendships by restarting
+    the process (CSVs read once in the startup lifespan, main.py:242-245).
+    Here a refreshed data drop reaches live traffic in ~2 poll ticks with
+    zero dropped requests — the same SwappableEngine swap the model
+    reloader uses, so the response cache's generation handshake
+    invalidates stale entries automatically.
+
+    Mid-write defenses (a writer replacing multi-MB CSVs is not atomic
+    unless it renames into place):
+
+      * DEBOUNCE — a changed fingerprint must hold STABLE across two
+        consecutive polls before a rebuild starts, so a file still being
+        appended keeps deferring;
+      * POST-BUILD RECHECK — if the fingerprint moved again during the
+        (seconds-to-minutes) rebuild, the freshly built engine is
+        discarded un-swapped and the new fingerprint re-enters debounce;
+      * a FAILED parse/build keeps the current stack serving and backs
+        off ``FAILED_LOAD_RETRY_S`` for that exact fingerprint (a further
+        file change retries immediately).
+
+    ``current_dir_fn`` supplies the artifact dir to rebuild with — the
+    registry reloader's live ``current_dir`` when both pollers run, else
+    the static startup dir. ``check_once`` is the unit-testable core.
+    """
+
+    def __init__(self, holder: SwappableEngine, data_dir: str, build,
+                 poll_s: float, current_dir_fn,
+                 swap_lock: threading.Lock | None = None):
+        super().__init__(daemon=True, name="hhrs-data-reloader")
+        self.holder = holder
+        self.data_dir = data_dir
+        self.build = build
+        self.poll_s = poll_s
+        self.current_dir_fn = current_dir_fn
+        self.swap_lock = swap_lock if swap_lock is not None else threading.Lock()
+        self._stop = threading.Event()
+        self.current_fp = data_fingerprint(data_dir)
+        self._pending = None
+        self._failed_fp = None
+        self._failed_at = 0.0
+
+    def check_once(self) -> bool:
+        """One poll tick. Returns True iff a rebuilt stack was swapped in.
+        Never raises — any failure keeps the current stack serving."""
+        import time
+
+        fp = data_fingerprint(self.data_dir)
+        if fp == self.current_fp:
+            self._pending = None
+            return False
+        if fp != self._pending:
+            # First sighting of this fingerprint: defer one tick so an
+            # in-progress write settles before the expensive rebuild.
+            self._pending = fp
+            return False
+        if fp == self._failed_fp and (
+            time.monotonic() - self._failed_at < FAILED_LOAD_RETRY_S
+        ):
+            return False  # same broken data drop: back off, retry later
+        adir = self.current_dir_fn()
+        log.info("data: %s changed; rebuilding the serving stack "
+                 "(artifacts %s)...", self.data_dir, adir)
+        with self.swap_lock:
+            try:
+                new_engine = self.build(adir)
+            except Exception as e:
+                log.error("data reload FAILED (%s); keeping the current "
+                          "universe (retry in %.0fs unless the files change "
+                          "again)", e, FAILED_LOAD_RETRY_S)
+                self._failed_fp = fp
+                self._failed_at = time.monotonic()
+                return False
+            fp2 = data_fingerprint(self.data_dir)
+            if fp2 != fp:
+                # Files moved again during the rebuild — the new engine may
+                # hold a torn read. Discard it (never served, safe to close
+                # immediately) and let the new fingerprint re-debounce.
+                log.warning("data changed again during the rebuild; "
+                            "discarding and re-polling")
+                close = getattr(new_engine, "close", None)
+                if callable(close):
+                    try:
+                        close()
+                    except Exception:
+                        log.exception("closing the discarded engine failed")
+                self._pending = fp2
+                return False
+            self._failed_fp = None
+            old = self.holder.swap(new_engine)
+            self.current_fp = fp
+            self._pending = None
+        _defer_close(old)
+        log.info("data reload complete: serving the refreshed universe")
         return True
 
     def run(self):

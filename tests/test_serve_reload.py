@@ -175,3 +175,165 @@ def test_post_boot_reregister_over_same_dir_swaps(reload_setup):
     assert reloader.current_key[0] is not None
     assert reloader.check_once() is False
     assert built == [dirs[0]]
+
+
+# ---------------------------------------------------------------------------
+# Data hot reload (serve --data-poll-s): refreshed review/friendship CSVs
+# reach live traffic without a restart. The reference reads the CSVs once in
+# its startup lifespan (main.py:242-245) — new data requires a restart.
+# ---------------------------------------------------------------------------
+
+import os
+
+from hhrs_tpu.data.synthetic import write_synthetic_dataset
+from hhrs_tpu.serve.reload import DataReloader, data_fingerprint
+
+
+@pytest.fixture(scope="module")
+def data_reload_setup(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("data_reload")
+    data_dir = str(tmp / "data")
+    ds = write_synthetic_dataset(
+        data_dir, n_users=120, n_items=60, n_reviews=2500, seed=45)
+    main_df = add_engineered_features(
+        ds.reviews.rename(columns={"guest_id": "user_id", "hotel_id": "item_id"})
+    )
+    splits, art = Preprocessor().fit_transform(noise_filter(main_df.copy()))
+    dims = ModelDims.from_artifacts(art)
+    mcfg = ModelConfig(emb_dim=8, hidden_dim=32, n_cross_layers=1, n_res_blocks=1)
+    r = train_dcn(splits, dims, mcfg,
+                  TrainConfig(lr=3e-3, batch_size=256, n_epochs=1, seed=7))
+    art_dir = str(tmp / "artifacts")
+    export_artifacts(art_dir, r.params, r.bn_state, mcfg, dims, art,
+                     r.final_metrics)
+
+    def build(adir):
+        # the production build_stack shape: re-reads the data dir's CSVs
+        return RecommendationEngine.from_dirs(adir, data_dir)
+
+    return data_dir, art_dir, build
+
+
+def _append_review(data_dir: str, user_id: int) -> None:
+    """Append the last review row again under a NEW external user id —
+    schema-valid by construction, and it changes the file's size."""
+    p = os.path.join(data_dir, "hackathon_augmented_data.csv")
+    with open(p) as f:
+        header = f.readline().strip().split(",")
+        last = f.readlines()[-1].strip().split(",")
+    last[header.index("guest_id")] = str(user_id)
+    with open(p, "a") as f:
+        f.write(",".join(last) + "\n")
+
+
+def test_data_reload_swaps_on_stable_change(data_reload_setup):
+    data_dir, art_dir, build = data_reload_setup
+    holder = SwappableEngine(build(art_dir))
+    dr = DataReloader(holder, data_dir, build, poll_s=3600,
+                      current_dir_fn=lambda: art_dir)
+    first = holder.current
+
+    # unchanged data → no swap, ever
+    assert dr.check_once() is False
+    assert holder.current is first
+
+    new_user = 10_987_654
+    assert new_user not in set(int(u) for u in holder.gen.universe.user_ids)
+    _append_review(data_dir, new_user)
+    # tick 1: fingerprint changed but not yet stable → debounce, no swap
+    assert dr.check_once() is False
+    assert holder.current is first
+    # tick 2: stable → rebuild + swap
+    assert dr.check_once() is True
+    assert holder.current is not first
+    assert new_user in set(int(u) for u in holder.gen.universe.user_ids)
+    # the new universe serves traffic
+    res = holder.recommend(new_user, holder.gen.universe.cities[0],
+                           "personal", 1.0)
+    assert "ranked_hotels" in res
+    # steady state: no further swaps
+    assert dr.check_once() is False
+
+
+def test_data_reload_debounces_mid_write_churn(data_reload_setup):
+    """A file still being appended (fingerprint moves every tick) must keep
+    deferring the rebuild — only a STABLE fingerprint swaps."""
+    data_dir, art_dir, build = data_reload_setup
+    builds = []
+
+    def counting_build(adir):
+        builds.append(adir)
+        return build(adir)
+
+    holder = SwappableEngine(build(art_dir))
+    dr = DataReloader(holder, data_dir, counting_build, poll_s=3600,
+                      current_dir_fn=lambda: art_dir)
+    for uid in (20_000_001, 20_000_002, 20_000_003):
+        _append_review(data_dir, uid)
+        assert dr.check_once() is False  # fp moved again since last tick
+    assert builds == []  # never rebuilt during the churn
+    assert dr.check_once() is True  # stable now → one swap
+    assert builds == [art_dir]
+
+
+def test_data_reload_failed_parse_keeps_serving(data_reload_setup):
+    """A torn/corrupt data drop must keep the current universe serving
+    (and back off); a subsequent good drop recovers immediately."""
+    data_dir, art_dir, build = data_reload_setup
+    holder = SwappableEngine(build(art_dir))
+    dr = DataReloader(holder, data_dir, build, poll_s=3600,
+                      current_dir_fn=lambda: art_dir)
+    first = holder.current
+    p = os.path.join(data_dir, "hackathon_augmented_data.csv")
+    good = open(p, "rb").read()
+    with open(p, "wb") as f:
+        f.write(b"guest_id,hotel_id\n1,2\n")  # missing required columns
+    assert dr.check_once() is False  # debounce tick
+    assert dr.check_once() is False  # rebuild attempted, parse FAILED
+    assert holder.current is first   # still serving the old universe
+    uni = holder.gen.universe
+    assert "ranked_hotels" in holder.recommend(
+        int(uni.user_ids[0]), uni.cities[0], "friends", 1.0)
+    # the failed fingerprint is remembered: no rebuild storm
+    assert dr._failed_fp is not None
+
+    with open(p, "wb") as f:
+        f.write(good)
+    _append_review(data_dir, 30_000_001)
+    assert dr.check_once() is False  # new fingerprint → debounce
+    assert dr.check_once() is True   # and it swaps despite the backoff
+    assert holder.current is not first
+
+
+def test_data_reload_discards_engine_on_mid_build_change(data_reload_setup):
+    """If the files move AGAIN while the rebuild runs, the freshly built
+    engine may hold a torn read — it must be discarded un-swapped."""
+    data_dir, art_dir, build = data_reload_setup
+    uid = iter(range(40_000_001, 40_000_010))
+
+    def racing_build(adir):
+        eng = build(adir)
+        _append_review(data_dir, next(uid))  # writer races the rebuild
+        return eng
+
+    holder = SwappableEngine(build(art_dir))
+    dr = DataReloader(holder, data_dir, racing_build, poll_s=3600,
+                      current_dir_fn=lambda: art_dir)
+    first = holder.current
+    _append_review(data_dir, next(uid))
+    assert dr.check_once() is False  # debounce
+    assert dr.check_once() is False  # built, then detected the race → discard
+    assert holder.current is first
+    # the racing write re-entered debounce; a quiet tick later it lands
+    # (racing_build appends again, so this sequence converges only because
+    # the post-build recheck keeps refusing torn reads)
+    assert dr._pending == data_fingerprint(data_dir)
+
+
+def test_data_reload_fingerprint_covers_missing_file(data_reload_setup):
+    data_dir, _, _ = data_reload_setup
+    fp = data_fingerprint(data_dir)
+    assert all(sz is not None for (_, _, sz) in fp)
+    missing = data_fingerprint(os.path.join(data_dir, "nope"))
+    assert all(sz is None for (_, _, sz) in missing)
+    assert fp != missing
