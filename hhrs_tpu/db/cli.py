@@ -24,6 +24,53 @@ from hhrs_tpu.utils.logging import setup_logging
 log = logging.getLogger("hhrs_tpu.db")
 
 
+def run_promote(db: str, artifacts: str, *, version: str | None = None,
+                metric: str = "val_logloss", direction: str = "auto",
+                eval_data: str | None = None, eval_split: str = "all"):
+    """The promote gate as a callable: register ``artifacts`` in ``db`` and
+    activate it ONLY if it beats the incumbent on ``metric``.
+
+    With ``eval_data``, BOTH the candidate and the incumbent are re-scored
+    on that fixed dataset (train/evaluate.py) and the gate compares those
+    numbers — apples-to-apples even when each model trained on different
+    data. Returns ``(model_id, promoted, reason)``. Shared by the CLI
+    ``promote`` subcommand and the continuous-training pipeline
+    (hhrs_tpu/pipeline.py)."""
+    from hhrs_tpu.db.registry import ModelRegistry
+
+    with open(os.path.join(artifacts, "manifest.json")) as f:
+        manifest = json.load(f)
+    reg = ModelRegistry(db, create=True)
+    metrics = dict(manifest.get("metrics", {}))
+    incumbent_value = None
+    if eval_data:
+        from hhrs_tpu.train.evaluate import evaluate_artifacts
+
+        # the eval keys drop the manifest's 'val_' prefix
+        key = metric.removeprefix("val_")
+        cand_eval = evaluate_artifacts(artifacts, eval_data, split=eval_split)
+        if key not in cand_eval:
+            raise KeyError(f"--metric {metric!r} → no {key!r} in eval "
+                           f"results {sorted(cand_eval)}")
+        metric = f"gate_{key}"
+        metrics[metric] = cand_eval[key]
+        metrics["gate_eval_data"] = os.path.abspath(eval_data)
+        active = reg.active()
+        if active is not None:
+            inc_eval = evaluate_artifacts(
+                active["artifact_path"], eval_data, split=eval_split)
+            incumbent_value = inc_eval[key]
+            log.info("re-scored on %s (%d rows): candidate %s=%.6g, "
+                     "incumbent %s=%.6g", eval_data, cand_eval["rows"],
+                     key, cand_eval[key], key, inc_eval[key])
+    return reg.promote_if_better(
+        version, artifacts, metrics=metrics,
+        hyperparams=manifest.get("model_config", {}),
+        metric=metric, direction=direction,
+        incumbent_value=incumbent_value,
+    )
+
+
 def main(argv=None) -> int:
     setup_logging()
     p = argparse.ArgumentParser(description="DB seeding + model registry ops")
@@ -92,41 +139,10 @@ def main(argv=None) -> int:
             ModelRegistry(args.db).activate(args.model_id)
             log.info("model %d is now active", args.model_id)
         elif args.cmd == "promote":
-            with open(os.path.join(args.artifacts, "manifest.json")) as f:
-                manifest = json.load(f)
-            reg = ModelRegistry(args.db, create=True)
-            metrics = dict(manifest.get("metrics", {}))
-            metric, incumbent_value = args.metric, None
-            if args.eval_data:
-                from hhrs_tpu.train.evaluate import evaluate_artifacts
-
-                # the eval keys drop the manifest's 'val_' prefix
-                key = args.metric.removeprefix("val_")
-                cand_eval = evaluate_artifacts(
-                    args.artifacts, args.eval_data, split=args.eval_split)
-                if key not in cand_eval:
-                    raise KeyError(
-                        f"--metric {args.metric!r} → no {key!r} in eval "
-                        f"results {sorted(cand_eval)}")
-                metric = f"gate_{key}"
-                metrics[metric] = cand_eval[key]
-                metrics["gate_eval_data"] = os.path.abspath(args.eval_data)
-                active = reg.active()
-                if active is not None:
-                    inc_eval = evaluate_artifacts(
-                        active["artifact_path"], args.eval_data,
-                        split=args.eval_split)
-                    incumbent_value = inc_eval[key]
-                    log.info("re-scored on %s (%d rows): candidate %s=%.6g, "
-                             "incumbent %s=%.6g", args.eval_data,
-                             cand_eval["rows"], key, cand_eval[key], key,
-                             inc_eval[key])
-            mid, promoted, reason = reg.promote_if_better(
-                args.version or None, args.artifacts,
-                metrics=metrics,
-                hyperparams=manifest.get("model_config", {}),
-                metric=metric, direction=args.direction,
-                incumbent_value=incumbent_value,
+            mid, promoted, reason = run_promote(
+                args.db, args.artifacts, version=args.version or None,
+                metric=args.metric, direction=args.direction,
+                eval_data=args.eval_data, eval_split=args.eval_split,
             )
             log.info("model_id=%d %s — %s", mid,
                      "PROMOTED" if promoted else "registered inactive", reason)

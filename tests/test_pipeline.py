@@ -1,0 +1,117 @@
+"""Continuous-training pipeline (hhrs_tpu/pipeline.py): ONE supervised
+command closes watch → fine-tune → gate → promote.
+
+The reference's retraining story is a one-shot script plus hand-copied
+artifacts plus a server restart (reference train.py:270-397,
+main.py:233-284); here the loop runs unattended and a `--reload-poll-s` /
+`--data-poll-s` server picks the results up live (test_serve_reload.py).
+"""
+
+import json
+import os
+import threading
+
+from hhrs_tpu import pipeline
+from hhrs_tpu.data.synthetic import write_synthetic_dataset
+from hhrs_tpu.db.registry import ModelRegistry
+
+# tiny model + tiny batches: each cycle is a real train→eval→gate pass
+OVR = ["model.emb_dim=8", "model.hidden_dim=32", "model.n_cross_layers=1",
+       "model.n_res_blocks=1", "train.batch_size=256"]
+
+
+def _history(runs_dir):
+    with open(os.path.join(runs_dir, "pipeline_history.jsonl")) as f:
+        return [json.loads(line) for line in f]
+
+
+def _append_reviews(data_dir: str, user_id: int, n: int = 8) -> None:
+    p = os.path.join(data_dir, "hackathon_augmented_data.csv")
+    with open(p) as f:
+        header = f.readline().strip().split(",")
+        lines = f.readlines()
+    rows = []
+    for ln in lines[-n:]:
+        parts = ln.strip().split(",")
+        parts[header.index("guest_id")] = str(user_id)
+        rows.append(",".join(parts))
+    with open(p, "a") as f:
+        f.write("\n".join(rows) + "\n")
+
+
+def test_pipeline_cold_warm_and_watch(tmp_path):
+    data = str(tmp_path / "data")
+    write_synthetic_dataset(data, n_users=150, n_items=60, n_reviews=3000, seed=9)
+    db = str(tmp_path / "reg.sqlite")
+    runs = str(tmp_path / "runs")
+    base = ["--data", data, "--db", db, "--runs-dir", runs]
+
+    # cycle 1: empty registry → COLD train; first model promotes
+    # unconditionally (no incumbent to beat)
+    rc = pipeline.main(base + ["--once", "--epochs", "1"] + OVR)
+    assert rc == 0
+    active = ModelRegistry(db).active()
+    assert active is not None
+    h = _history(runs)
+    assert h[-1]["ok"] and h[-1]["promoted"] is True
+    assert h[-1]["warm_start_from"] is None
+    assert h[-1]["run_dir"] == active["artifact_path"]
+    first_path = active["artifact_path"]
+
+    # refresh the data, cycle 2: WARM start from the active model, and the
+    # gate re-scores BOTH models on the refreshed dataset
+    _append_reviews(data, 77_000_001)
+    rc = pipeline.main(base + ["--once", "--epochs", "1"] + OVR)
+    assert rc == 0
+    h = _history(runs)
+    assert h[-1]["ok"] and h[-1]["warm_start_from"] == first_path
+    assert isinstance(h[-1]["promoted"], bool) and h[-1]["reason"]
+    models = ModelRegistry(db).list()
+    assert len(models) == 2
+    assert sum(m["is_active"] for m in models) == 1  # loser stays inactive
+    # the gate's apples-to-apples metrics are recorded on the candidate
+    cand = next(m for m in models if m["artifact_path"] == h[-1]["run_dir"])
+    assert "gate_logloss" in cand["metrics"]
+    assert os.path.abspath(data) == cand["metrics"]["gate_eval_data"]
+
+    # WATCH mode: debounced fingerprint trigger → one more cycle, then exit
+    # via --max-cycles. Run in a thread; a data drop lands mid-watch.
+    done = {}
+
+    def watch():
+        done["rc"] = pipeline.main(
+            base + ["--poll-s", "0.05", "--max-cycles", "1",
+                    "--epochs", "1"] + OVR)
+
+    t = threading.Thread(target=watch, daemon=True)
+    t.start()
+    # let the watcher take its BASELINE fingerprint before the drop lands —
+    # appending first would make the refreshed files the baseline and the
+    # watcher would (correctly) never trigger
+    import time
+
+    time.sleep(2.0)
+    _append_reviews(data, 77_000_002)
+    t.join(timeout=240)
+    assert not t.is_alive() and done["rc"] == 0
+    h = _history(runs)
+    assert len(h) == 3 and h[-1]["ok"]
+    assert h[-1]["trigger_fingerprint"]  # watch cycles record their trigger
+    assert len(ModelRegistry(db).list()) == 3
+
+
+def test_pipeline_once_survives_bad_data(tmp_path):
+    """A torn/bad data drop fails the cycle (exit 1) but records the
+    failure instead of raising — the watch loop stays alive on this."""
+    data = str(tmp_path / "data")
+    os.makedirs(data)
+    with open(os.path.join(data, "hackathon_augmented_data.csv"), "w") as f:
+        f.write("guest_id,hotel_id\n1,2\n")  # missing required columns
+    db = str(tmp_path / "reg.sqlite")
+    runs = str(tmp_path / "runs")
+    rc = pipeline.main(["--data", data, "--db", db, "--runs-dir", runs,
+                        "--once", "--epochs", "1"] + OVR)
+    assert rc == 1
+    h = _history(runs)
+    assert h[-1]["ok"] is False and h[-1]["stage"] == "train"
+    assert not os.path.exists(db) or ModelRegistry(db).active() is None
