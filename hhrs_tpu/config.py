@@ -92,6 +92,17 @@ class TrainConfig:
     # prefer threefry when exact mesh/single-device parity matters).
     # The run's top-level/checkpointed key stays threefry either way.
     rng_impl: str = "threefry2x32"
+    # "bfloat16": store Adam's FIRST moment (mu) in bf16 — update math
+    # stays f32 (optax mu_dtype); nu stays f32 (it feeds 1/sqrt, where
+    # bf16's mantissa perturbs the preconditioner). A big-table knob: the
+    # dense optimizer's O(n_rows·d) moment sweep dominates step bytes at
+    # production table sizes (RESULTS.md lazy_ab), and mu r+w is ~1/3 of
+    # that sweep. Like rng_impl=rbg: statistically equivalent, not
+    # bit-identical. Default f32 = reference parity. With
+    # lazy_table_updates the row-wise table moments stay f32 (lazy
+    # already avoids the full-table sweep; the knob then covers only the
+    # dense tower subtree).
+    moment_dtype: str = "float32"
     # Numeric sanitizer: raise FloatingPointError the moment any jitted
     # computation produces a NaN (jax_debug_nans; SURVEY.md §5 — this is
     # the CI-grade replacement for a race/memory sanitizer in a

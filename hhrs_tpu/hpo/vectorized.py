@@ -106,7 +106,9 @@ def _make_trial_update(mcfg: ModelConfig, optimizer: str):
     """One trial's fwd/bwd + Adam-family update with lr/wd/dropout as
     runtime scalars.
 
-    Matches train/optimizers.py::make_optimizer exactly:
+    Matches train/optimizers.py::make_optimizer exactly (at its default
+    f32 moment_dtype — the bf16-mu big-table knob is not part of the HPO
+    space and is not mirrored here):
     * adamw — optax.adamw = scale_by_adam → add_decayed_weights(wd) →
       scale(-lr):   p ← p − lr·(adam(g) + wd·p)
     * adam  — torch-style L2: add_decayed_weights BEFORE the moments:

@@ -58,9 +58,9 @@ def run_cycle(data_dir: str, db: str, runs_dir: str, *,
               warm_start: bool = True, promote_metric: str = "val_logloss",
               eval_split: str = "all", overrides: list[str] | None = None,
               tag: str = "") -> dict:
-    """One train→gate→promote cycle. Returns the history record (also
-    appended to pipeline_history.jsonl). Never raises — failures are
-    recorded with ``"ok": False`` so a watch loop survives a bad drop."""
+    """One train→gate→promote cycle. Returns the history record (the
+    callers append it to pipeline_history.jsonl). Never raises — failures
+    are recorded with ``"ok": False`` so a watch loop survives a bad drop."""
     from hhrs_tpu.db.cli import run_promote
     from hhrs_tpu.db.registry import ModelRegistry
     from hhrs_tpu.train import cli as train_cli
@@ -131,7 +131,8 @@ def main(argv=None) -> int:
     p.add_argument("--poll-s", type=float, default=30.0,
                    help="watch mode: data fingerprint poll interval")
     p.add_argument("--max-cycles", type=int, default=0,
-                   help="watch mode: stop after N completed cycles (0 = run forever)")
+                   help="watch mode: stop after N triggered cycles, counting "
+                        "failed ones (0 = run forever)")
     p.add_argument("--cold", action="store_true",
                    help="train from scratch each cycle instead of warm-starting "
                         "from the registry's active model")

@@ -15,17 +15,28 @@ from __future__ import annotations
 import optax
 
 
-def make_optimizer(name: str, lr: float, weight_decay: float) -> optax.GradientTransformation:
+def make_optimizer(name: str, lr: float, weight_decay: float,
+                   moment_dtype: str | None = None) -> optax.GradientTransformation:
+    """``moment_dtype="bfloat16"`` stores Adam's FIRST moment (mu) in bf16
+    (optax ``mu_dtype``; the update math still runs f32 — optax casts mu up,
+    accumulates, casts back). The second moment stays f32 deliberately: nu
+    feeds a 1/sqrt and spans a wide dynamic range, where bf16's 8-bit
+    mantissa visibly perturbs the preconditioner. A throughput knob for the
+    BIG-table dense regime, where Adam's O(n_rows·d) moment sweep dominates
+    step bytes (RESULTS.md lazy_ab) — mu r+w is ~1/3 of that sweep, so bf16
+    mu cuts table traffic ~17%. Default None (f32) = reference parity."""
     name = name.lower()
+    mu_dtype = None if moment_dtype in (None, "float32") else moment_dtype
     if name == "adamw":
         tx = optax.inject_hyperparams(
-            lambda learning_rate: optax.adamw(learning_rate, weight_decay=weight_decay)
+            lambda learning_rate: optax.adamw(
+                learning_rate, weight_decay=weight_decay, mu_dtype=mu_dtype)
         )(learning_rate=lr)
     elif name == "adam":
         tx = optax.inject_hyperparams(
             lambda learning_rate: optax.chain(
                 optax.add_decayed_weights(weight_decay),
-                optax.scale_by_adam(),
+                optax.scale_by_adam(mu_dtype=mu_dtype),
                 optax.scale_by_learning_rate(learning_rate),
             )
         )(learning_rate=lr)

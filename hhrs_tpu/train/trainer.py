@@ -395,7 +395,8 @@ def train_dcn(
     else:
         params, bn_state = init_dcn(init_rng, dims, model_cfg)
 
-    tx = make_optimizer(train_cfg.optimizer, train_cfg.lr, train_cfg.weight_decay)
+    tx = make_optimizer(train_cfg.optimizer, train_cfg.lr, train_cfg.weight_decay,
+                        moment_dtype=train_cfg.moment_dtype)
     if train_cfg.lazy_table_updates:
         # Sparse-row table updates (train/lazy.py): the optax state covers
         # only the dense subtree; table moments live row-wise in LazyOptState.

@@ -226,3 +226,45 @@ def test_plateau_lr_decay_never_recompiles():
     params, opt = step(params, opt)
     assert step._cache_size() == 1, "LR decay must not recompile the step"
     assert get_learning_rate(opt) == np.float32(5e-4)
+
+
+def test_moment_dtype_bf16_trains_close_to_f32():
+    """train.moment_dtype=bfloat16 stores Adam's mu in bf16 (the big-table
+    traffic knob, benchmarks/moment_ab.py): the full loop runs, the state
+    really holds bf16 mu leaves, results are deterministic, and quality
+    lands within noise of f32 moments (statistically equivalent, not
+    bit-identical — same contract as rng_impl=rbg)."""
+    import jax
+    import jax.numpy as jnp
+
+    from hhrs_tpu.models.dcn import init_dcn
+    from hhrs_tpu.train.optimizers import make_optimizer
+
+    ds = generate_synthetic_dataset(n_users=100, n_items=50, n_reviews=2000, seed=8)
+    df = add_engineered_features(
+        ds.reviews.rename(columns={"guest_id": "user_id", "hotel_id": "item_id"})
+    )
+    splits, art = Preprocessor().fit_transform(df)
+    dims = ModelDims.from_artifacts(art)
+    mcfg = ModelConfig(emb_dim=4, hidden_dim=16, n_cross_layers=1, n_res_blocks=1)
+
+    def run(md):
+        tcfg = TrainConfig(lr=1e-3, batch_size=256, n_epochs=2, moment_dtype=md)
+        return train_dcn(splits, dims, mcfg, tcfg)
+
+    rb = run("bfloat16")
+    assert np.isfinite(rb.final_metrics["val_logloss"])
+    # deterministic rerun
+    assert run("bfloat16").final_metrics == rb.final_metrics
+    # close to the f32-moment run, but NOT required to be identical
+    rf = run("float32")
+    assert abs(rb.final_metrics["val_logloss"] - rf.final_metrics["val_logloss"]) < 0.02
+
+    # the optax state really carries bf16 mu (and f32 nu) for both optimizers
+    for name in ("adamw", "adam"):
+        tx = make_optimizer(name, 1e-3, 1e-4, moment_dtype="bfloat16")
+        params, _ = init_dcn(jax.random.PRNGKey(0), dims, mcfg)
+        st = tx.init(params)
+        dtypes = {str(leaf.dtype) for leaf in jax.tree.leaves(st)
+                  if hasattr(leaf, "dtype") and jnp.issubdtype(leaf.dtype, jnp.floating)}
+        assert "bfloat16" in dtypes and "float32" in dtypes
