@@ -4,10 +4,17 @@ seconds). serve_stack_ab measures the composed stack's phases once; this
 answers the rolling-update question — does ANY request error or stall
 across many swaps under load?
 
+With ``--data-swap-every N`` a writer thread also appends fresh review
+rows to the live data CSV every N seconds and the server runs
+``--data-poll-s 1`` — model swaps and data-universe swaps then interleave
+under load (the full zero-restart loop of docs/OPERATIONS.md).
+
 Reported: total requests, errors, p50/p99, swaps observed via /healthz
-model flips. Pass = zero errors and every promotion observed.
+model flips, data reloads observed in the server log. Pass = zero errors
+and every promotion observed.
 
 Usage: python benchmarks/serve_soak.py [--seconds 90] [--items 10000]
+       python benchmarks/serve_soak.py --data-swap-every 15
 """
 
 import argparse
@@ -32,6 +39,11 @@ def main(argv=None) -> int:
     p.add_argument("--users", type=int, default=5_000)
     p.add_argument("--reviews", type=int, default=50_000)
     p.add_argument("--concurrency", type=int, default=8)
+    p.add_argument("--data-swap-every", type=float, default=0.0,
+                   help=">0: append fresh review rows to the live data CSV "
+                        "every N seconds (server runs --data-poll-s 1, so "
+                        "data-universe hot swaps interleave with the model "
+                        "swaps under load)")
     p.add_argument("--out", default=None)
     args = p.parse_args(argv)
 
@@ -46,12 +58,15 @@ def main(argv=None) -> int:
     data_dir, dirs, db, df = build_world(tmp, args.items, args.users, args.reviews)
     base = f"http://127.0.0.1:{port}"
 
+    serve_cmd = [sys.executable, "-m", "hhrs_tpu.serve.cli",
+                 "--artifacts", f"registry:{db}", "--data", data_dir,
+                 "--port", str(port), "--reload-poll-s", "1",
+                 "--cache-entries", "256", "--candidate-cap", "4096",
+                 "--batch-window-ms", "3", "--max-batch", "8"]
+    if args.data_swap_every > 0:
+        serve_cmd += ["--data-poll-s", "1"]
     proc = subprocess.Popen(
-        [sys.executable, "-m", "hhrs_tpu.serve.cli",
-         "--artifacts", f"registry:{db}", "--data", data_dir,
-         "--port", str(port), "--reload-poll-s", "1",
-         "--cache-entries", "256", "--candidate-cap", "4096",
-         "--batch-window-ms", "3", "--max-batch", "8"],
+        serve_cmd,
         stdout=subprocess.DEVNULL, stderr=open(stderr_path, "w"),
         cwd="/root/repo",
     )
@@ -93,6 +108,31 @@ def main(argv=None) -> int:
         for t in threads:
             t.start()
 
+        data_appends = [0]
+        if args.data_swap_every > 0:
+            # writer thread: a fresh batch of reviews from a brand-new user
+            # lands on the live CSV every --data-swap-every seconds
+            csv_path = os.path.join(data_dir, "hackathon_augmented_data.csv")
+            with open(csv_path) as f:
+                header = f.readline().strip().split(",")
+                tail_rows = [ln.strip().split(",") for ln in f.readlines()[-4:]]
+            uid_col = header.index("guest_id")
+
+            def writer():
+                uid = 90_000_000
+                while not stop.wait(args.data_swap_every):
+                    uid += 1
+                    rows = []
+                    for parts in tail_rows:
+                        parts = list(parts)
+                        parts[uid_col] = str(uid)
+                        rows.append(",".join(parts))
+                    with open(csv_path, "a") as f:
+                        f.write("\n".join(rows) + "\n")
+                    data_appends[0] += 1
+
+            threading.Thread(target=writer, daemon=True).start()
+
         # promotion loop: alternate v1/v2 while traffic flows
         swaps_requested, models_seen = 0, set()
         t_end = time.time() + args.seconds
@@ -132,6 +172,11 @@ def main(argv=None) -> int:
                 "swaps_requested": swaps_requested,
                 "models_served": len(models_seen),
             }
+        if args.data_swap_every > 0:
+            with open(stderr_path) as f:
+                stderr_txt = f.read()
+            result["data_appends"] = data_appends[0]
+            result["data_reloads"] = stderr_txt.count("data reload complete")
         print(json.dumps(result))
     finally:
         proc.terminate()

@@ -129,10 +129,16 @@ def main(argv=None) -> int:
         from hhrs_tpu.data.features import add_engineered_features
         from hhrs_tpu.data.ingest import load_friendships_csv, load_reviews_csv
 
-        _main_df = add_engineered_features(load_reviews_csv(
-            _os.path.join(data_dir, "hackathon_augmented_data.csv")))
-        _frames = (_main_df, load_friendships_csv(
-            _os.path.join(data_dir, "friendships.csv")))
+        def _load_frames(d: str) -> tuple:
+            """(main_df, friendships) parsed from a data dir — startup AND
+            the data reloader's snapshot parse use this one loader."""
+            return (
+                add_engineered_features(load_reviews_csv(
+                    _os.path.join(d, "hackathon_augmented_data.csv"))),
+                load_friendships_csv(_os.path.join(d, "friendships.csv")),
+            )
+
+        _frames = _load_frames(data_dir)
 
         def build_stack(adir: str, frames: tuple | None = None):
             """The full engine stack for one artifact dir — used at startup
@@ -201,7 +207,8 @@ def main(argv=None) -> int:
                     (lambda: reloader.current_dir) if reloader is not None
                     else (lambda: artifacts_dir))
                 DataReloader(holder, data_dir, build_stack, data_poll_s,
-                             current_dir_fn, swap_lock=swap_lock).start()
+                             current_dir_fn, swap_lock=swap_lock,
+                             frames_loader=_load_frames).start()
                 log.info("data hot reload on: polling %s every %.1fs "
                          "(shadow/canary arms keep startup data)",
                          data_dir, data_poll_s)

@@ -234,8 +234,18 @@ class DataReloader(threading.Thread):
       * DEBOUNCE — a changed fingerprint must hold STABLE across two
         consecutive polls before a rebuild starts, so a file still being
         appended keeps deferring;
-      * POST-BUILD RECHECK — if the fingerprint moved again during the
-        (seconds-to-minutes) rebuild, the freshly built engine is
+      * SNAPSHOT ISOLATION (when ``frames_loader`` is given — the
+        production CLI path) — the CSVs are first COPIED to a temp dir
+        with a fingerprint recheck around the (fast) copy; the
+        seconds-to-minutes rebuild then reads only the immutable
+        snapshot, so a writer landing mid-rebuild can never tear it.
+        Without snapshot isolation the torn-read race window is the whole
+        rebuild, and under sustained churn (inter-write gap < rebuild
+        time) EVERY rebuild would be discarded — measured: a 90 s soak
+        with appends every ~12 s completed zero reloads before this
+        (benchmarks/serve_soak.py --data-swap-every);
+      * POST-BUILD RECHECK (no-``frames_loader`` fallback) — if the
+        fingerprint moved during the rebuild, the freshly built engine is
         discarded un-swapped and the new fingerprint re-enters debounce;
       * a FAILED parse/build keeps the current stack serving and backs
         off ``FAILED_LOAD_RETRY_S`` for that exact fingerprint (a further
@@ -243,12 +253,16 @@ class DataReloader(threading.Thread):
 
     ``current_dir_fn`` supplies the artifact dir to rebuild with — the
     registry reloader's live ``current_dir`` when both pollers run, else
-    the static startup dir. ``check_once`` is the unit-testable core.
+    the static startup dir. ``frames_loader(dir) -> frames`` parses the
+    CSVs in ``dir``; when given, the engine is built via
+    ``build(adir, frames)`` from the snapshot. ``check_once`` is the
+    unit-testable core.
     """
 
     def __init__(self, holder: SwappableEngine, data_dir: str, build,
                  poll_s: float, current_dir_fn,
-                 swap_lock: threading.Lock | None = None):
+                 swap_lock: threading.Lock | None = None,
+                 frames_loader=None):
         super().__init__(daemon=True, name="hhrs-data-reloader")
         self.holder = holder
         self.data_dir = data_dir
@@ -256,15 +270,40 @@ class DataReloader(threading.Thread):
         self.poll_s = poll_s
         self.current_dir_fn = current_dir_fn
         self.swap_lock = swap_lock if swap_lock is not None else threading.Lock()
+        self.frames_loader = frames_loader
         self._stop = threading.Event()
         self.current_fp = data_fingerprint(data_dir)
         self._pending = None
         self._failed_fp = None
         self._failed_at = 0.0
 
+    def _snapshot(self, fp: tuple):
+        """Copy the CSVs to a temp dir; returns the dir, or None if the
+        fingerprint moved during the copy (caller re-debounces). The copy
+        is the only part of the reload racing the writer — milliseconds,
+        not the rebuild's seconds-to-minutes."""
+        import os
+        import shutil
+        import tempfile
+
+        snap = tempfile.mkdtemp(prefix="hhrs_data_snap_")
+        try:
+            for name in DATA_FILES:
+                src = os.path.join(self.data_dir, name)
+                if os.path.exists(src):
+                    shutil.copy2(src, os.path.join(snap, name))
+        except OSError as e:
+            shutil.rmtree(snap, ignore_errors=True)
+            raise RuntimeError(f"snapshot copy failed: {e}") from e
+        if data_fingerprint(self.data_dir) != fp:
+            shutil.rmtree(snap, ignore_errors=True)
+            return None
+        return snap
+
     def check_once(self) -> bool:
         """One poll tick. Returns True iff a rebuilt stack was swapped in.
         Never raises — any failure keeps the current stack serving."""
+        import shutil
         import time
 
         fp = data_fingerprint(self.data_dir)
@@ -284,8 +323,18 @@ class DataReloader(threading.Thread):
         log.info("data: %s changed; rebuilding the serving stack "
                  "(artifacts %s)...", self.data_dir, adir)
         with self.swap_lock:
+            snap = None
             try:
-                new_engine = self.build(adir)
+                if self.frames_loader is not None:
+                    snap = self._snapshot(fp)
+                    if snap is None:
+                        log.info("data changed during the snapshot copy; "
+                                 "re-polling")
+                        self._pending = data_fingerprint(self.data_dir)
+                        return False
+                    new_engine = self.build(adir, self.frames_loader(snap))
+                else:
+                    new_engine = self.build(adir)
             except Exception as e:
                 log.error("data reload FAILED (%s); keeping the current "
                           "universe (retry in %.0fs unless the files change "
@@ -293,21 +342,25 @@ class DataReloader(threading.Thread):
                 self._failed_fp = fp
                 self._failed_at = time.monotonic()
                 return False
-            fp2 = data_fingerprint(self.data_dir)
-            if fp2 != fp:
-                # Files moved again during the rebuild — the new engine may
-                # hold a torn read. Discard it (never served, safe to close
-                # immediately) and let the new fingerprint re-debounce.
-                log.warning("data changed again during the rebuild; "
-                            "discarding and re-polling")
-                close = getattr(new_engine, "close", None)
-                if callable(close):
-                    try:
-                        close()
-                    except Exception:
-                        log.exception("closing the discarded engine failed")
-                self._pending = fp2
-                return False
+            finally:
+                if snap is not None:
+                    shutil.rmtree(snap, ignore_errors=True)
+            if self.frames_loader is None:
+                # No snapshot: the rebuild read the LIVE files, so a write
+                # landing mid-rebuild may have torn it — discard unswapped
+                # and let the new fingerprint re-debounce.
+                fp2 = data_fingerprint(self.data_dir)
+                if fp2 != fp:
+                    log.warning("data changed again during the rebuild; "
+                                "discarding and re-polling")
+                    close = getattr(new_engine, "close", None)
+                    if callable(close):
+                        try:
+                            close()
+                        except Exception:
+                            log.exception("closing the discarded engine failed")
+                    self._pending = fp2
+                    return False
             self._failed_fp = None
             old = self.holder.swap(new_engine)
             self.current_fp = fp

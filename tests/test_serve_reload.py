@@ -337,3 +337,46 @@ def test_data_reload_fingerprint_covers_missing_file(data_reload_setup):
     missing = data_fingerprint(os.path.join(data_dir, "nope"))
     assert all(sz is None for (_, _, sz) in missing)
     assert fp != missing
+
+
+def test_data_reload_snapshot_survives_concurrent_writes(data_reload_setup):
+    """With frames_loader (the production CLI path) the rebuild parses an
+    immutable SNAPSHOT of the CSVs, so a writer landing mid-rebuild no
+    longer discards the work. Without it, sustained churn with an
+    inter-write gap shorter than the rebuild starves reloads entirely —
+    measured: a 90s soak with appends every ~12s completed ZERO reloads
+    (benchmarks/serve_soak.py --data-swap-every)."""
+    data_dir, art_dir, build = data_reload_setup
+    from hhrs_tpu.data.ingest import load_friendships_csv, load_reviews_csv
+
+    def frames_loader(d):
+        df = add_engineered_features(load_reviews_csv(
+            os.path.join(d, "hackathon_augmented_data.csv")))
+        return df, load_friendships_csv(os.path.join(d, "friendships.csv"))
+
+    calls = []
+
+    def build2(adir, frames):
+        calls.append(adir)
+        # writer races EVERY rebuild — the starvation scenario
+        _append_review(data_dir, 50_000_000 + len(calls))
+        return RecommendationEngine(load_artifact_bundle(adir),
+                                    frames[0], frames[1])
+
+    holder = SwappableEngine(build(art_dir))
+    dr = DataReloader(holder, data_dir, build2, poll_s=3600,
+                      current_dir_fn=lambda: art_dir,
+                      frames_loader=frames_loader)
+    first = holder.current
+    _append_review(data_dir, 50_999_999)
+    assert dr.check_once() is False  # debounce
+    assert dr.check_once() is True   # snapshot build + swap DESPITE the race
+    assert holder.current is not first
+    users = set(int(u) for u in holder.gen.universe.user_ids)
+    assert 50_999_999 in users       # the snapshot's content is served
+    assert 50_000_001 not in users   # the racing write is not in THIS swap
+    # ...and the racing write triggers the NEXT cycle instead of being lost
+    assert dr.check_once() is False  # debounce of the racing write
+    assert dr.check_once() is True
+    assert 50_000_001 in set(int(u) for u in holder.gen.universe.user_ids)
+    assert calls == [art_dir, art_dir]
