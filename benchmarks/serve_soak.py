@@ -111,24 +111,15 @@ def main(argv=None) -> int:
         data_appends = [0]
         if args.data_swap_every > 0:
             # writer thread: a fresh batch of reviews from a brand-new user
-            # lands on the live CSV every --data-swap-every seconds
-            csv_path = os.path.join(data_dir, "hackathon_augmented_data.csv")
-            with open(csv_path) as f:
-                header = f.readline().strip().split(",")
-                tail_rows = [ln.strip().split(",") for ln in f.readlines()[-4:]]
-            uid_col = header.index("guest_id")
+            # lands on the live CSV every --data-swap-every seconds (the
+            # shared refreshed-data-drop simulator, data/synthetic.py)
+            from hhrs_tpu.data.synthetic import append_reviews
 
             def writer():
                 uid = 90_000_000
                 while not stop.wait(args.data_swap_every):
                     uid += 1
-                    rows = []
-                    for parts in tail_rows:
-                        parts = list(parts)
-                        parts[uid_col] = str(uid)
-                        rows.append(",".join(parts))
-                    with open(csv_path, "a") as f:
-                        f.write("\n".join(rows) + "\n")
+                    append_reviews(data_dir, uid, n=4)
                     data_appends[0] += 1
 
             threading.Thread(target=writer, daemon=True).start()

@@ -128,3 +128,26 @@ def write_synthetic_dataset(data_dir: str, **kwargs) -> SyntheticDataset:
     ds.reviews.to_csv(os.path.join(data_dir, "hackathon_augmented_data.csv"), index=False)
     ds.friendships.to_csv(os.path.join(data_dir, "friendships.csv"), index=False)
     return ds
+
+
+def append_reviews(data_dir: str, user_id: int, n: int = 1,
+                   rating: int | None = None) -> None:
+    """Append ``n`` copies of the CSV's last review row under a NEW
+    external ``user_id`` — schema-valid by construction (whatever columns
+    the file has, the copies have), and the file's size changes so the
+    serve-side stat fingerprint (serve/reload.py) registers the drop.
+
+    The standard way tests and benchmarks simulate a refreshed data drop
+    for the hot-reload/continuous-training surfaces; ``rating`` overrides
+    ``rating_overall`` (e.g. 9 to make the rows retrieval positives)."""
+    import os
+
+    path = os.path.join(data_dir, "hackathon_augmented_data.csv")
+    with open(path) as f:
+        header = f.readline().strip().split(",")
+        last = f.readlines()[-1].strip().split(",")
+    last[header.index("guest_id")] = str(user_id)
+    if rating is not None:
+        last[header.index("rating_overall")] = str(rating)
+    with open(path, "a") as f:
+        f.write("\n".join(",".join(last) for _ in range(n)) + "\n")

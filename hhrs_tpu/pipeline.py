@@ -14,11 +14,14 @@ the loop the operations docs describe as separate steps
      data drop lands;
   2. TRAIN  — fine-tune from the registry's active model (warm start:
      frozen encoders/scaler, id-stable vocab growth — train/warmstart.py),
-     or train cold when the registry is empty;
-  3. GATE   — re-score BOTH the candidate and the incumbent on the
-     refreshed dataset (db/cli.py run_promote with eval_data: an
-     apples-to-apples comparison even though the incumbent trained on the
-     previous snapshot);
+     or train cold when the registry is empty. Training reads a
+     CONSISTENT temp snapshot of the CSVs (serve/reload.py
+     snapshot_data_dir), so a writer appending during the minutes-long
+     run cannot tear the read;
+  3. GATE   — re-score BOTH the candidate and the incumbent on the same
+     snapshot's held-out split (db/cli.py run_promote with eval_data;
+     default --eval-split val — the candidate just trained on the train
+     split, so scoring all rows would reward memorization);
   4. PROMOTE — activate in the registry only if better; losers stay
      registered inactive with their gate metrics recorded.
 
@@ -56,7 +59,7 @@ def _append_history(runs_dir: str, rec: dict) -> None:
 def run_cycle(data_dir: str, db: str, runs_dir: str, *,
               epochs: int | None = None, preset: str | None = None,
               warm_start: bool = True, promote_metric: str = "val_logloss",
-              eval_split: str = "all", overrides: list[str] | None = None,
+              eval_split: str = "val", overrides: list[str] | None = None,
               tag: str = "") -> dict:
     """One train→gate→promote cycle. Returns the history record (the
     callers append it to pipeline_history.jsonl). Never raises — failures
@@ -70,51 +73,75 @@ def run_cycle(data_dir: str, db: str, runs_dir: str, *,
         runs_dir, time.strftime("model-%Y%m%d-%H%M%S") + (f"-{tag}" if tag else ""))
     rec: dict = {"ts": t0, "run_dir": out, "data_dir": os.path.abspath(data_dir)}
 
-    init_from = None
-    if warm_start:
+    # Train and gate from a CONSISTENT SNAPSHOT of the data CSVs: the
+    # training run takes minutes, and a writer appending mid-read would
+    # tear it (the same defect class measured as total reload starvation
+    # in the serve-side DataReloader before snapshot isolation —
+    # RESULTS.md). The snapshot copy is milliseconds with a fingerprint
+    # recheck; if the files never hold still even for that, fall back to
+    # the live dir with a warning rather than never training.
+    from hhrs_tpu.serve.reload import snapshot_data_dir
+
+    snap = snapshot_data_dir(data_dir)
+    if snap is None:
+        log.warning("data files kept changing during the snapshot copy; "
+                    "training from the LIVE dir (a mid-train write may "
+                    "tear the read)")
+    cycle_data = snap if snap is not None else data_dir
+    rec["snapshot"] = snap is not None
+
+    try:
+        init_from = None
+        if warm_start:
+            try:
+                active = ModelRegistry(db).active()
+            except Exception:
+                active = None  # registry not created yet → cold train
+            if active is not None:
+                init_from = active["artifact_path"]
+        rec["warm_start_from"] = init_from
+
+        train_args = ["--data", cycle_data, "--out", out]
+        if init_from:
+            train_args += ["--init-from", init_from]
+        if epochs is not None:
+            train_args += ["--epochs", str(epochs)]
+        if preset:
+            train_args += ["--preset", preset]
+        train_args += list(overrides or [])
+        log.info("cycle: training into %s (%s)", out,
+                 f"warm start from {init_from}" if init_from else "cold start")
         try:
-            active = ModelRegistry(db).active()
-        except Exception:
-            active = None  # registry not created yet → cold train
-        if active is not None:
-            init_from = active["artifact_path"]
-    rec["warm_start_from"] = init_from
+            rc = train_cli.main(train_args)
+        except Exception as e:  # noqa: BLE001 — the watch loop must survive
+            log.error("training raised: %s", e, exc_info=True)
+            rec.update(ok=False, stage="train", error=repr(e))
+            return rec
+        rec["train_rc"] = rc
+        if rc != 0:
+            rec.update(ok=False, stage="train")
+            return rec
+        rec["train_s"] = round(time.time() - t0, 1)
 
-    train_args = ["--data", data_dir, "--out", out]
-    if init_from:
-        train_args += ["--init-from", init_from]
-    if epochs is not None:
-        train_args += ["--epochs", str(epochs)]
-    if preset:
-        train_args += ["--preset", preset]
-    train_args += list(overrides or [])
-    log.info("cycle: training into %s (%s)", out,
-             f"warm start from {init_from}" if init_from else "cold start")
-    try:
-        rc = train_cli.main(train_args)
-    except Exception as e:  # noqa: BLE001 — the watch loop must survive
-        log.error("training raised: %s", e, exc_info=True)
-        rec.update(ok=False, stage="train", error=repr(e))
+        try:
+            # gate on the SAME snapshot the candidate trained from
+            mid, promoted, reason = run_promote(
+                db, out, metric=promote_metric,
+                eval_data=cycle_data, eval_split=eval_split)
+        except Exception as e:  # noqa: BLE001
+            log.error("promote gate raised: %s", e, exc_info=True)
+            rec.update(ok=False, stage="promote", error=repr(e))
+            return rec
+        rec.update(ok=True, model_id=mid, promoted=promoted, reason=reason,
+                   total_s=round(time.time() - t0, 1))
+        log.info("cycle done in %.1fs: model_id=%d %s — %s", rec["total_s"],
+                 mid, "PROMOTED" if promoted else "kept incumbent", reason)
         return rec
-    rec["train_rc"] = rc
-    if rc != 0:
-        rec.update(ok=False, stage="train")
-        return rec
-    rec["train_s"] = round(time.time() - t0, 1)
+    finally:
+        if snap is not None:
+            import shutil
 
-    try:
-        mid, promoted, reason = run_promote(
-            db, out, metric=promote_metric,
-            eval_data=data_dir, eval_split=eval_split)
-    except Exception as e:  # noqa: BLE001
-        log.error("promote gate raised: %s", e, exc_info=True)
-        rec.update(ok=False, stage="promote", error=repr(e))
-        return rec
-    rec.update(ok=True, model_id=mid, promoted=promoted, reason=reason,
-               total_s=round(time.time() - t0, 1))
-    log.info("cycle done in %.1fs: model_id=%d %s — %s", rec["total_s"], mid,
-             "PROMOTED" if promoted else "kept incumbent", reason)
-    return rec
+            shutil.rmtree(snap, ignore_errors=True)
 
 
 def main(argv=None) -> int:
@@ -140,9 +167,12 @@ def main(argv=None) -> int:
     p.add_argument("--preset", default=None,
                    help="train preset (e.g. 'tuned'); forwarded to the trainer")
     p.add_argument("--promote-metric", default="val_logloss")
-    p.add_argument("--eval-split", choices=("all", "val", "train"), default="all",
+    p.add_argument("--eval-split", choices=("all", "val", "train"), default="val",
                    help="which split of the refreshed data the gate re-scores "
-                        "both models on (default all rows)")
+                        "both models on. Default 'val' (the held-out split): "
+                        "the candidate just TRAINED on this data's train "
+                        "split, so scoring 'all'/'train' lets an overfit "
+                        "candidate beat the incumbent on memorized rows")
     p.add_argument("overrides", nargs="*",
                    help="section.field=value config overrides, forwarded to the trainer")
     args = p.parse_args(argv)
@@ -157,8 +187,9 @@ def main(argv=None) -> int:
         return 0 if rec.get("ok") else 1
 
     # Watch mode: the serve-side data fingerprint + the same two-tick
-    # debounce (serve/reload.py), so a CSV still being written never
-    # triggers a training run on a torn read.
+    # debounce (serve/reload.py) avoids triggering on a file mid-write;
+    # run_cycle's SNAPSHOT copy is the actual torn-read defense once a
+    # cycle starts (debounce alone cannot protect a minutes-long read).
     from hhrs_tpu.serve.reload import data_fingerprint
 
     current_fp = data_fingerprint(args.data)

@@ -122,8 +122,8 @@ def main(argv=None) -> int:
 
         # Parse the CSVs ONCE: the primary/shadow/canary stacks share the
         # identical data_dir, and the parse is seconds-to-minutes of
-        # startup each. The hot-reload poller passes frames=None so a
-        # reload re-reads possibly-refreshed data.
+        # startup each. The reload pollers re-parse possibly-refreshed
+        # data from a consistent temp SNAPSHOT (serve/reload.py).
         import os as _os
 
         from hhrs_tpu.data.features import add_engineered_features
@@ -131,13 +131,20 @@ def main(argv=None) -> int:
 
         def _load_frames(d: str) -> tuple:
             """(main_df, friendships) parsed from a data dir — startup AND
-            the data reloader's snapshot parse use this one loader."""
+            the reloaders' snapshot parses use this one loader."""
             return (
                 add_engineered_features(load_reviews_csv(
                     _os.path.join(d, "hackathon_augmented_data.csv"))),
                 load_friendships_csv(_os.path.join(d, "friendships.csv")),
             )
 
+        # Fingerprint BEFORE the parse: the data reloader's baseline must
+        # describe the files this startup actually read — stat'ing at
+        # reloader construction (after the minutes-long parse+warmup)
+        # would bake a mid-startup write into the baseline unserved.
+        from hhrs_tpu.serve.reload import data_fingerprint
+
+        _fp0 = data_fingerprint(data_dir)
         _frames = _load_frames(data_dir)
 
         def build_stack(adir: str, frames: tuple | None = None):
@@ -196,7 +203,9 @@ def main(argv=None) -> int:
             if registry_reload:
                 reloader = RegistryReloader(holder, artifacts, build_stack,
                                             args.reload_poll_s, artifacts_dir,
-                                            swap_lock=swap_lock)
+                                            swap_lock=swap_lock,
+                                            data_dir=data_dir,
+                                            frames_loader=_load_frames)
                 reloader.start()
                 log.info("registry hot reload on: polling every %.1fs",
                          args.reload_poll_s)
@@ -208,7 +217,8 @@ def main(argv=None) -> int:
                     else (lambda: artifacts_dir))
                 DataReloader(holder, data_dir, build_stack, data_poll_s,
                              current_dir_fn, swap_lock=swap_lock,
-                             frames_loader=_load_frames).start()
+                             frames_loader=_load_frames,
+                             baseline_fp=_fp0).start()
                 log.info("data hot reload on: polling %s every %.1fs "
                          "(shadow/canary arms keep startup data)",
                          data_dir, data_poll_s)

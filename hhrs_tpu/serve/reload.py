@@ -65,6 +65,42 @@ def data_fingerprint(data_dir: str) -> tuple:
     return tuple(fp)
 
 
+def _copy_data_files(data_dir: str, snap: str) -> None:
+    """Copy the serve-path CSVs into ``snap`` (existing files only)."""
+    import os
+    import shutil
+
+    for name in DATA_FILES:
+        src = os.path.join(data_dir, name)
+        if os.path.exists(src):
+            shutil.copy2(src, os.path.join(snap, name))
+
+
+def snapshot_data_dir(data_dir: str, attempts: int = 3) -> str | None:
+    """Copy the serve-path CSVs to a temp dir, retrying until one copy is
+    CONSISTENT (fingerprint identical before and after the fast copy —
+    the copy is milliseconds, so even a busy writer leaves gaps). Returns
+    the temp dir (caller removes) or None if the files kept moving every
+    attempt. The toolbox for anything that must READ the live data dir
+    while writers may be appending: the model hot-reloader and the
+    continuous-training pipeline both parse/train from such snapshots."""
+    import shutil
+    import tempfile
+
+    for _ in range(attempts):
+        fp = data_fingerprint(data_dir)
+        snap = tempfile.mkdtemp(prefix="hhrs_data_snap_")
+        try:
+            _copy_data_files(data_dir, snap)
+        except OSError:
+            shutil.rmtree(snap, ignore_errors=True)
+            return None
+        if data_fingerprint(data_dir) == fp:
+            return snap
+        shutil.rmtree(snap, ignore_errors=True)
+    return None
+
+
 def _defer_close(old) -> None:
     """Close the previous engine stack after the swap grace period (shared
     by both reloaders): requests that grabbed the old stack right before
@@ -116,12 +152,19 @@ class RegistryReloader(threading.Thread):
 
     def __init__(self, holder: SwappableEngine, spec: str, build,
                  poll_s: float, current_dir: str,
-                 swap_lock: threading.Lock | None = None):
+                 swap_lock: threading.Lock | None = None,
+                 data_dir: str | None = None, frames_loader=None):
         super().__init__(daemon=True, name="hhrs-registry-reloader")
         self.holder = holder
         self.spec = spec
         self.build = build
         self.poll_s = poll_s
+        # With both set, a model swap parses the data CSVs from a
+        # CONSISTENT snapshot (build(dir, frames)) instead of reading the
+        # live files mid-append — the same torn-write defense the data
+        # reloader has. Without them, build(dir) reads live (test path).
+        self.data_dir = data_dir
+        self.frames_loader = frames_loader
         # Serializes build+swap against a concurrent DataReloader (the CLI
         # passes ONE lock to both): without it a registry swap landing
         # mid-data-rebuild could be overwritten by an engine built from the
@@ -194,7 +237,24 @@ class RegistryReloader(threading.Thread):
                  self.current_dir, new_dir, new_key[0])
         with self.swap_lock:
             try:
-                new_engine = self.build(new_dir)
+                snap = None
+                if self.frames_loader is not None and self.data_dir:
+                    snap = snapshot_data_dir(self.data_dir)
+                    if snap is None:
+                        log.warning("data files kept changing during the "
+                                    "snapshot; model reload falls back to a "
+                                    "live read")
+                try:
+                    if snap is not None:
+                        new_engine = self.build(
+                            new_dir, self.frames_loader(snap))
+                    else:
+                        new_engine = self.build(new_dir)
+                finally:
+                    if snap is not None:
+                        import shutil
+
+                        shutil.rmtree(snap, ignore_errors=True)
             except Exception as e:
                 log.error("hot reload of %s FAILED (%s); keeping %s (retry in %.0fs "
                           "unless the registration changes)",
@@ -262,7 +322,7 @@ class DataReloader(threading.Thread):
     def __init__(self, holder: SwappableEngine, data_dir: str, build,
                  poll_s: float, current_dir_fn,
                  swap_lock: threading.Lock | None = None,
-                 frames_loader=None):
+                 frames_loader=None, baseline_fp: tuple | None = None):
         super().__init__(daemon=True, name="hhrs-data-reloader")
         self.holder = holder
         self.data_dir = data_dir
@@ -272,7 +332,13 @@ class DataReloader(threading.Thread):
         self.swap_lock = swap_lock if swap_lock is not None else threading.Lock()
         self.frames_loader = frames_loader
         self._stop = threading.Event()
-        self.current_fp = data_fingerprint(data_dir)
+        # baseline_fp: the fingerprint taken BEFORE the caller parsed the
+        # CSVs it is currently serving. Defaulting to stat-at-construction
+        # would bake a write that landed during the caller's (long) startup
+        # into the baseline without ever serving it — the CLI captures the
+        # fingerprint before its parse and passes it here.
+        self.current_fp = (baseline_fp if baseline_fp is not None
+                           else data_fingerprint(data_dir))
         self._pending = None
         self._failed_fp = None
         self._failed_at = 0.0
@@ -282,16 +348,12 @@ class DataReloader(threading.Thread):
         fingerprint moved during the copy (caller re-debounces). The copy
         is the only part of the reload racing the writer — milliseconds,
         not the rebuild's seconds-to-minutes."""
-        import os
         import shutil
         import tempfile
 
         snap = tempfile.mkdtemp(prefix="hhrs_data_snap_")
         try:
-            for name in DATA_FILES:
-                src = os.path.join(self.data_dir, name)
-                if os.path.exists(src):
-                    shutil.copy2(src, os.path.join(snap, name))
+            _copy_data_files(self.data_dir, snap)
         except OSError as e:
             shutil.rmtree(snap, ignore_errors=True)
             raise RuntimeError(f"snapshot copy failed: {e}") from e
@@ -319,10 +381,14 @@ class DataReloader(threading.Thread):
             time.monotonic() - self._failed_at < FAILED_LOAD_RETRY_S
         ):
             return False  # same broken data drop: back off, retry later
-        adir = self.current_dir_fn()
-        log.info("data: %s changed; rebuilding the serving stack "
-                 "(artifacts %s)...", self.data_dir, adir)
+        log.info("data: %s changed; rebuilding the serving stack...",
+                 self.data_dir)
         with self.swap_lock:
+            # Resolve the artifact dir INSIDE the lock: a registry swap may
+            # be completing while we blocked on it — reading the dir before
+            # acquisition would rebuild from the superseded model and
+            # silently demote a concurrent promotion.
+            adir = self.current_dir_fn()
             snap = None
             try:
                 if self.frames_loader is not None:

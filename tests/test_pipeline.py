@@ -12,7 +12,7 @@ import os
 import threading
 
 from hhrs_tpu import pipeline
-from hhrs_tpu.data.synthetic import write_synthetic_dataset
+from hhrs_tpu.data.synthetic import append_reviews, write_synthetic_dataset
 from hhrs_tpu.db.registry import ModelRegistry
 
 # tiny model + tiny batches: each cycle is a real train→eval→gate pass
@@ -26,17 +26,8 @@ def _history(runs_dir):
 
 
 def _append_reviews(data_dir: str, user_id: int, n: int = 8) -> None:
-    p = os.path.join(data_dir, "hackathon_augmented_data.csv")
-    with open(p) as f:
-        header = f.readline().strip().split(",")
-        lines = f.readlines()
-    rows = []
-    for ln in lines[-n:]:
-        parts = ln.strip().split(",")
-        parts[header.index("guest_id")] = str(user_id)
-        rows.append(",".join(parts))
-    with open(p, "a") as f:
-        f.write("\n".join(rows) + "\n")
+    # the shared refreshed-data-drop simulator (hhrs_tpu/data/synthetic.py)
+    append_reviews(data_dir, user_id, n=n)
 
 
 def test_pipeline_cold_warm_and_watch(tmp_path):
@@ -69,10 +60,11 @@ def test_pipeline_cold_warm_and_watch(tmp_path):
     models = ModelRegistry(db).list()
     assert len(models) == 2
     assert sum(m["is_active"] for m in models) == 1  # loser stays inactive
-    # the gate's apples-to-apples metrics are recorded on the candidate
+    # the gate's apples-to-apples metrics are recorded on the candidate,
+    # and the cycle trained/gated from a consistent snapshot
     cand = next(m for m in models if m["artifact_path"] == h[-1]["run_dir"])
     assert "gate_logloss" in cand["metrics"]
-    assert os.path.abspath(data) == cand["metrics"]["gate_eval_data"]
+    assert h[-1]["snapshot"] is True
 
     # WATCH mode: debounced fingerprint trigger → one more cycle, then exit
     # via --max-cycles. Run in a thread; a data drop lands mid-watch.

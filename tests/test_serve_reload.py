@@ -185,7 +185,7 @@ def test_post_boot_reregister_over_same_dir_swaps(reload_setup):
 
 import os
 
-from hhrs_tpu.data.synthetic import write_synthetic_dataset
+from hhrs_tpu.data.synthetic import append_reviews, write_synthetic_dataset
 from hhrs_tpu.serve.reload import DataReloader, data_fingerprint
 
 
@@ -214,16 +214,8 @@ def data_reload_setup(tmp_path_factory):
     return data_dir, art_dir, build
 
 
-def _append_review(data_dir: str, user_id: int) -> None:
-    """Append the last review row again under a NEW external user id —
-    schema-valid by construction, and it changes the file's size."""
-    p = os.path.join(data_dir, "hackathon_augmented_data.csv")
-    with open(p) as f:
-        header = f.readline().strip().split(",")
-        last = f.readlines()[-1].strip().split(",")
-    last[header.index("guest_id")] = str(user_id)
-    with open(p, "a") as f:
-        f.write(",".join(last) + "\n")
+# the shared refreshed-data-drop simulator (hhrs_tpu/data/synthetic.py)
+_append_review = append_reviews
 
 
 def test_data_reload_swaps_on_stable_change(data_reload_setup):
