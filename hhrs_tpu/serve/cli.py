@@ -222,6 +222,18 @@ def main(argv=None) -> int:
                 log.info("data hot reload on: polling %s every %.1fs "
                          "(shadow/canary arms keep startup data)",
                          data_dir, data_poll_s)
+                if args.shadow or args.canary:
+                    # arms are built once at startup: after a data swap the
+                    # PRIMARY serves the refreshed universe while the
+                    # candidate arm still serves the startup data, so
+                    # agreement/comparison signals partly measure the DATA
+                    # delta, not the model delta
+                    log.warning(
+                        "--data-poll-s with --shadow/--canary: after a data "
+                        "reload the candidate arm keeps the STARTUP "
+                        "universe — agreement stats then mix data drift "
+                        "into the model comparison; restart the rollout "
+                        "after large data drops")
             engine = holder
         if args.canary:
             from hhrs_tpu.serve.canary import CanaryEngine

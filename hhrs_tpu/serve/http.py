@@ -131,6 +131,12 @@ def make_handler(engine):
                     canary_fn = getattr(engine, "canary_stats", None)
                     if canary_fn is not None:
                         payload["canary"] = canary_fn()
+                    # hot-swap count (model + data reloads) when a
+                    # SwappableEngine is in the stack — wrappers delegate
+                    # unknown attributes down to it
+                    swaps = getattr(engine, "swap_count", None)
+                    if swaps is not None:
+                        payload["hot_swaps"] = swaps
                     return self._send(200, payload)
                 if url.path == "/metrics":
                     return self._send(200, _prometheus_metrics(engine), "text/plain; version=0.0.4")

@@ -125,10 +125,14 @@ class SwappableEngine:
 
     def __init__(self, engine):
         self._engine = engine
+        # ops visibility: how many times the stack under this holder has
+        # been hot-swapped (model or data reloads), surfaced in /healthz
+        self.swap_count = 0
 
     def swap(self, new_engine):
         """Atomically install ``new_engine``; returns the previous one."""
         old, self._engine = self._engine, new_engine
+        self.swap_count += 1
         return old
 
     @property
