@@ -107,3 +107,33 @@ def test_pipeline_once_survives_bad_data(tmp_path):
     h = _history(runs)
     assert h[-1]["ok"] is False and h[-1]["stage"] == "train"
     assert not os.path.exists(db) or ModelRegistry(db).active() is None
+
+
+def test_pipeline_trains_from_snapshot_not_live_dir(tmp_path, monkeypatch):
+    """run_cycle must hand the trainer a SNAPSHOT dir, so a writer
+    appending mid-train cannot tear the read (r4 review: debounce alone
+    cannot protect a minutes-long read; the serve-side starvation was
+    measured before the same fix there)."""
+    import hhrs_tpu.train.cli as train_cli_mod
+
+    data = str(tmp_path / "data")
+    write_synthetic_dataset(data, n_users=60, n_items=30, n_reviews=800, seed=3)
+    seen = {}
+
+    def fake_train(argv):
+        i = argv.index("--data")
+        seen["data_arg"] = argv[i + 1]
+        # writer races the "training": the live dir changes NOW
+        append_reviews(data, 42_000_000)
+        seen["snapshot_rows_stable"] = os.path.getsize(
+            os.path.join(argv[i + 1], "hackathon_augmented_data.csv"))
+        return 1  # end the cycle at the train stage (assertions above ran)
+
+    monkeypatch.setattr(train_cli_mod, "main", fake_train)
+    rec = pipeline.run_cycle(data, str(tmp_path / "reg.sqlite"),
+                             str(tmp_path / "runs"), epochs=1)
+    assert rec["snapshot"] is True
+    assert seen["data_arg"] != data           # trained from the snapshot...
+    live = os.path.getsize(os.path.join(data, "hackathon_augmented_data.csv"))
+    assert seen["snapshot_rows_stable"] < live  # ...which the write missed
+    assert rec["ok"] is False and rec["stage"] == "train"

@@ -372,3 +372,66 @@ def test_data_reload_snapshot_survives_concurrent_writes(data_reload_setup):
     assert dr.check_once() is True
     assert 50_000_001 in set(int(u) for u in holder.gen.universe.user_ids)
     assert calls == [art_dir, art_dir]
+
+
+def test_registry_reload_parses_snapshot_despite_racing_writer(data_reload_setup):
+    """A MODEL hot swap re-reads the data CSVs; with data_dir+frames_loader
+    (the production CLI path) it parses a consistent snapshot, so a writer
+    racing the rebuild cannot tear it (r4 review finding — the model path
+    previously read the live files with no defense)."""
+    data_dir, art_dir, build = data_reload_setup
+    from hhrs_tpu.data.ingest import load_friendships_csv, load_reviews_csv
+
+    seen_dirs = []
+
+    def frames_loader(d):
+        seen_dirs.append(d)
+        df = add_engineered_features(load_reviews_csv(
+            os.path.join(d, "hackathon_augmented_data.csv")))
+        return df, load_friendships_csv(os.path.join(d, "friendships.csv"))
+
+    def build2(adir, frames=None):
+        assert frames is not None  # the snapshot path was taken
+        _append_review(data_dir, 60_000_001)  # writer races the rebuild
+        return RecommendationEngine(load_artifact_bundle(adir),
+                                    frames[0], frames[1])
+
+    db = os.path.join(os.path.dirname(art_dir), "reg_snap.sqlite")
+    conn = connect(db)
+    create_schema(conn)
+    conn.close()
+    reg = ModelRegistry(db)
+    reg.register("v1", art_dir, activate=True)
+
+    holder = SwappableEngine(build(art_dir))
+    reloader = RegistryReloader(holder, f"registry:{db}", build2,
+                                poll_s=3600, current_dir=art_dir,
+                                data_dir=data_dir,
+                                frames_loader=frames_loader)
+    reg.register("v2", art_dir, activate=True)  # same dir, new registration
+    assert reloader.check_once() is True
+    # the loader parsed a TEMP SNAPSHOT, not the live dir
+    assert seen_dirs and seen_dirs[0] != data_dir
+
+
+def test_data_reloader_honors_pre_parse_baseline_fingerprint(data_reload_setup):
+    """baseline_fp: a write landing between the caller's fingerprint and
+    the reloader's construction (i.e. during the long startup parse) must
+    be DETECTED, not baked into the baseline unserved (r4 review)."""
+    data_dir, art_dir, build = data_reload_setup
+    fp_before_parse = data_fingerprint(data_dir)
+    # ...startup parse happens here; a write lands mid-startup:
+    _append_review(data_dir, 61_000_001)
+    holder = SwappableEngine(build(art_dir))
+    dr = DataReloader(holder, data_dir, build, poll_s=3600,
+                      current_dir_fn=lambda: art_dir,
+                      baseline_fp=fp_before_parse)
+    assert dr.check_once() is False  # change detected → debounce
+    assert dr.check_once() is True   # → served
+    assert 61_000_001 in set(int(u) for u in holder.gen.universe.user_ids)
+    # whereas WITHOUT the baseline the same write would be invisible:
+    _append_review(data_dir, 61_000_002)
+    dr2 = DataReloader(holder, data_dir, build, poll_s=3600,
+                      current_dir_fn=lambda: art_dir)
+    assert dr2.check_once() is False
+    assert dr2.check_once() is False  # stat-at-construction baked it in
