@@ -133,6 +133,9 @@ def build_openapi_spec(batch_pad: int = 64) -> dict:
                                 "status": {"type": "string"},
                                 "model": {"type": ["string", "null"]},
                                 "latency": {"type": "object"},
+                                # present when hot reload is on (model or
+                                # data poller): swaps served so far
+                                "hot_swaps": {"type": "integer"},
                             },
                             "required": ["status"],
                             "additionalProperties": True,
