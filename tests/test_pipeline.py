@@ -137,3 +137,48 @@ def test_pipeline_trains_from_snapshot_not_live_dir(tmp_path, monkeypatch):
     live = os.path.getsize(os.path.join(data, "hackathon_augmented_data.csv"))
     assert seen["snapshot_rows_stable"] < live  # ...which the write missed
     assert rec["ok"] is False and rec["stage"] == "train"
+
+
+def test_pipeline_promotion_feeds_registry_hot_reload(tmp_path):
+    """The zero-restart loop's handshake: a pipeline cycle PROMOTES a new
+    model in the registry, and a live server's RegistryReloader picks it
+    up on its next poll tick — no restart between train and serve."""
+    from hhrs_tpu.serve.engine import RecommendationEngine
+    from hhrs_tpu.serve.reload import RegistryReloader, SwappableEngine
+    from hhrs_tpu.train.artifacts import load_artifact_bundle
+
+    data = str(tmp_path / "data")
+    write_synthetic_dataset(data, n_users=120, n_items=50, n_reviews=2500, seed=5)
+    db = str(tmp_path / "reg.sqlite")
+    runs = str(tmp_path / "runs")
+    base = ["--data", data, "--db", db, "--runs-dir", runs,
+            "--once", "--epochs", "1"] + OVR
+
+    assert pipeline.main(base) == 0          # cycle 1 → active model v1
+    v1 = ModelRegistry(db).active()["artifact_path"]
+
+    def build(adir):
+        return RecommendationEngine.from_dirs(adir, data)
+
+    holder = SwappableEngine(build(v1))      # "server" boots on v1
+    reloader = RegistryReloader(holder, f"registry:{db}", build,
+                                poll_s=3600, current_dir=v1)
+    assert reloader.check_once() is False    # nothing new yet
+
+    append_reviews(data, 66_000_001, n=6)
+    assert pipeline.main(base) == 0          # cycle 2 → gate decides
+    active = ModelRegistry(db).active()["artifact_path"]
+    hist = _history(runs)
+    if hist[-1]["promoted"]:
+        assert active == hist[-1]["run_dir"]  # the candidate won
+        assert reloader.check_once() is True  # ...and the server swapped
+    else:
+        assert active == v1                   # incumbent kept
+        # promote_if_better re-registers the incumbent as a NEW activation
+        # (new model_id) or keeps it; either way the server must end up
+        # serving the active registration
+        reloader.check_once()
+    assert holder.artifacts_dir == active
+    uni = holder.gen.universe
+    assert "ranked_hotels" in holder.recommend(
+        int(uni.user_ids[0]), uni.cities[0], "friends", 1.0)
