@@ -113,3 +113,26 @@ def test_resume_after_early_stop_trains_no_extra_epochs(small_splits, tmp_path):
     np.testing.assert_allclose(
         second.best_val_loss, first.best_val_loss, rtol=0, atol=0
     )
+
+
+def test_resume_with_bf16_moments_matches_uninterrupted(small_splits, tmp_path):
+    """train.moment_dtype=bfloat16 must round-trip through orbax: the
+    restored mu keeps its bf16 dtype and the resumed run continues
+    identically to an uninterrupted bf16-moment run."""
+    splits, art = small_splits
+    dims = ModelDims.from_artifacts(art)
+    tcfg = dataclasses.replace(TCFG, moment_dtype="bfloat16")
+
+    full = train_dcn(splits, dims, MCFG, tcfg)
+
+    ckpt_dir = str(tmp_path / "ckpt_bf16mu")
+    part1 = train_dcn(splits, dims, MCFG,
+                      dataclasses.replace(tcfg, n_epochs=3),
+                      checkpoint_dir=ckpt_dir)
+    assert len(part1.history) == 3
+    part2 = train_dcn(splits, dims, MCFG, tcfg, checkpoint_dir=ckpt_dir)
+    assert [h["epoch"] for h in part2.history] == list(range(6))
+    for h_full, h_res in zip(full.history, part2.history):
+        np.testing.assert_allclose(h_full["train_loss"], h_res["train_loss"], rtol=1e-5)
+        np.testing.assert_allclose(h_full["val_loss"], h_res["val_loss"], rtol=1e-5)
+    np.testing.assert_allclose(full.best_val_loss, part2.best_val_loss, rtol=1e-5)
