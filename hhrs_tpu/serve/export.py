@@ -74,6 +74,12 @@ class ExportedRanker:
 
     def __init__(self, exported):
         self._exported = exported
+        # Exported.call is designed to be embedded under jit: invoked bare
+        # it re-traces the whole module EVERY call (measured 6.5ms vs
+        # 0.83ms for the same program at B=4096 on the chip — pure host
+        # retrace overhead, r4). One jit wrapper compiles once per concrete
+        # batch shape and then runs at native speed.
+        self._call = jax.jit(exported.call)
 
     @classmethod
     def load(cls, path: str) -> "ExportedRanker":
@@ -86,11 +92,14 @@ class ExportedRanker:
         return tuple(self._exported.platforms)
 
     def __call__(self, user_ids, item_ids, cat_features, num_features):
-        return self._exported.call(
+        # jnp.asarray handles lists/numpy/jax inputs uniformly; routing
+        # through np.asarray would device_get a jax-array input to host
+        # and re-upload it EVERY call (a full tunnel round trip, r4).
+        return self._call(
             jnp.asarray(user_ids, jnp.int32),
             jnp.asarray(item_ids, jnp.int32),
             jnp.asarray(cat_features, jnp.int32),
-            jnp.asarray(np.asarray(num_features), jnp.float32),
+            jnp.asarray(num_features, jnp.float32),
         )
 
 
