@@ -133,19 +133,29 @@ def write_synthetic_dataset(data_dir: str, **kwargs) -> SyntheticDataset:
 def append_reviews(data_dir: str, user_id: int, n: int = 1,
                    rating: int | None = None) -> None:
     """Append ``n`` copies of the CSV's last review row under a NEW
-    external ``user_id`` — schema-valid by construction (whatever columns
-    the file has, the copies have), and the file's size changes so the
-    serve-side stat fingerprint (serve/reload.py) registers the drop.
+    external ``user_id``, so the file's size changes and the serve-side
+    stat fingerprint (serve/reload.py) registers the drop.
 
     The standard way tests and benchmarks simulate a refreshed data drop
     for the hot-reload/continuous-training surfaces; ``rating`` overrides
-    ``rating_overall`` (e.g. 9 to make the rows retrieval positives)."""
+    ``rating_overall`` (e.g. 9 to make the rows retrieval positives).
+    Scope: this repo's SYNTHETIC CSVs (write_synthetic_dataset) — the row
+    is split naively on commas, so a last row containing quoted embedded
+    commas would misalign (synthetic data never quotes); a header-only
+    file is a ValueError."""
     import os
 
     path = os.path.join(data_dir, "hackathon_augmented_data.csv")
     with open(path) as f:
         header = f.readline().strip().split(",")
-        last = f.readlines()[-1].strip().split(",")
+        rows = f.readlines()
+    if not rows:
+        raise ValueError(f"{path} has no data rows to clone")
+    last = rows[-1].strip().split(",")
+    if len(last) != len(header) or any('"' in cell for cell in last):
+        raise ValueError(
+            f"{path}'s last row is not naive-splittable (quoted/misaligned "
+            "fields) — append_reviews only supports the synthetic CSV shape")
     last[header.index("guest_id")] = str(user_id)
     if rating is not None:
         last[header.index("rating_overall")] = str(rating)

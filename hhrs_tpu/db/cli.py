@@ -26,14 +26,22 @@ log = logging.getLogger("hhrs_tpu.db")
 
 def run_promote(db: str, artifacts: str, *, version: str | None = None,
                 metric: str = "val_logloss", direction: str = "auto",
-                eval_data: str | None = None, eval_split: str = "all"):
+                eval_data: str | None = None, eval_split: str = "all",
+                cfg=None, record_eval_data: str | None = None):
     """The promote gate as a callable: register ``artifacts`` in ``db`` and
     activate it ONLY if it beats the incumbent on ``metric``.
 
     With ``eval_data``, BOTH the candidate and the incumbent are re-scored
     on that fixed dataset (train/evaluate.py) and the gate compares those
     numbers — apples-to-apples even when each model trained on different
-    data. Returns ``(model_id, promoted, reason)``. Shared by the CLI
+    data. ``cfg`` MUST be the same layered Config the candidate trained
+    under when overrides are in play: evaluate_artifacts noise-filters and
+    splits with cfg.data.*, and a default-config gate against an
+    overridden trainer would carve a DIFFERENT "val" split — letting the
+    candidate be scored on rows it trained on. ``record_eval_data``
+    overrides the audit path stored in the registry metrics (the pipeline
+    evaluates a temp snapshot but records the durable data dir).
+    Returns ``(model_id, promoted, reason)``. Shared by the CLI
     ``promote`` subcommand and the continuous-training pipeline
     (hhrs_tpu/pipeline.py)."""
     from hhrs_tpu.db.registry import ModelRegistry
@@ -48,17 +56,19 @@ def run_promote(db: str, artifacts: str, *, version: str | None = None,
 
         # the eval keys drop the manifest's 'val_' prefix
         key = metric.removeprefix("val_")
-        cand_eval = evaluate_artifacts(artifacts, eval_data, split=eval_split)
+        cand_eval = evaluate_artifacts(artifacts, eval_data, cfg=cfg,
+                                       split=eval_split)
         if key not in cand_eval:
             raise KeyError(f"--metric {metric!r} → no {key!r} in eval "
                            f"results {sorted(cand_eval)}")
         metric = f"gate_{key}"
         metrics[metric] = cand_eval[key]
-        metrics["gate_eval_data"] = os.path.abspath(eval_data)
+        metrics["gate_eval_data"] = os.path.abspath(
+            record_eval_data if record_eval_data is not None else eval_data)
         active = reg.active()
         if active is not None:
             inc_eval = evaluate_artifacts(
-                active["artifact_path"], eval_data, split=eval_split)
+                active["artifact_path"], eval_data, cfg=cfg, split=eval_split)
             incumbent_value = inc_eval[key]
             log.info("re-scored on %s (%d rows): candidate %s=%.6g, "
                      "incumbent %s=%.6g", eval_data, cand_eval["rows"],

@@ -82,11 +82,13 @@ def run_cycle(data_dir: str, db: str, runs_dir: str, *,
     # the live dir with a warning rather than never training.
     from hhrs_tpu.serve.reload import snapshot_data_dir
 
-    snap = snapshot_data_dir(data_dir)
+    try:
+        snap = snapshot_data_dir(data_dir)
+    except OSError:
+        snap = None  # real cause already logged (disk/permissions)
     if snap is None:
-        log.warning("data files kept changing during the snapshot copy; "
-                    "training from the LIVE dir (a mid-train write may "
-                    "tear the read)")
+        log.warning("data snapshot unavailable (see log); training from "
+                    "the LIVE dir (a mid-train write may tear the read)")
     cycle_data = snap if snap is not None else data_dir
     rec["snapshot"] = snap is not None
 
@@ -124,10 +126,21 @@ def run_cycle(data_dir: str, db: str, runs_dir: str, *,
         rec["train_s"] = round(time.time() - t0, 1)
 
         try:
-            # gate on the SAME snapshot the candidate trained from
+            # Gate on the SAME snapshot the candidate trained from, under
+            # the SAME layered config (preset + HHRS_* env + overrides) —
+            # a default-config gate would noise-filter/split differently
+            # whenever data.* overrides are in play, and its "val" rows
+            # could overlap the candidate's training rows. The registry
+            # audit field records the durable data dir, not the temp
+            # snapshot path deleted below.
+            from hhrs_tpu.config import build_config
+
+            gate_cfg = build_config(list(overrides or []), preset=preset,
+                                    log=log)
             mid, promoted, reason = run_promote(
                 db, out, metric=promote_metric,
-                eval_data=cycle_data, eval_split=eval_split)
+                eval_data=cycle_data, eval_split=eval_split,
+                cfg=gate_cfg, record_eval_data=data_dir)
         except Exception as e:  # noqa: BLE001
             log.error("promote gate raised: %s", e, exc_info=True)
             rec.update(ok=False, stage="promote", error=repr(e))

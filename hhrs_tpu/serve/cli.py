@@ -192,20 +192,25 @@ def main(argv=None) -> int:
             import threading as _threading
 
             from hhrs_tpu.serve.reload import (
-                DataReloader, RegistryReloader, SwappableEngine)
+                DataReloader, FramesCache, RegistryReloader, SwappableEngine)
 
             holder = SwappableEngine(engine)
             # ONE lock serializes both pollers' build+swap: a registry swap
             # landing mid-data-rebuild must not be overwritten by an engine
-            # built from the superseded artifact dir (and vice versa).
+            # built from the superseded artifact dir (and vice versa). The
+            # shared frames cache (seeded with the startup parse) lets a
+            # model-only promotion skip re-parsing unchanged data while
+            # holding that lock.
             swap_lock = _threading.Lock()
+            frames_cache = FramesCache(_fp0, _frames)
             reloader = None
             if registry_reload:
                 reloader = RegistryReloader(holder, artifacts, build_stack,
                                             args.reload_poll_s, artifacts_dir,
                                             swap_lock=swap_lock,
                                             data_dir=data_dir,
-                                            frames_loader=_load_frames)
+                                            frames_loader=_load_frames,
+                                            frames_cache=frames_cache)
                 reloader.start()
                 log.info("registry hot reload on: polling every %.1fs",
                          args.reload_poll_s)
@@ -218,7 +223,8 @@ def main(argv=None) -> int:
                 DataReloader(holder, data_dir, build_stack, data_poll_s,
                              current_dir_fn, swap_lock=swap_lock,
                              frames_loader=_load_frames,
-                             baseline_fp=_fp0).start()
+                             baseline_fp=_fp0,
+                             frames_cache=frames_cache).start()
                 log.info("data hot reload on: polling %s every %.1fs "
                          "(shadow/canary arms keep startup data)",
                          data_dir, data_poll_s)

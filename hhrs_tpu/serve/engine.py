@@ -560,8 +560,10 @@ class RecommendationEngine:
         ``frames=(main_df, friendships)`` skips the CSV parse — the CLI
         loads the data ONCE and shares it across the primary/shadow/canary
         stacks (identical data_dir; parsing is seconds-to-minutes of
-        startup each). The hot-reload poller passes None so a reload
-        re-reads refreshed data."""
+        startup each). The hot-reload pollers also pass frames — parsed
+        from a consistent temp SNAPSHOT of possibly-refreshed data
+        (serve/reload.py); ``frames=None`` reads the live files directly
+        and is the simple path for tests/embedding."""
         import os
 
         bundle = load_artifact_bundle(artifacts_dir)

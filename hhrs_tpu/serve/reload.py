@@ -76,29 +76,57 @@ def _copy_data_files(data_dir: str, snap: str) -> None:
             shutil.copy2(src, os.path.join(snap, name))
 
 
-def snapshot_data_dir(data_dir: str, attempts: int = 3) -> str | None:
+def snapshot_data_dir(data_dir: str, attempts: int = 3,
+                      expected_fp: tuple | None = None) -> str | None:
     """Copy the serve-path CSVs to a temp dir, retrying until one copy is
     CONSISTENT (fingerprint identical before and after the fast copy —
     the copy is milliseconds, so even a busy writer leaves gaps). Returns
     the temp dir (caller removes) or None if the files kept moving every
-    attempt. The toolbox for anything that must READ the live data dir
-    while writers may be appending: the model hot-reloader and the
-    continuous-training pipeline both parse/train from such snapshots."""
+    attempt. ``expected_fp`` pins the snapshot to one exact fingerprint
+    (the DataReloader's trigger) instead of whatever is current — a
+    mismatch returns None immediately so the caller can re-debounce.
+    None strictly means WRITER CHURN; a copy-time OSError (disk full,
+    permissions) is logged and RAISED so callers diagnose/back off on
+    the real cause instead of hunting a phantom writer.
+    The toolbox for anything that must READ the live data dir while
+    writers may be appending: both hot-reloaders and the
+    continuous-training pipeline parse/train from such snapshots."""
     import shutil
     import tempfile
 
     for _ in range(attempts):
-        fp = data_fingerprint(data_dir)
+        fp = expected_fp if expected_fp is not None else data_fingerprint(data_dir)
         snap = tempfile.mkdtemp(prefix="hhrs_data_snap_")
         try:
             _copy_data_files(data_dir, snap)
-        except OSError:
+        except OSError as e:
             shutil.rmtree(snap, ignore_errors=True)
-            return None
+            log.error("data snapshot copy failed (%s) — NOT writer churn; "
+                      "check disk space/permissions", e)
+            raise
         if data_fingerprint(data_dir) == fp:
             return snap
         shutil.rmtree(snap, ignore_errors=True)
+        if expected_fp is not None:
+            return None  # pinned fingerprint moved: caller re-debounces
     return None
+
+
+class FramesCache:
+    """(fingerprint → parsed frames) memo of size one, shared by both
+    reloaders under the swap lock: a MODEL swap whose data fingerprint
+    matches the last parse reuses those frames instead of re-paying the
+    seconds-scale snapshot+parse while holding the lock."""
+
+    def __init__(self, fp: tuple | None = None, frames: tuple | None = None):
+        self.fp = fp
+        self.frames = frames
+
+    def get(self, fp: tuple):
+        return self.frames if fp == self.fp and self.frames is not None else None
+
+    def put(self, fp: tuple, frames: tuple) -> None:
+        self.fp, self.frames = fp, frames
 
 
 def _defer_close(old) -> None:
@@ -157,7 +185,8 @@ class RegistryReloader(threading.Thread):
     def __init__(self, holder: SwappableEngine, spec: str, build,
                  poll_s: float, current_dir: str,
                  swap_lock: threading.Lock | None = None,
-                 data_dir: str | None = None, frames_loader=None):
+                 data_dir: str | None = None, frames_loader=None,
+                 frames_cache: "FramesCache | None" = None):
         super().__init__(daemon=True, name="hhrs-registry-reloader")
         self.holder = holder
         self.spec = spec
@@ -167,8 +196,13 @@ class RegistryReloader(threading.Thread):
         # CONSISTENT snapshot (build(dir, frames)) instead of reading the
         # live files mid-append — the same torn-write defense the data
         # reloader has. Without them, build(dir) reads live (test path).
+        # frames_cache (shared with the DataReloader, mutated only under
+        # the swap lock) skips the snapshot+parse entirely when the data
+        # fingerprint hasn't moved since the last parse — the common case
+        # for a model-only promotion.
         self.data_dir = data_dir
         self.frames_loader = frames_loader
+        self.frames_cache = frames_cache
         # Serializes build+swap against a concurrent DataReloader (the CLI
         # passes ONE lock to both): without it a registry swap landing
         # mid-data-rebuild could be overwritten by an engine built from the
@@ -241,17 +275,28 @@ class RegistryReloader(threading.Thread):
                  self.current_dir, new_dir, new_key[0])
         with self.swap_lock:
             try:
-                snap = None
+                snap, frames = None, None
                 if self.frames_loader is not None and self.data_dir:
-                    snap = snapshot_data_dir(self.data_dir)
-                    if snap is None:
-                        log.warning("data files kept changing during the "
-                                    "snapshot; model reload falls back to a "
-                                    "live read")
+                    fp_now = data_fingerprint(self.data_dir)
+                    if self.frames_cache is not None:
+                        frames = self.frames_cache.get(fp_now)
+                    if frames is None:
+                        snap = snapshot_data_dir(self.data_dir)
+                        if snap is None:
+                            log.warning("data files kept changing during "
+                                        "the snapshot; model reload falls "
+                                        "back to a live read")
                 try:
                     if snap is not None:
-                        new_engine = self.build(
-                            new_dir, self.frames_loader(snap))
+                        frames = self.frames_loader(snap)
+                        if self.frames_cache is not None:
+                            # key on the SNAPSHOT's fingerprint (copy2
+                            # preserves mtime/size) — the live dir may
+                            # have moved again since
+                            self.frames_cache.put(
+                                data_fingerprint(snap), frames)
+                    if frames is not None:
+                        new_engine = self.build(new_dir, frames)
                     else:
                         new_engine = self.build(new_dir)
                 finally:
@@ -326,7 +371,8 @@ class DataReloader(threading.Thread):
     def __init__(self, holder: SwappableEngine, data_dir: str, build,
                  poll_s: float, current_dir_fn,
                  swap_lock: threading.Lock | None = None,
-                 frames_loader=None, baseline_fp: tuple | None = None):
+                 frames_loader=None, baseline_fp: tuple | None = None,
+                 frames_cache: "FramesCache | None" = None):
         super().__init__(daemon=True, name="hhrs-data-reloader")
         self.holder = holder
         self.data_dir = data_dir
@@ -335,6 +381,10 @@ class DataReloader(threading.Thread):
         self.current_dir_fn = current_dir_fn
         self.swap_lock = swap_lock if swap_lock is not None else threading.Lock()
         self.frames_loader = frames_loader
+        # shared with the RegistryReloader: freshly parsed frames are
+        # published here (under the swap lock) so a model-only promotion
+        # right after a data reload skips its own snapshot+parse
+        self.frames_cache = frames_cache
         self._stop = threading.Event()
         # baseline_fp: the fingerprint taken BEFORE the caller parsed the
         # CSVs it is currently serving. Defaulting to stat-at-construction
@@ -346,25 +396,6 @@ class DataReloader(threading.Thread):
         self._pending = None
         self._failed_fp = None
         self._failed_at = 0.0
-
-    def _snapshot(self, fp: tuple):
-        """Copy the CSVs to a temp dir; returns the dir, or None if the
-        fingerprint moved during the copy (caller re-debounces). The copy
-        is the only part of the reload racing the writer — milliseconds,
-        not the rebuild's seconds-to-minutes."""
-        import shutil
-        import tempfile
-
-        snap = tempfile.mkdtemp(prefix="hhrs_data_snap_")
-        try:
-            _copy_data_files(self.data_dir, snap)
-        except OSError as e:
-            shutil.rmtree(snap, ignore_errors=True)
-            raise RuntimeError(f"snapshot copy failed: {e}") from e
-        if data_fingerprint(self.data_dir) != fp:
-            shutil.rmtree(snap, ignore_errors=True)
-            return None
-        return snap
 
     def check_once(self) -> bool:
         """One poll tick. Returns True iff a rebuilt stack was swapped in.
@@ -396,13 +427,19 @@ class DataReloader(threading.Thread):
             snap = None
             try:
                 if self.frames_loader is not None:
-                    snap = self._snapshot(fp)
+                    # pinned to the trigger fingerprint: the snapshot is
+                    # exactly the state whose fingerprint we adopt below
+                    snap = snapshot_data_dir(self.data_dir, attempts=1,
+                                             expected_fp=fp)
                     if snap is None:
                         log.info("data changed during the snapshot copy; "
                                  "re-polling")
                         self._pending = data_fingerprint(self.data_dir)
                         return False
-                    new_engine = self.build(adir, self.frames_loader(snap))
+                    frames = self.frames_loader(snap)
+                    if self.frames_cache is not None:
+                        self.frames_cache.put(fp, frames)
+                    new_engine = self.build(adir, frames)
                 else:
                     new_engine = self.build(adir)
             except Exception as e:

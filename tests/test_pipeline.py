@@ -61,10 +61,12 @@ def test_pipeline_cold_warm_and_watch(tmp_path):
     assert len(models) == 2
     assert sum(m["is_active"] for m in models) == 1  # loser stays inactive
     # the gate's apples-to-apples metrics are recorded on the candidate,
-    # and the cycle trained/gated from a consistent snapshot
+    # the cycle trained/gated from a consistent snapshot, and the audit
+    # field records the DURABLE data dir (not the deleted temp snapshot)
     cand = next(m for m in models if m["artifact_path"] == h[-1]["run_dir"])
     assert "gate_logloss" in cand["metrics"]
     assert h[-1]["snapshot"] is True
+    assert cand["metrics"]["gate_eval_data"] == os.path.abspath(data)
 
     # WATCH mode: debounced fingerprint trigger → one more cycle, then exit
     # via --max-cycles. Run in a thread; a data drop lands mid-watch.
@@ -182,3 +184,29 @@ def test_pipeline_promotion_feeds_registry_hot_reload(tmp_path):
     uni = holder.gen.universe
     assert "ranked_hotels" in holder.recommend(
         int(uni.user_ids[0]), uni.cities[0], "friends", 1.0)
+
+
+def test_pipeline_gate_runs_under_the_trainer_config(tmp_path, monkeypatch):
+    """r4 review: the gate must evaluate under the SAME layered config the
+    trainer used — a default-config gate noise-filters/splits differently
+    under data.* overrides, and its 'val' rows can overlap the candidate's
+    training rows. Also pins the durable audit path."""
+    import hhrs_tpu.db.cli as db_cli
+
+    captured = {}
+    real = db_cli.run_promote
+
+    def spy(*a, **kw):
+        captured.update(kw)
+        return real(*a, **kw)
+
+    monkeypatch.setattr(db_cli, "run_promote", spy)
+    data = str(tmp_path / "data")
+    write_synthetic_dataset(data, n_users=80, n_items=40, n_reviews=1200, seed=6)
+    rc = pipeline.main(["--data", data, "--db", str(tmp_path / "r.sqlite"),
+                        "--runs-dir", str(tmp_path / "runs"),
+                        "--once", "--epochs", "1",
+                        "data.positive_rating=7"] + OVR)
+    assert rc == 0
+    assert captured["cfg"].data.positive_rating == 7  # layered cfg reached the gate
+    assert captured["record_eval_data"] == data       # durable audit path

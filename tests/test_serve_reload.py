@@ -435,3 +435,53 @@ def test_data_reloader_honors_pre_parse_baseline_fingerprint(data_reload_setup):
                       current_dir_fn=lambda: art_dir)
     assert dr2.check_once() is False
     assert dr2.check_once() is False  # stat-at-construction baked it in
+
+
+def test_registry_reload_reuses_cached_frames_when_data_unchanged(data_reload_setup):
+    """r4 review: a model-only promotion must NOT re-pay the snapshot+parse
+    while holding the swap lock when the data fingerprint hasn't moved —
+    the shared FramesCache supplies the last-parsed frames."""
+    from hhrs_tpu.data.ingest import load_friendships_csv, load_reviews_csv
+    from hhrs_tpu.serve.reload import FramesCache
+
+    data_dir, art_dir, build = data_reload_setup
+    parses = []
+
+    def frames_loader(d):
+        parses.append(d)
+        df = add_engineered_features(load_reviews_csv(
+            os.path.join(d, "hackathon_augmented_data.csv")))
+        return df, load_friendships_csv(os.path.join(d, "friendships.csv"))
+
+    # seed the cache exactly as the CLI does: fingerprint BEFORE the parse
+    fp0 = data_fingerprint(data_dir)
+    cache = FramesCache(fp0, frames_loader(data_dir))
+    assert parses == [data_dir]
+
+    def build2(adir, frames=None):
+        assert frames is not None
+        return RecommendationEngine(load_artifact_bundle(adir),
+                                    frames[0], frames[1])
+
+    db = os.path.join(os.path.dirname(art_dir), "reg_cache.sqlite")
+    conn = connect(db)
+    create_schema(conn)
+    conn.close()
+    reg = ModelRegistry(db)
+    reg.register("v1", art_dir, activate=True)
+    holder = SwappableEngine(build(art_dir))
+    reloader = RegistryReloader(holder, f"registry:{db}", build2,
+                                poll_s=3600, current_dir=art_dir,
+                                data_dir=data_dir,
+                                frames_loader=frames_loader,
+                                frames_cache=cache)
+
+    reg.register("v2", art_dir, activate=True)   # model-only promotion
+    assert reloader.check_once() is True
+    assert parses == [data_dir]                  # cache HIT: no re-parse
+
+    _append_review(data_dir, 70_000_001)         # now the data moves
+    reg.register("v3", art_dir, activate=True)
+    assert reloader.check_once() is True
+    assert len(parses) == 2                      # miss → snapshot parse
+    assert parses[1] != data_dir                 # ...from a temp snapshot
