@@ -138,3 +138,64 @@ def test_compose_env_only_boot(seeded_volume):
         env=env, cwd=str(vol),
     )
     _drive_boot(proc, port)
+
+
+def test_dual_poller_cli_hot_swaps_data_and_model(seeded_volume):
+    """CI smoke of the full zero-restart serve wiring: ONE process booted
+    with BOTH pollers (--reload-poll-s + --data-poll-s) hot-swaps first a
+    refreshed data drop and then a re-registered model, visible as the
+    /healthz hot_swaps counter — the path the soak drives on the chip
+    (benchmarks/serve_soak.py --data-swap-every)."""
+    vol, db = seeded_volume
+    data_dir, art_dir = str(vol / "data"), str(vol / "artifacts")
+    port = _free_port()
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "hhrs_tpu.serve.cli",
+         "--artifacts", f"registry:{db}", "--data", data_dir,
+         "--port", str(port), "--reload-poll-s", "0.5",
+         "--data-poll-s", "0.5", "--no-warmup"],
+        env=BASE_ENV, cwd="/root/repo",
+        stdout=subprocess.DEVNULL, stderr=subprocess.PIPE, text=True,
+    )
+    try:
+        deadline = time.time() + 300
+        while time.time() < deadline and proc.poll() is None:
+            try:
+                urllib.request.urlopen(
+                    f"http://127.0.0.1:{port}/healthz", timeout=5)
+                break
+            except OSError:
+                time.sleep(1)
+        assert proc.poll() is None, proc.stderr.read()[-3000:]
+
+        def swaps():
+            with urllib.request.urlopen(
+                    f"http://127.0.0.1:{port}/healthz", timeout=5) as r:
+                return json.load(r).get("hot_swaps")
+
+        assert swaps() == 0
+
+        # 1) refreshed data drop → data reload
+        from hhrs_tpu.data.synthetic import append_reviews
+
+        append_reviews(data_dir, 81_000_001, n=3)
+        deadline = time.time() + 120
+        while time.time() < deadline and swaps() < 1:
+            time.sleep(0.5)
+        assert swaps() >= 1, "data hot swap never landed"
+
+        # 2) re-registered model (new model_id, same dir) → model reload
+        r = subprocess.run(
+            [sys.executable, "-m", "hhrs_tpu.db.cli", "register",
+             "--db", db, "--artifacts", art_dir, "--version", "smoke-v2"],
+            capture_output=True, text=True, timeout=120, env=BASE_ENV,
+            cwd="/root/repo")
+        assert r.returncode == 0, r.stderr[-2000:]
+        deadline = time.time() + 120
+        while time.time() < deadline and swaps() < 2:
+            time.sleep(0.5)
+        assert swaps() >= 2, "model hot swap never landed"
+    finally:
+        if proc.poll() is None:
+            proc.send_signal(signal.SIGTERM)
+            proc.wait(timeout=60)
