@@ -114,7 +114,16 @@ def main(argv=None) -> int:
                          "and the incumbent on this fixed dataset "
                          "(train/evaluate.py) and compare those numbers "
                          "instead of each model's own-split manifest metrics")
-    pp.add_argument("--eval-split", choices=("all", "val", "train"), default="all")
+    pp.add_argument("--eval-split", choices=("all", "val", "train"), default="all",
+                    help="default 'all' suits a held-out eval dir; if "
+                         "--eval-data IS the candidate's own training "
+                         "data, use 'val' — scoring all rows rewards "
+                         "memorization (the pipeline defaults to val)")
+    pp.add_argument("overrides", nargs="*",
+                    help="section.field=value config overrides — pass the "
+                         "SAME data.* overrides the candidate trained "
+                         "under, or the gate's noise filter/split diverges "
+                         "from the training run's")
 
     pl = sub.add_parser("list")
     pl.add_argument("--db", default="hhrs.sqlite")
@@ -149,10 +158,16 @@ def main(argv=None) -> int:
             ModelRegistry(args.db).activate(args.model_id)
             log.info("model %d is now active", args.model_id)
         elif args.cmd == "promote":
+            cfg = None
+            if getattr(args, "overrides", None):
+                from hhrs_tpu.config import build_config
+
+                cfg = build_config(args.overrides, log=log)
             mid, promoted, reason = run_promote(
                 args.db, args.artifacts, version=args.version or None,
                 metric=args.metric, direction=args.direction,
                 eval_data=args.eval_data, eval_split=args.eval_split,
+                cfg=cfg,
             )
             log.info("model_id=%d %s — %s", mid,
                      "PROMOTED" if promoted else "registered inactive", reason)
