@@ -159,10 +159,19 @@ def main(argv=None) -> int:
             log.info("model %d is now active", args.model_id)
         elif args.cmd == "promote":
             cfg = None
-            if getattr(args, "overrides", None):
+            if args.eval_data:
+                # Build the layered config UNCONDITIONALLY when re-scoring:
+                # HHRS_* env vars and HHRS_PRESET must reach the gate's
+                # noise filter/split even with no positional overrides, or
+                # an env-configured training run gates under defaults (the
+                # train/gate split-divergence leak).
                 from hhrs_tpu.config import build_config
 
-                cfg = build_config(args.overrides, log=log)
+                cfg = build_config(list(args.overrides or []), log=log)
+            elif getattr(args, "overrides", None):
+                log.warning("config overrides given but no --eval-data: the "
+                            "gate compares manifest metrics and the "
+                            "overrides have no effect")
             mid, promoted, reason = run_promote(
                 args.db, args.artifacts, version=args.version or None,
                 metric=args.metric, direction=args.direction,

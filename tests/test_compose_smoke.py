@@ -64,22 +64,32 @@ def seeded_volume(tmp_path_factory):
     return vol, db
 
 
+def _wait_healthz(proc, port, timeout_s=300):
+    """Poll /healthz until the server answers; returns the body text.
+    Asserts the process is alive AND health actually came up (a deadline
+    expiry with a live-but-never-healthy process must fail HERE with the
+    server's stderr, not later with a raw URLError)."""
+    deadline = time.time() + timeout_s
+    health = None
+    while time.time() < deadline and proc.poll() is None:
+        try:
+            health = urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/healthz", timeout=5
+            ).read().decode()
+            break
+        except OSError:
+            time.sleep(0.5)
+    assert proc.poll() is None, proc.stderr.read()[-3000:]
+    assert health, "server never became healthy: " + proc.stderr.read()[-3000:]
+    return health
+
+
 def _drive_boot(proc, port, check_graceful=True):
     """Wait for /healthz, make one real request, SIGTERM, assert drain."""
     body_ok = False
     try:
-        deadline = time.time() + 300
-        health = None
-        while time.time() < deadline and proc.poll() is None:
-            try:
-                health = urllib.request.urlopen(
-                    f"http://127.0.0.1:{port}/healthz", timeout=5
-                ).read().decode()
-                break
-            except OSError:
-                time.sleep(0.5)
-        assert proc.poll() is None, proc.stderr.read()[-2000:]
-        assert health and "ok" in health
+        health = _wait_healthz(proc, port)
+        assert "ok" in health
 
         body = json.dumps({"user_id": 1, "city": "Sochi", "type": "friends",
                            "lambda_param": 1.0}).encode()
@@ -140,6 +150,7 @@ def test_compose_env_only_boot(seeded_volume):
     _drive_boot(proc, port)
 
 
+@pytest.mark.slow
 def test_dual_poller_cli_hot_swaps_data_and_model(seeded_volume):
     """CI smoke of the full zero-restart serve wiring: ONE process booted
     with BOTH pollers (--reload-poll-s + --data-poll-s) hot-swaps first a
@@ -158,20 +169,20 @@ def test_dual_poller_cli_hot_swaps_data_and_model(seeded_volume):
         stdout=subprocess.DEVNULL, stderr=subprocess.PIPE, text=True,
     )
     try:
-        deadline = time.time() + 300
-        while time.time() < deadline and proc.poll() is None:
-            try:
-                urllib.request.urlopen(
-                    f"http://127.0.0.1:{port}/healthz", timeout=5)
-                break
-            except OSError:
-                time.sleep(1)
-        assert proc.poll() is None, proc.stderr.read()[-3000:]
+        _wait_healthz(proc, port)
+
+        last = [0]
 
         def swaps():
-            with urllib.request.urlopen(
-                    f"http://127.0.0.1:{port}/healthz", timeout=5) as r:
-                return json.load(r).get("hot_swaps")
+            # transient /healthz stalls mid-rebuild must not error the
+            # poll loop — return the last-known count and keep polling
+            try:
+                with urllib.request.urlopen(
+                        f"http://127.0.0.1:{port}/healthz", timeout=5) as r:
+                    last[0] = json.load(r).get("hot_swaps") or 0
+            except OSError:
+                pass
+            return last[0]
 
         assert swaps() == 0
 
@@ -198,4 +209,9 @@ def test_dual_poller_cli_hot_swaps_data_and_model(seeded_volume):
     finally:
         if proc.poll() is None:
             proc.send_signal(signal.SIGTERM)
-            proc.wait(timeout=60)
+            try:
+                proc.wait(timeout=60)
+            except subprocess.TimeoutExpired:
+                # never leak the server or mask the real assertion
+                proc.kill()
+                proc.wait(timeout=10)
