@@ -62,6 +62,22 @@ WARMUP_STEPS = int(os.environ.get("HHRS_BENCH_WARMUP_STEPS", "20"))
 MEASURE_STEPS = int(os.environ.get("HHRS_BENCH_MEASURE_STEPS", "200"))
 TORCH_STEPS = int(os.environ.get("HHRS_BENCH_TORCH_STEPS", "4"))
 
+# Adaptive window protocol (round 5; VERDICT r4 item 1). A 200-step window
+# at B=32768 is only ~0.4-0.8s of wall clock, so ONE transient tunnel
+# stall used to poison a whole window and median-of-3 had no defense —
+# BENCH_r04 decoded to windows of 15.7/7.3/8.9M ex/s (>2x intra-run swing)
+# and the judged median landed at less than half the healthy-tunnel rate.
+# Now: run at least MIN_WINDOWS, keep adding windows while the relative
+# spread (max-min)/median exceeds SPREAD_TARGET, up to MAX_WINDOWS or the
+# measurement wall cap (whichever first), and report the median of ALL
+# windows. Every record carries the per-window rates so dispersion is
+# visible in BENCH_r*.json itself.
+MIN_WINDOWS = int(os.environ.get("HHRS_BENCH_MIN_WINDOWS", "5"))
+MAX_WINDOWS = int(os.environ.get("HHRS_BENCH_MAX_WINDOWS", "30"))
+SPREAD_TARGET = float(os.environ.get("HHRS_BENCH_SPREAD_TARGET", "0.15"))
+MEASURE_WALL_S = float(os.environ.get("HHRS_BENCH_MEASURE_WALL_S", "90"))
+TORCH_RESERVE_S = float(os.environ.get("HHRS_BENCH_TORCH_RESERVE_S", "60"))
+
 # Wall-clock budgets (seconds; env-overridable). The driver kills bench.py
 # with an external timeout if it runs long — these keep a valid JSON line
 # on stdout before anyone's deadline hits. A malformed override falls back
@@ -115,6 +131,10 @@ class _Progress:
             windows = list(self.windows)
             import statistics
 
+            spread = (
+                round((max(windows) - min(windows)) / statistics.median(windows), 3)
+                if windows else None
+            )
             rec = {
                 "metric": "dcnr_train_throughput",
                 "value": round(statistics.median(windows), 1) if windows else None,
@@ -128,6 +148,13 @@ class _Progress:
                 # orders, benchmarks/storage_ab.py)
                 "storage_dtype": "bfloat16",
                 "windows_completed": len(windows),
+                # Per-window rates + relative spread (round 5): the r4
+                # record hid a >2x intra-run swing behind a single median —
+                # a reader of BENCH_r*.json alone must be able to see the
+                # dispersion and judge whether the median reflects
+                # capability or a degraded tunnel minute.
+                "windows": [round(w, 1) for w in windows],
+                "window_spread": spread,
                 "phase": self.phase,
                 "elapsed_s": round(time.monotonic() - self.t0, 1),
             }
@@ -395,17 +422,23 @@ def bench_jax() -> float:
         params, bn, opt, loss, s = step(params, bn, opt, batch, s, rng0)
     float(loss)
 
-    # Median of 3 windows against tunnel load fluctuation. Each window ends
-    # by fetching the loss VALUE: on this backend block_until_ready can
-    # return before execution completes (measured: it reported impossible
-    # >1 PFLOP/s at large batch), so only a D2H value fetch is a true sync.
-    # Its ~30ms cost is amortized over MEASURE_STEPS (and makes the number
-    # slightly conservative). A staged JSON line lands after EVERY window so
-    # a mid-run kill still leaves the best-so-far median on stdout.
-    rates = []
-    for w in range(3):
-        _PROGRESS.set_phase(f"measure_window_{w + 1}")
-        _maybe_fake_hang(f"measure_window_{w + 1}")
+    # Adaptive median-of-N windows against tunnel load fluctuation (round
+    # 5 protocol — see the constants block). Each window ends by fetching
+    # the loss VALUE: on this backend block_until_ready can return before
+    # execution completes (measured: it reported impossible >1 PFLOP/s at
+    # large batch), so only a D2H value fetch is a true sync. Its ~30ms
+    # cost is amortized over MEASURE_STEPS (and makes the number slightly
+    # conservative). A staged JSON line lands after EVERY window so a
+    # mid-run kill still leaves the best-so-far median on stdout.
+    import statistics
+
+    rates: list[float] = []
+    measure_t0 = time.monotonic()
+    w = 0
+    while True:
+        w += 1
+        _PROGRESS.set_phase(f"measure_window_{w}")
+        _maybe_fake_hang(f"measure_window_{w}")
         t0 = time.perf_counter()
         for _ in range(MEASURE_STEPS):
             params, bn, opt, loss, s = step(params, bn, opt, batch, s, rng0)
@@ -414,7 +447,25 @@ def bench_jax() -> float:
         rates.append(rate)
         _PROGRESS.add_window(rate)
         _PROGRESS.emit()
-    return sorted(rates)[1]
+        if w < MIN_WINDOWS:
+            continue
+        if w >= MAX_WINDOWS:
+            break
+        # Stop early once the spread is tight — more windows would only
+        # confirm a stable reading. Otherwise keep extending through the
+        # noise, bounded by the measurement wall cap and by the global
+        # budget (leave room for the torch baseline + final emit).
+        spread = (max(rates) - min(rates)) / statistics.median(rates)
+        if spread <= SPREAD_TARGET:
+            break
+        now = time.monotonic()
+        if now - measure_t0 > MEASURE_WALL_S:
+            break
+        with _PROGRESS.lock:
+            budget_left = _PROGRESS.deadline - now
+        if budget_left < TORCH_RESERVE_S:
+            break
+    return statistics.median(rates)
 
 
 def bench_torch_reference() -> float:

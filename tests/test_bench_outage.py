@@ -34,6 +34,11 @@ def _run_bench(extra_env: dict, timeout: float = 120.0):
             "HHRS_BENCH_WARMUP_STEPS": "2",
             "HHRS_BENCH_MEASURE_STEPS": "3",
             "HHRS_BENCH_TORCH_STEPS": "1",
+            # pin the adaptive protocol to exactly 3 windows so the staged
+            # line counts below stay deterministic (the adaptive logic has
+            # its own test, test_adaptive_windows_*)
+            "HHRS_BENCH_MIN_WINDOWS": "3",
+            "HHRS_BENCH_MAX_WINDOWS": "3",
         }
     )
     env.update(extra_env)
@@ -87,6 +92,39 @@ def test_healthy_run_emits_staged_and_final_records():
     for rec in records[:-1]:
         assert rec["metric"] == "dcnr_train_throughput"
         assert rec["value"] is not None
+
+
+def test_adaptive_windows_stop_at_min_when_spread_tight():
+    """SPREAD_TARGET=10 (any spread passes) → exactly MIN_WINDOWS windows,
+    and the record carries the per-window rates + spread (round-5 fields)."""
+    proc, _ = _run_bench(
+        {
+            "HHRS_BENCH_MIN_WINDOWS": "2",
+            "HHRS_BENCH_MAX_WINDOWS": "6",
+            "HHRS_BENCH_SPREAD_TARGET": "10",
+        }
+    )
+    assert proc.returncode == 0, proc.stderr
+    final = _last_json_line(proc.stdout)
+    assert final["windows_completed"] == 2, final
+    assert len(final["windows"]) == 2
+    assert all(w > 0 for w in final["windows"])
+    assert final["window_spread"] is not None and final["window_spread"] >= 0
+
+
+def test_adaptive_windows_extend_to_max_when_noisy():
+    """SPREAD_TARGET=-1 (unreachable) → the loop extends to MAX_WINDOWS."""
+    proc, _ = _run_bench(
+        {
+            "HHRS_BENCH_MIN_WINDOWS": "2",
+            "HHRS_BENCH_MAX_WINDOWS": "5",
+            "HHRS_BENCH_SPREAD_TARGET": "-1",
+        }
+    )
+    assert proc.returncode == 0, proc.stderr
+    final = _last_json_line(proc.stdout)
+    assert final["windows_completed"] == 5, final
+    assert len(final["windows"]) == 5
 
 
 def test_probe_hang_fails_fast_with_valid_json():
@@ -150,6 +188,8 @@ def test_external_kill_leaves_staged_record():
             "HHRS_BENCH_WARMUP_STEPS": "2",
             "HHRS_BENCH_MEASURE_STEPS": "3",
             "HHRS_BENCH_TORCH_STEPS": "1",
+            "HHRS_BENCH_MIN_WINDOWS": "3",
+            "HHRS_BENCH_MAX_WINDOWS": "3",
             "HHRS_BENCH_FAKE_HANG": "measure_window_3",
             "HHRS_BENCH_BUDGET_S": "600",
         }
