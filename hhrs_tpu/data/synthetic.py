@@ -159,5 +159,11 @@ def append_reviews(data_dir: str, user_id: int, n: int = 1,
     last[header.index("guest_id")] = str(user_id)
     if rating is not None:
         last[header.index("rating_overall")] = str(rating)
+    # A hand-edited CSV may lack a trailing newline; appending would then
+    # concatenate the first cloned row onto the last existing line,
+    # corrupting both (ADVICE r4).
+    needs_nl = not rows[-1].endswith("\n")
     with open(path, "a") as f:
+        if needs_nl:
+            f.write("\n")
         f.write("\n".join(",".join(last) for _ in range(n)) + "\n")

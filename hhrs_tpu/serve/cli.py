@@ -220,11 +220,17 @@ def main(argv=None) -> int:
                 current_dir_fn = (
                     (lambda: reloader.current_dir) if reloader is not None
                     else (lambda: artifacts_dir))
-                DataReloader(holder, data_dir, build_stack, data_poll_s,
-                             current_dir_fn, swap_lock=swap_lock,
-                             frames_loader=_load_frames,
-                             baseline_fp=_fp0,
-                             frames_cache=frames_cache).start()
+                data_rel = DataReloader(holder, data_dir, build_stack,
+                                        data_poll_s, current_dir_fn,
+                                        swap_lock=swap_lock,
+                                        frames_loader=_load_frames,
+                                        baseline_fp=_fp0,
+                                        frames_cache=frames_cache)
+                if reloader is not None:
+                    # a model swap that parsed a fresh data fingerprint
+                    # advances the data poller's baseline (reload.py)
+                    reloader.data_reloader = data_rel
+                data_rel.start()
                 log.info("data hot reload on: polling %s every %.1fs "
                          "(shadow/canary arms keep startup data)",
                          data_dir, data_poll_s)

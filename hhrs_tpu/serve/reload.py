@@ -48,20 +48,44 @@ FAILED_LOAD_RETRY_S = 60.0
 DATA_FILES = ("hackathon_augmented_data.csv", "friendships.csv")
 
 
+def _content_token(path: str, size: int, block: int = 4096) -> int:
+    """crc32 over the first+last ``block`` bytes — a cheap O(1) content
+    check that catches same-size in-place rewrites on filesystems with
+    coarse mtime granularity (1s on some network mounts), where a
+    stat-only fingerprint would miss a data drop entirely."""
+    import zlib
+
+    with open(path, "rb") as f:
+        token = zlib.crc32(f.read(block))
+        if size > block:
+            f.seek(max(size - block, block))
+            token = zlib.crc32(f.read(block), token)
+    return token
+
+
 def data_fingerprint(data_dir: str) -> tuple:
     """Cheap change detector over the serve-path CSVs: (name, mtime_ns,
-    size) per file — an os.stat each, no content read. A missing file
-    fingerprints as (name, None, None) so appear/disappear transitions
-    register as changes too."""
+    size, head/tail-crc) per file — an os.stat plus two 4KiB reads, never
+    a full-content scan. A missing (or mid-swap unreadable) file
+    fingerprints as (name, None, None, None) so appear/disappear
+    transitions register as changes too.
+
+    Writer contract: drops should APPEND rows or rename-into-place (both
+    move size and/or the boundary blocks). A same-size interior-only
+    rewrite that also preserves the first/last 4KiB and the mtime is the
+    one remaining undetectable case — no cheap detector can close it
+    without hashing full contents every poll tick."""
     import os
 
     fp = []
     for name in DATA_FILES:
+        path = os.path.join(data_dir, name)
         try:
-            st = os.stat(os.path.join(data_dir, name))
-            fp.append((name, st.st_mtime_ns, st.st_size))
+            st = os.stat(path)
+            fp.append((name, st.st_mtime_ns, st.st_size,
+                       _content_token(path, st.st_size)))
         except OSError:
-            fp.append((name, None, None))
+            fp.append((name, None, None, None))
     return tuple(fp)
 
 
@@ -203,6 +227,12 @@ class RegistryReloader(threading.Thread):
         self.data_dir = data_dir
         self.frames_loader = frames_loader
         self.frames_cache = frames_cache
+        # Optional back-reference set by the CLI when BOTH pollers run: a
+        # model swap that parsed a FRESH data fingerprint also advances the
+        # data reloader's baseline (the swapped-in stack already serves
+        # that universe), so the next data tick doesn't pay a redundant
+        # snapshot+parse+rebuild of an equivalent stack.
+        self.data_reloader: "DataReloader | None" = None
         # Serializes build+swap against a concurrent DataReloader (the CLI
         # passes ONE lock to both): without it a registry swap landing
         # mid-data-rebuild could be overwritten by an engine built from the
@@ -274,12 +304,18 @@ class RegistryReloader(threading.Thread):
         log.info("registry: active model changed %s -> %s (model_id %s); loading...",
                  self.current_dir, new_dir, new_key[0])
         with self.swap_lock:
+            # Fingerprint of the universe the swapped-in stack will serve
+            # (when knowable): forwarded to the data reloader post-swap so
+            # it doesn't redundantly rebuild an equivalent stack.
+            served_fp = None
             try:
                 snap, frames = None, None
                 if self.frames_loader is not None and self.data_dir:
                     fp_now = data_fingerprint(self.data_dir)
                     if self.frames_cache is not None:
                         frames = self.frames_cache.get(fp_now)
+                        if frames is not None:
+                            served_fp = fp_now
                     if frames is None:
                         snap = snapshot_data_dir(self.data_dir)
                         if snap is None:
@@ -289,12 +325,12 @@ class RegistryReloader(threading.Thread):
                 try:
                     if snap is not None:
                         frames = self.frames_loader(snap)
+                        # key on the SNAPSHOT's fingerprint (copy2
+                        # preserves mtime/size/content) — the live dir
+                        # may have moved again since
+                        served_fp = data_fingerprint(snap)
                         if self.frames_cache is not None:
-                            # key on the SNAPSHOT's fingerprint (copy2
-                            # preserves mtime/size) — the live dir may
-                            # have moved again since
-                            self.frames_cache.put(
-                                data_fingerprint(snap), frames)
+                            self.frames_cache.put(served_fp, frames)
                     if frames is not None:
                         new_engine = self.build(new_dir, frames)
                     else:
@@ -314,6 +350,14 @@ class RegistryReloader(threading.Thread):
             self._failed_key = None
             old = self.holder.swap(new_engine)
             self.current_key = new_key
+            if served_fp is not None and self.data_reloader is not None:
+                # The swapped-in stack serves frames(served_fp): advance
+                # the data reloader's baseline under the SAME lock so its
+                # next tick doesn't re-parse and re-swap an equivalent
+                # universe (it still fires normally if the live files have
+                # moved past served_fp).
+                self.data_reloader.current_fp = served_fp
+                self.data_reloader._pending = None
         _defer_close(old)
         log.info("hot reload complete: serving %s", new_dir)
         return True
@@ -427,18 +471,26 @@ class DataReloader(threading.Thread):
             snap = None
             try:
                 if self.frames_loader is not None:
-                    # pinned to the trigger fingerprint: the snapshot is
-                    # exactly the state whose fingerprint we adopt below
-                    snap = snapshot_data_dir(self.data_dir, attempts=1,
-                                             expected_fp=fp)
-                    if snap is None:
-                        log.info("data changed during the snapshot copy; "
-                                 "re-polling")
-                        self._pending = data_fingerprint(self.data_dir)
-                        return False
-                    frames = self.frames_loader(snap)
-                    if self.frames_cache is not None:
-                        self.frames_cache.put(fp, frames)
+                    # A model swap may already have parsed exactly this
+                    # fingerprint (shared FramesCache): reuse those frames
+                    # and skip the snapshot+parse — the rebuild below still
+                    # happens (the serving stack may predate the frames).
+                    frames = (self.frames_cache.get(fp)
+                              if self.frames_cache is not None else None)
+                    if frames is None:
+                        # pinned to the trigger fingerprint: the snapshot
+                        # is exactly the state whose fingerprint we adopt
+                        # below
+                        snap = snapshot_data_dir(self.data_dir, attempts=1,
+                                                 expected_fp=fp)
+                        if snap is None:
+                            log.info("data changed during the snapshot "
+                                     "copy; re-polling")
+                            self._pending = data_fingerprint(self.data_dir)
+                            return False
+                        frames = self.frames_loader(snap)
+                        if self.frames_cache is not None:
+                            self.frames_cache.put(fp, frames)
                     new_engine = self.build(adir, frames)
                 else:
                     new_engine = self.build(adir)

@@ -79,8 +79,17 @@ def _wait_healthz(proc, port, timeout_s=300):
             break
         except OSError:
             time.sleep(0.5)
-    assert proc.poll() is None, proc.stderr.read()[-3000:]
-    assert health, "server never became healthy: " + proc.stderr.read()[-3000:]
+    if proc.poll() is not None:
+        # dead process: stderr is at EOF, read() returns immediately
+        raise AssertionError(proc.stderr.read()[-3000:])
+    if not health:
+        # live-but-never-healthy: KILL before reading — stderr is a live
+        # PIPE and read() would block until process exit, hanging the test
+        # instead of failing it with the captured output (ADVICE r4)
+        proc.kill()
+        proc.wait(timeout=30)
+        raise AssertionError(
+            "server never became healthy: " + proc.stderr.read()[-3000:])
     return health
 
 

@@ -325,9 +325,9 @@ def test_data_reload_discards_engine_on_mid_build_change(data_reload_setup):
 def test_data_reload_fingerprint_covers_missing_file(data_reload_setup):
     data_dir, _, _ = data_reload_setup
     fp = data_fingerprint(data_dir)
-    assert all(sz is not None for (_, _, sz) in fp)
+    assert all(sz is not None for (_, _, sz, _) in fp)
     missing = data_fingerprint(os.path.join(data_dir, "nope"))
-    assert all(sz is None for (_, _, sz) in missing)
+    assert all(sz is None for (_, _, sz, _) in missing)
     assert fp != missing
 
 
@@ -485,3 +485,147 @@ def test_registry_reload_reuses_cached_frames_when_data_unchanged(data_reload_se
     assert reloader.check_once() is True
     assert len(parses) == 2                      # miss → snapshot parse
     assert parses[1] != data_dir                 # ...from a temp snapshot
+
+
+def test_data_fingerprint_detects_same_size_inplace_rewrite(tmp_path):
+    """ADVICE r4: a same-size in-place rewrite with a preserved mtime (1s
+    granularity on some network mounts) must still register as a change —
+    the fingerprint carries a head/tail content crc, not just stat."""
+    d = str(tmp_path)
+    path = os.path.join(d, "hackathon_augmented_data.csv")
+    with open(path, "w") as f:
+        f.write("a,b\n1,2\n")
+    with open(os.path.join(d, "friendships.csv"), "w") as f:
+        f.write("user_id_1,user_id_2\n")
+    st = os.stat(path)
+    fp1 = data_fingerprint(d)
+    with open(path, "w") as f:
+        f.write("a,b\n9,8\n")  # same byte length, different content
+    os.utime(path, ns=(st.st_atime_ns, st.st_mtime_ns))  # coarse-mtime mount
+    st2 = os.stat(path)
+    assert (st2.st_size, st2.st_mtime_ns) == (st.st_size, st.st_mtime_ns)
+    fp2 = data_fingerprint(d)
+    assert fp1 != fp2
+
+
+def test_data_reloader_reuses_cached_frames(data_reload_setup):
+    """ADVICE r4: a data tick whose fingerprint was already parsed (e.g.
+    by a concurrent model swap) must reuse the cached frames instead of
+    re-paying the snapshot+parse — but still rebuild+swap the stack."""
+    from hhrs_tpu.data.ingest import load_friendships_csv, load_reviews_csv
+    from hhrs_tpu.serve.reload import FramesCache
+
+    data_dir, art_dir, build = data_reload_setup
+    parses = []
+
+    def frames_loader(d):
+        parses.append(d)
+        df = add_engineered_features(load_reviews_csv(
+            os.path.join(d, "hackathon_augmented_data.csv")))
+        return df, load_friendships_csv(os.path.join(d, "friendships.csv"))
+
+    def build2(adir, frames=None):
+        assert frames is not None
+        return RecommendationEngine(load_artifact_bundle(adir),
+                                    frames[0], frames[1])
+
+    fp0 = data_fingerprint(data_dir)
+    cache = FramesCache()
+    holder = SwappableEngine(build(art_dir))
+    dr = DataReloader(holder, data_dir, build2, poll_s=3600,
+                      current_dir_fn=lambda: art_dir,
+                      frames_loader=frames_loader, baseline_fp=fp0,
+                      frames_cache=cache)
+    first = holder.current
+
+    _append_review(data_dir, 71_000_001)
+    # someone else (a model swap) already parsed the NEW fingerprint:
+    cache.put(data_fingerprint(data_dir), frames_loader(data_dir))
+    assert len(parses) == 1
+
+    assert dr.check_once() is False   # debounce tick
+    assert dr.check_once() is True    # swap — from the cache
+    assert holder.current is not first
+    assert len(parses) == 1           # NO second parse, no snapshot
+    assert 71_000_001 in set(int(u) for u in holder.gen.universe.user_ids)
+
+
+def test_registry_swap_advances_data_reloader_baseline(data_reload_setup):
+    """ADVICE r4: when a model promotion parses a FRESH data fingerprint,
+    the data reloader's baseline advances with the swap — its next tick
+    must not rebuild an equivalent stack (redundant swap inflation)."""
+    from hhrs_tpu.data.ingest import load_friendships_csv, load_reviews_csv
+    from hhrs_tpu.serve.reload import FramesCache
+
+    data_dir, art_dir, build = data_reload_setup
+
+    def frames_loader(d):
+        df = add_engineered_features(load_reviews_csv(
+            os.path.join(d, "hackathon_augmented_data.csv")))
+        return df, load_friendships_csv(os.path.join(d, "friendships.csv"))
+
+    builds = []
+
+    def build2(adir, frames=None):
+        builds.append(adir)
+        assert frames is not None
+        return RecommendationEngine(load_artifact_bundle(adir),
+                                    frames[0], frames[1])
+
+    db = os.path.join(os.path.dirname(art_dir), "reg_advance.sqlite")
+    conn = connect(db)
+    create_schema(conn)
+    conn.close()
+    reg = ModelRegistry(db)
+    reg.register("v1", art_dir, activate=True)
+
+    fp0 = data_fingerprint(data_dir)
+    cache = FramesCache(fp0, frames_loader(data_dir))
+    holder = SwappableEngine(build(art_dir))
+    import threading
+    lock = threading.Lock()
+    reloader = RegistryReloader(holder, f"registry:{db}", build2,
+                                poll_s=3600, current_dir=art_dir,
+                                swap_lock=lock, data_dir=data_dir,
+                                frames_loader=frames_loader,
+                                frames_cache=cache)
+    dr = DataReloader(holder, data_dir, build2, poll_s=3600,
+                      current_dir_fn=lambda: reloader.current_dir,
+                      swap_lock=lock, frames_loader=frames_loader,
+                      baseline_fp=fp0, frames_cache=cache)
+    reloader.data_reloader = dr
+
+    # data moves, and THEN a promotion lands before the data poller ticks:
+    _append_review(data_dir, 72_000_001)
+    reg.register("v2", art_dir, activate=True)
+    assert reloader.check_once() is True      # parsed the fresh snapshot
+    assert len(builds) == 1
+    served = holder.current
+
+    # the data poller's next ticks see an already-served universe: no-op
+    assert dr.check_once() is False
+    assert dr.check_once() is False
+    assert dr.check_once() is False
+    assert holder.current is served
+    assert len(builds) == 1
+    assert 72_000_001 in set(int(u) for u in holder.gen.universe.user_ids)
+
+
+def test_append_reviews_handles_missing_trailing_newline(tmp_path):
+    """ADVICE r4: appending to a hand-edited CSV without a trailing
+    newline must not concatenate the first cloned row onto the last line."""
+    d = str(tmp_path / "nl")
+    write_synthetic_dataset(d, n_users=20, n_items=10, n_reviews=50, seed=3)
+    path = os.path.join(d, "hackathon_augmented_data.csv")
+    with open(path) as f:
+        content = f.read()
+    assert content.endswith("\n")
+    with open(path, "w") as f:
+        f.write(content[:-1])  # strip the trailing newline (hand edit)
+    with open(path) as f:
+        n_before = sum(1 for _ in f)
+    append_reviews(d, 73_000_001, n=2)
+    import pandas as pd
+    df = pd.read_csv(path)
+    assert len(df) == n_before - 1 + 2  # header excluded; no merged rows
+    assert (df["guest_id"] == 73_000_001).sum() == 2
