@@ -101,17 +101,22 @@ def _device_put_splits(splits: DatasetSplits):
 
 
 def _make_update_block(cfg: ModelConfig, train_cfg=None, *, mesh=None,
-                       exchange: str | None = None):
+                       exchange: str | None = None,
+                       capacity_factor: float = 1.25):
     """The loss/grad/optimizer core shared by both step builders: the dense
     reference-parity path by default, the lazy sparse-row table path when
     ``train_cfg.lazy_table_updates`` (train/lazy.py — opt_state is then a
     LazyOptState).
 
-    ``exchange`` ('all_to_all' | 'psum', requires ``mesh``) swaps the
-    global-view ``table[ids]`` lookups for the EXPLICIT shard_map exchange
-    kernels (parallel/embedding.py) — the hand-written form of the
+    ``exchange`` ('all_to_all' | 'psum' | 'capped', requires ``mesh``)
+    swaps the global-view ``table[ids]`` lookups for the EXPLICIT shard_map
+    exchange kernels (parallel/embedding.py) — the hand-written form of the
     row-sharded lookup, available as the fallback should GSPMD's lowering
     regress (the default lowering is pinned by tests/test_hlo_lowering.py).
+    'capped' is the skew-bounded production exchange (wire bytes
+    m/``capacity_factor``-fold lower; over-capacity ids dropped + counted):
+    the update then returns ``(loss, overflow int32[2])`` in the loss slot
+    so the epoch loop can log the measured drop rate.
     """
     if train_cfg is not None and getattr(train_cfg, "lazy_table_updates", False):
         if exchange:
@@ -130,20 +135,32 @@ def _make_update_block(cfg: ModelConfig, train_cfg=None, *, mesh=None,
         from hhrs_tpu.models.dcn import apply_dcn_from_x0
         from hhrs_tpu.parallel.embedding import explicit_x0
 
+        capped = exchange == "capped"
+
         def update(params, bn_state, opt_state, tx_update, batch, rng):
             def loss_fn(p):
                 x0 = explicit_x0(
                     mesh, p, batch["user"], batch["item"], batch["cat"],
                     batch["num"], kind=exchange,
+                    capacity_factor=capacity_factor,
                 )
+                overflow = None
+                if capped:
+                    x0, overflow = x0
                 logits, new_bn = apply_dcn_from_x0(
                     p, bn_state, x0, cfg=cfg, train=True, rng=rng,
                 )
-                return bce_with_logits(logits, batch["y"]), new_bn
+                return bce_with_logits(logits, batch["y"]), (new_bn, overflow)
 
-            (loss, new_bn), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            ((loss, (new_bn, overflow)), grads) = jax.value_and_grad(
+                loss_fn, has_aux=True)(params)
             updates, new_opt = tx_update(grads, opt_state, params)
             new_params = jax.tree.map(lambda p, u: p + u, params, updates)
+            if capped:
+                # overflow rides the loss slot as a pytree — the step
+                # builders pass it through untouched and the epoch loop
+                # unpacks it (train_dcn logs the per-epoch drop rate)
+                return new_params, new_bn, new_opt, (loss, overflow)
             return new_params, new_bn, new_opt, loss
 
         return update
@@ -172,7 +189,8 @@ def _make_update_block(cfg: ModelConfig, train_cfg=None, *, mesh=None,
 
 
 def make_train_step(cfg: ModelConfig, batch_size: int, batch_sharding=None,
-                    train_cfg=None, mesh=None, exchange=None):
+                    train_cfg=None, mesh=None, exchange=None,
+                    capacity_factor: float = 1.25):
     """Build the jitted train step.
 
     The step receives the WHOLE epoch permutation (device-resident, uploaded
@@ -184,7 +202,8 @@ def make_train_step(cfg: ModelConfig, batch_size: int, batch_sharding=None,
     fused-epoch paths.
     """
     B = batch_size
-    update = _make_update_block(cfg, train_cfg, mesh=mesh, exchange=exchange)
+    update = _make_update_block(cfg, train_cfg, mesh=mesh, exchange=exchange,
+                                capacity_factor=capacity_factor)
 
     def step(params, bn_state, opt_state, tx_update, data, perm, s, epoch_rng):
         idx = jax.lax.dynamic_slice(perm, (s * B,), (B,))
@@ -209,7 +228,8 @@ def make_train_step(cfg: ModelConfig, batch_size: int, batch_sharding=None,
 
 
 def make_streamed_train_step(cfg: ModelConfig, batch_sharding=None, train_cfg=None,
-                             mesh=None, exchange=None):
+                             mesh=None, exchange=None,
+                             capacity_factor: float = 1.25):
     """Mesh-mode step over a streamed epoch tensor.
 
     ``epoch_data`` is a dict of [steps, B, ·] arrays sharded
@@ -219,7 +239,8 @@ def make_streamed_train_step(cfg: ModelConfig, batch_sharding=None, train_cfg=No
     ``make_train_step``'s resident-gather path, so the two are numerically
     interchangeable.
     """
-    update = _make_update_block(cfg, train_cfg, mesh=mesh, exchange=exchange)
+    update = _make_update_block(cfg, train_cfg, mesh=mesh, exchange=exchange,
+                                capacity_factor=capacity_factor)
 
     def step(params, bn_state, opt_state, tx_update, epoch_data, s, epoch_rng):
         rng = jax.random.fold_in(epoch_rng, s)
@@ -239,14 +260,16 @@ def make_streamed_train_step(cfg: ModelConfig, batch_sharding=None, train_cfg=No
 
 
 def make_slab_train_step(cfg: ModelConfig, batch_sharding=None, train_cfg=None,
-                         mesh=None, exchange=None):
+                         mesh=None, exchange=None,
+                         capacity_factor: float = 1.25):
     """Out-of-core step over a [K, B, ·] slab (train.stream_slab_steps).
 
     Two device-carried counters: ``s_local`` indexes the slab, ``s_global``
     drives the dropout rng (``fold_in(epoch_rng, s_global)``) — the SAME
     stream as the resident path's step index, so slab streaming is
     bit-interchangeable with the resident dataset."""
-    update = _make_update_block(cfg, train_cfg, mesh=mesh, exchange=exchange)
+    update = _make_update_block(cfg, train_cfg, mesh=mesh, exchange=exchange,
+                                capacity_factor=capacity_factor)
 
     def step(params, bn_state, opt_state, tx_update, slab, s_local, s_global,
              epoch_rng):
@@ -337,14 +360,19 @@ def make_eval_loss_fn(cfg: ModelConfig, eval_batch: int):
     return loss_fn
 
 
-def make_eval_fn(cfg: ModelConfig, eval_batch: int):
-    """Jitted full-val forward → [n] logits (final-metrics path)."""
+def make_eval_fn(cfg: ModelConfig, eval_batch: int, out_sharding=None):
+    """Jitted full-val forward → [n] logits (final-metrics path).
 
-    @jax.jit
-    def eval_fn(params, bn_state, val):
+    ``out_sharding`` (multi-process mesh runs): a replicated sharding so
+    XLA all-gathers the data-sharded logits — ``np.asarray`` on a
+    partially-addressable array is an error on a multi-host run."""
+
+    def body(params, bn_state, val):
         return _eval_logits_body(cfg, eval_batch, params, bn_state, val)
 
-    return eval_fn
+    if out_sharding is not None:
+        return jax.jit(body, out_shardings=out_sharding)
+    return jax.jit(body)
 
 
 def train_dcn(
@@ -354,6 +382,7 @@ def train_dcn(
     train_cfg: TrainConfig,
     mesh=None,
     explicit_exchange: str | None = None,
+    exchange_capacity_factor: float = 1.25,
     report_fn: Callable[[int, float], bool] | None = None,
     metrics_logger=None,
     checkpoint_dir: str | None = None,
@@ -367,9 +396,16 @@ def train_dcn(
     state saves every ``checkpoint_every`` epochs and a rerun resumes from
     the latest completed epoch (train/checkpoint.py).
 
-    ``explicit_exchange`` ('all_to_all' | 'psum'; mesh mode only) routes
-    the row-sharded table lookups through the hand-written shard_map
-    exchange kernels instead of GSPMD's lowering (parallel/embedding.py).
+    ``explicit_exchange`` ('all_to_all' | 'psum' | 'capped'; mesh mode
+    only) routes the row-sharded table lookups through the hand-written
+    shard_map exchange kernels instead of GSPMD's lowering
+    (parallel/embedding.py). 'capped' is the skew-bounded production
+    exchange: per-(source, dest) bucket capacity ``ceil(b/m ·
+    exchange_capacity_factor)`` instead of the exact worst case — wire
+    bytes drop m/factor-fold; over-capacity ids are dropped (zero
+    embedding block + zero table grad) and COUNTED, with the measured
+    per-epoch drop rate logged and recorded in each history entry as
+    ``exchange_overflow`` (quality trade documented in docs/MODEL.md).
 
     ``init_state=(params, bn_state)`` replaces the fresh ``init_dcn`` —
     the warm-start fine-tuning path (train/warmstart.py): optimizer
@@ -378,6 +414,12 @@ def train_dcn(
     """
     if explicit_exchange and mesh is None:
         raise ValueError("train.explicit_exchange requires --mesh")
+    if explicit_exchange not in (None, "", "all_to_all", "psum", "capped"):
+        raise ValueError(
+            f"unknown mesh.explicit_exchange {explicit_exchange!r}; "
+            "expected 'all_to_all', 'psum' or 'capped'"
+        )
+    capped_exchange = explicit_exchange == "capped"
     if train_cfg.debug_nans:
         # Sticky for the process by design: a NaN aborts the run anyway.
         jax.config.update("jax_debug_nans", True)
@@ -417,8 +459,19 @@ def train_dcn(
     if streaming:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
+        from hhrs_tpu.parallel.multiprocess import (
+            is_multiprocess, put_global_tree, replicated_host)
         from hhrs_tpu.parallel.sharding import opt_state_shardings, param_shardings
 
+        # Multi-HOST run (jax.distributed initialized, mesh spans every
+        # process's devices): epoch/val tensors feed per-process via
+        # addressable shards (parallel/multiprocess.py), checkpoint state
+        # gathers to replicated before device_get, and only process 0
+        # writes files. Everything else — the step program, collectives,
+        # plateau/early-stop decisions — is identical by construction
+        # (all hosts compute the same host-side control flow from the
+        # shared seed).
+        multiproc = is_multiprocess()
         n_data_axis = mesh.shape.get("data", 1)
         if train_cfg.batch_size % n_data_axis != 0:
             raise ValueError(
@@ -447,13 +500,15 @@ def train_dcn(
             return rep
 
         train_data = None  # streamed per epoch from the host split arrays
-        val_data = {
-            "user": jax.device_put(jnp.asarray(splits.val_user, jnp.int32), val_sharding(1)),
-            "item": jax.device_put(jnp.asarray(splits.val_item, jnp.int32), val_sharding(1)),
-            "cat": jax.device_put(jnp.asarray(splits.val_cat, jnp.int32), val_sharding(2)),
-            "num": jax.device_put(jnp.asarray(splits.val_num, jnp.float32), val_sharding(2)),
-            "y": jax.device_put(jnp.asarray(splits.val_y, jnp.float32), val_sharding(1)),
+        val_host = {
+            "user": np.asarray(splits.val_user, np.int32),
+            "item": np.asarray(splits.val_item, np.int32),
+            "cat": np.asarray(splits.val_cat, np.int32),
+            "num": np.asarray(splits.val_num, np.float32),
+            "y": np.asarray(splits.val_y, np.float32),
         }
+        val_data = put_global_tree(
+            val_host, {k: val_sharding(v.ndim) for k, v in val_host.items()})
     elif train_cfg.stream_slab_steps > 0:
         # out-of-core: the train split never leaves the host whole; slabs
         # upload per epoch (see the slab branch of the epoch loop)
@@ -476,14 +531,16 @@ def train_dcn(
     out_of_core = train_cfg.stream_slab_steps > 0
     if out_of_core:
         raw_step = make_slab_train_step(model_cfg, batch_sharding, train_cfg,
-                                        mesh=mesh, exchange=explicit_exchange)
+                                        mesh=mesh, exchange=explicit_exchange,
+                                        capacity_factor=exchange_capacity_factor)
         step_fn = jax.jit(
             lambda p, b, o, sl, i, s, r: raw_step(p, b, o, tx.update, sl, i, s, r),
             donate_argnums=(0, 1, 2),
         )
     elif streaming:
         raw_step = make_streamed_train_step(model_cfg, batch_sharding, train_cfg,
-                                            mesh=mesh, exchange=explicit_exchange)
+                                            mesh=mesh, exchange=explicit_exchange,
+                                            capacity_factor=exchange_capacity_factor)
         step_fn = jax.jit(
             lambda p, b, o, e, s, r: raw_step(p, b, o, tx.update, e, s, r),
             donate_argnums=(0, 1, 2),
@@ -612,6 +669,7 @@ def train_dcn(
     try:
         for epoch in range(start_epoch, train_cfg.n_epochs):
             t_epoch = time.perf_counter()
+            epoch_ovfs: list = []  # capped exchange: per-step (dropped, total)
             # ONE host→device upload per epoch: the shuffled index vector
             # (resident mode) or the permuted epoch tensor itself, shard-aligned
             # over the mesh (streaming mode); steps then run with zero H2D
@@ -653,7 +711,7 @@ def train_dcn(
                         "y": tr_y[sl].reshape(k, B),
                     }
                     if streaming:
-                        return jax.device_put(
+                        return put_global_tree(
                             host,
                             {kk: epoch_sharding(v.ndim) for kk, v in host.items()},
                         )
@@ -672,6 +730,9 @@ def train_dcn(
                         params, bn_state, opt_state, loss, s_local, s = step_fn(
                             params, bn_state, opt_state, cur, s_local, s, epoch_rng
                         )
+                        if capped_exchange:
+                            loss, ovf = loss
+                            epoch_ovfs.append(ovf)
                         if sync_each_step:
                             loss.block_until_ready()
                         epoch_losses.append(loss)
@@ -696,7 +757,10 @@ def train_dcn(
                         S, B, splits.train_num.shape[1]),
                     "y": np.asarray(splits.train_y, np.float32)[perm_host].reshape(S, B),
                 }
-                epoch_dev = jax.device_put(
+                # Single-process: ONE batched device_put. Multi-process:
+                # each host uploads only its addressable [steps, B/d, ·]
+                # shards (parallel/multiprocess.py).
+                epoch_dev = put_global_tree(
                     epoch_host,
                     {k: epoch_sharding(v.ndim) for k, v in epoch_host.items()},
                 )
@@ -706,6 +770,9 @@ def train_dcn(
                     params, bn_state, opt_state, loss, s = step_fn(
                         params, bn_state, opt_state, epoch_dev, s, epoch_rng
                     )
+                    if capped_exchange:
+                        loss, ovf = loss
+                        epoch_ovfs.append(ovf)
                     if sync_each_step:
                         loss.block_until_ready()
                     epoch_losses.append(loss)
@@ -726,13 +793,19 @@ def train_dcn(
                     epoch_losses.append(loss)
                 mean_loss = jnp.mean(jnp.stack(epoch_losses))
 
-            # One D2H for both epoch scalars (each transfer pays the tunnel's
-            # fixed latency).
-            val_loss, train_loss = (
-                float(x) for x in jax.device_get(
-                    (eval_loss_fn(params, bn_state, val_data), mean_loss)
-                )
+            # One D2H for all epoch scalars (each transfer pays the tunnel's
+            # fixed latency) — the capped exchange's (dropped, total) id
+            # counts ride the same fetch.
+            ovf_sum = (jnp.sum(jnp.stack(epoch_ovfs), axis=0)
+                       if epoch_ovfs else None)
+            val_loss, train_loss, ovf_host = jax.device_get(
+                (eval_loss_fn(params, bn_state, val_data), mean_loss, ovf_sum)
             )
+            val_loss, train_loss = float(val_loss), float(train_loss)
+            overflow_rate = None
+            if ovf_host is not None:
+                dropped, total = int(ovf_host[0]), int(ovf_host[1])
+                overflow_rate = dropped / total if total else 0.0
 
             epochs_run += 1
             lr = plateau.step(val_loss)
@@ -746,6 +819,11 @@ def train_dcn(
                 "val_loss": val_loss,
                 "lr": lr,
             }
+            if overflow_rate is not None:
+                rec["exchange_overflow"] = overflow_rate
+                log.info("capped exchange: %.4f%% of lookups dropped this "
+                         "epoch (%d of %d)", 100 * overflow_rate, dropped,
+                         total)
             result.history.append(rec)
             if metrics_logger is not None:
                 metrics_logger.log(**rec)
@@ -767,18 +845,30 @@ def train_dcn(
 
             if ckpt is not None and (epoch + 1) % checkpoint_every == 0:
                 bp, bb = best_snapshot if best_snapshot is not None else (params, bn_state)
+                state_dev = {
+                    "params": params,
+                    "bn_state": bn_state,
+                    "opt_state": opt_state,
+                    "best_params": bp,
+                    "best_bn": bb,
+                    "rng": rng,
+                }
+                if streaming and multiproc:
+                    # Sharded leaves live partly on OTHER hosts: gather to
+                    # replicated host copies first (every process runs the
+                    # collective). EVERY process then calls ckpt.save —
+                    # orbax's save/close contain global-process barriers,
+                    # so a process-0-only call deadlocks; orbax's primary
+                    # host does the actual writing. Resume expects
+                    # checkpoint_dir on a shared filesystem (every process
+                    # restores the same host state and place_state
+                    # re-shards it).
+                    state_host = replicated_host(state_dev, rep)
+                else:
+                    state_host = jax.device_get(state_dev)
                 ckpt.save(
                     epoch,
-                    jax.device_get(
-                        {
-                            "params": params,
-                            "bn_state": bn_state,
-                            "opt_state": opt_state,
-                            "best_params": bp,
-                            "best_bn": bb,
-                            "rng": rng,
-                        }
-                    ),
+                    state_host,
                     {
                         "has_best": best_snapshot is not None,
                         # SNAPSHOT: orbax json-saves meta in a background
@@ -789,7 +879,8 @@ def train_dcn(
                         "best_val_loss": result.best_val_loss,
                         "best_epoch": result.best_epoch,
                         "epochs_no_improve": epochs_no_improve,
-                        "plateau": {"lr": plateau.lr, "best": plateau.best, "num_bad": plateau.num_bad},
+                        "plateau": {"lr": plateau.lr, "best": plateau.best,
+                                    "num_bad": plateau.num_bad},
                         "shuffle_rng_state": shuffle_rng.bit_generator.state,
                     },
                 )
@@ -833,7 +924,9 @@ def train_dcn(
         result.params, result.bn_state = params, bn_state
 
     # Final eval with the best checkpoint (reference train.py:365-387).
-    eval_fn = make_eval_fn(model_cfg, train_cfg.eval_batch_size)
+    eval_fn = make_eval_fn(
+        model_cfg, train_cfg.eval_batch_size,
+        out_sharding=rep if (streaming and multiproc) else None)
     val_logits = np.asarray(eval_fn(result.params, result.bn_state, val_data))
     y_val = splits.val_y
     result.final_metrics = {
