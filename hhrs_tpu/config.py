@@ -147,8 +147,15 @@ class MeshConfig:
     # 'all_to_all' | 'psum' route lookups through the hand-written shard_map
     # exchange kernels (parallel/embedding.py) instead — the explicit
     # fallback if a future XLA's lowering regresses, and the observable
-    # form of the north-star two-hop ID/vector exchange.
+    # form of the north-star two-hop ID/vector exchange. 'capped' is the
+    # skew-BOUNDED two-hop exchange (bucket capacity ceil(b/m ·
+    # exchange_capacity_factor) instead of the exact worst case b): wire
+    # bytes drop m/factor-fold; over-capacity ids are dropped (zero
+    # embedding block, zero table grad), counted, and logged per epoch as
+    # history[..]["exchange_overflow"] — an opt-in approximation for
+    # skew-tolerant production workloads (docs/MODEL.md).
     explicit_exchange: str = ""
+    exchange_capacity_factor: float = 1.25
 
 
 @dataclass

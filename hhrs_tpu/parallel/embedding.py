@@ -196,9 +196,10 @@ def explicit_x0(
     num_features: jnp.ndarray,
     *,
     kind: str = "all_to_all",
+    capacity_factor: float = 1.25,
     model_axis: str = "model",
     data_axis: str = "data",
-) -> jnp.ndarray:
+):
     """Assemble the DCN-R input ``x0`` with EXPLICIT exchange lookups.
 
     The GSPMD default (``models.dcn.apply_dcn``) writes ``table[ids]``
@@ -213,18 +214,38 @@ def explicit_x0(
     gather. Differentiable: the exchange transposes to a scatter-add onto
     the owning shard, so table gradients stay sharded.
 
-    kind: 'all_to_all' (two-hop ID/vector exchange) or 'psum'
-    (masked-gather + reduction).
+    kind: 'all_to_all' (two-hop ID/vector exchange), 'psum'
+    (masked-gather + reduction), or 'capped' (skew-bounded two-hop,
+    ``capacity_factor`` ids per shard pair — the bandwidth-optimal
+    production form; see ``capped_all_to_all_lookup``).
+
+    Return: ``x0`` for the exact kinds; ``(x0, overflow)`` for 'capped',
+    where ``overflow`` is ``int32[2] = (dropped, total)`` id-instances
+    summed over every row-sharded lookup in this batch — the trainer logs
+    the per-epoch drop rate from it (an id dropped by the cap contributes
+    a ZERO embedding block to its x0 row and zero gradient to its table
+    row; the quality trade is documented in docs/MODEL.md).
     """
-    if kind not in ("all_to_all", "psum"):
+    if kind not in ("all_to_all", "psum", "capped"):
         raise ValueError(
-            f"unknown exchange kind {kind!r}; expected 'all_to_all' or 'psum'"
+            f"unknown exchange kind {kind!r}; expected 'all_to_all', "
+            "'psum' or 'capped'"
         )
+    capped = kind == "capped"
     lookup = all_to_all_lookup if kind == "all_to_all" else psum_lookup
     m = mesh.shape.get(model_axis, 1)
+    dropped_counts = []
+    total = 0
 
     def one(table, ids):
+        nonlocal total
         if m > 1 and table.shape[0] % m == 0:
+            if capped:
+                vec, dropped = capped_all_to_all_lookup(
+                    mesh, table, ids, capacity_factor, model_axis, data_axis)
+                dropped_counts.append(jnp.sum(dropped, dtype=jnp.int32))
+                total += ids.shape[0]
+                return vec
             return lookup(mesh, table, ids, model_axis, data_axis)
         return table[ids]
 
@@ -234,4 +255,9 @@ def explicit_x0(
         one(tab, cat_features[:, i])
         for i, tab in enumerate(params["cat_embeddings"])
     ]
-    return jnp.concatenate([user_emb, item_emb, *cat_embs, num_features], axis=1)
+    x0 = jnp.concatenate([user_emb, item_emb, *cat_embs, num_features], axis=1)
+    if not capped:
+        return x0
+    dropped = (jnp.sum(jnp.stack(dropped_counts)) if dropped_counts
+               else jnp.zeros((), jnp.int32))
+    return x0, jnp.stack([dropped, jnp.asarray(total, jnp.int32)])

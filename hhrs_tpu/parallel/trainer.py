@@ -69,18 +69,23 @@ def make_parallel_train_step(
     data_axis: str = "data",
     donate: bool = True,
     exchange: str | None = None,
+    capacity_factor: float = 1.25,
 ):
     """Jit the full train step with explicit shardings.
 
     ``batch`` is a dict of arrays (user/item/cat/num/y) whose leading axis
     is sharded over ``data``; the rng key is replicated.
 
-    ``exchange`` ('all_to_all' | 'psum') swaps the global-view table
-    lookups for the explicit shard_map exchange kernels
+    ``exchange`` ('all_to_all' | 'psum' | 'capped') swaps the global-view
+    table lookups for the explicit shard_map exchange kernels
     (parallel/embedding.py); default None trusts GSPMD's lowering, which
-    tests/test_hlo_lowering.py pins (no full-table all-gathers).
+    tests/test_hlo_lowering.py pins (no full-table all-gathers). 'capped'
+    (skew-bounded buckets of ``capacity_factor``; parallel/embedding.py)
+    returns ``(loss, overflow int32[2]=(dropped, total))`` in the loss
+    slot so callers can count the drop rate.
     """
     rep = replicated(mesh)
+    capped = exchange == "capped"
 
     def step(params, bn_state, opt_state, batch, rng):
         def loss_fn(p):
@@ -91,11 +96,15 @@ def make_parallel_train_step(
                 x0 = explicit_x0(
                     mesh, p, batch["user"], batch["item"], batch["cat"],
                     batch["num"], kind=exchange, data_axis=data_axis,
+                    capacity_factor=capacity_factor,
                 )
+                overflow = None
+                if capped:
+                    x0, overflow = x0
                 logits, new_bn = apply_dcn_from_x0(
                     p, bn_state, x0, cfg=model_cfg, train=True, rng=rng,
                 )
-                return bce_with_logits(logits, batch["y"]), new_bn
+                return bce_with_logits(logits, batch["y"]), (new_bn, overflow)
             logits, new_bn = apply_dcn(
                 p,
                 bn_state,
@@ -107,11 +116,14 @@ def make_parallel_train_step(
                 train=True,
                 rng=rng,
             )
-            return bce_with_logits(logits, batch["y"]), new_bn
+            return bce_with_logits(logits, batch["y"]), (new_bn, None)
 
-        (loss, new_bn), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        (loss, (new_bn, overflow)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
         updates, new_opt = tx_update(grads, opt_state, params)
         new_params = jax.tree.map(lambda p, u: p + u, params, updates)
+        if capped:
+            return new_params, new_bn, new_opt, (loss, overflow)
         return new_params, new_bn, new_opt, loss
 
     def batch_shardings_of(batch):

