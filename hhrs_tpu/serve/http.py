@@ -235,8 +235,22 @@ def make_handler(engine):
     return Handler
 
 
+class _Server(ThreadingHTTPServer):
+    """ThreadingHTTPServer with a real accept backlog.
+
+    socketserver's default ``request_queue_size = 5`` overflowed under 16
+    clients opening fresh connections: the kernel drops the SYN when the
+    accept queue is full and the client retransmits after its initial RTO
+    (~1s) — the exact ~1023-1035ms p99 outliers serve_stack_r4 measured in
+    EVERY phase including all-cache-hits. Reproduced deterministically
+    host-side (backlog 5: p99 1018ms, 8/640 requests at ~1s; backlog 128:
+    p99 24ms, zero outliers) and root-caused in RESULTS.md round 5."""
+
+    request_queue_size = 128
+
+
 def serve_forever(engine, host: str = "0.0.0.0", port: int = 8000):
-    server = ThreadingHTTPServer((host, port), make_handler(engine))
+    server = _Server((host, port), make_handler(engine))
     # Graceful drain: SIGTERM/SIGINT stop accepting, in-flight handlers
     # finish (non-daemon threads joined by server_close), then exit 0 —
     # the rolling-update shape; the reference relies on uvicorn for this.
