@@ -19,6 +19,8 @@ single-process 8-device reference run trains the same problem.
 from __future__ import annotations
 
 import json
+import os
+import signal
 import sys
 
 # Shared problem definition (imported by the test for the reference run).
@@ -74,8 +76,22 @@ def main() -> None:
     mesh = make_mesh(*MESH_SHAPE)
     assert len(mesh.devices.flat) == nproc * jax.local_device_count()
 
+    # Fault injection (tests/test_multiprocess.py): MP_DIE_RANK/MP_DIE_AT_EPOCH
+    # make that process SIGKILL itself at the end of the given epoch —
+    # before the periodic checkpoint save commits — simulating a host
+    # dying mid-epoch on a pod slice.
+    report_fn = None
+    die_rank = os.environ.get("MP_DIE_RANK")
+    if die_rank is not None and jax.process_index() == int(die_rank):
+        die_epoch = int(os.environ.get("MP_DIE_AT_EPOCH", "1"))
+
+        def report_fn(epoch, val_loss):
+            if epoch >= die_epoch:
+                os.kill(os.getpid(), signal.SIGKILL)
+            return False
+
     res = train_dcn(splits, dims, mcfg, tcfg, mesh=mesh,
-                    checkpoint_dir=ckpt_dir)
+                    checkpoint_dir=ckpt_dir, report_fn=report_fn)
     with open(out, "w") as f:
         json.dump({
             "process_index": jax.process_index(),

@@ -17,9 +17,11 @@ from __future__ import annotations
 
 import json
 import os
+import signal
 import socket
 import subprocess
 import sys
+import time
 
 import numpy as np
 import pytest
@@ -145,6 +147,54 @@ def test_two_process_checkpoint_and_resume(tmp_path):
     full_hist = full[0]["history"]
     assert [h["epoch"] for h in res_hist] == [h["epoch"] for h in full_hist]
     assert res_hist[:2] == first[0]["history"]  # restored prefix, verbatim
+    np.testing.assert_allclose(
+        [h["val_loss"] for h in res_hist],
+        [h["val_loss"] for h in full_hist], rtol=1e-4, atol=1e-6)
+
+
+def test_two_process_host_death_midrun_resumes(tmp_path):
+    """Multi-HOST fault injection (SURVEY §5): one of the two processes
+    SIGKILLs itself at the end of epoch 1, BEFORE that epoch's checkpoint
+    commits (orbax's save barrier never completes, so the partial step is
+    discarded). The orchestrator — this test — kills the surviving peer
+    (standard pod behavior: a dead host fails the job) and relaunches the
+    whole 2-process job on the same checkpoint dir; the resumed run must
+    reproduce the uninterrupted trajectory."""
+    ckpt = str(tmp_path / "ckpt")
+    port = _free_port()
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO
+    env.update({
+        "JAX_PLATFORMS": "cpu",
+        "XLA_FLAGS": "--xla_force_host_platform_device_count=4",
+        "MP_DIE_RANK": "1",
+        "MP_DIE_AT_EPOCH": "1",
+    })
+    procs = []
+    for pid in range(2):
+        out = str(tmp_path / f"dead_{pid}.json")
+        procs.append(subprocess.Popen(
+            [sys.executable, WORKER, str(pid), "2", str(port), out, ckpt, "3"],
+            cwd=REPO, env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
+    # rank 1 SIGKILLs itself mid-run
+    rc1 = procs[1].wait(timeout=600)
+    assert rc1 == -signal.SIGKILL, rc1
+    # the survivor is stuck in a collective with a dead peer — the
+    # orchestrator (us) fails the job (exact PID we started)
+    time.sleep(2)
+    procs[0].kill()
+    procs[0].wait(timeout=60)
+    # epoch 0's checkpoint committed; epoch 1's partial save must NOT have
+    assert os.path.isdir(ckpt)
+
+    # full fresh relaunch resumes and finishes
+    resumed = _launch_workers(tmp_path, nproc=2, local_devices=4,
+                              ckpt_dir=ckpt, n_epochs=3)
+    full = _launch_workers(tmp_path, nproc=2, local_devices=4, n_epochs=3)
+    res_hist = resumed[0]["history"]
+    full_hist = full[0]["history"]
+    assert [h["epoch"] for h in res_hist] == [0, 1, 2]
     np.testing.assert_allclose(
         [h["val_loss"] for h in res_hist],
         [h["val_loss"] for h in full_hist], rtol=1e-4, atol=1e-6)
