@@ -289,7 +289,10 @@ def main(argv=None) -> int:
             trial.report(val_loss, epoch)
             return trial.should_prune()
 
-        result = train_dcn(splits, dims, mcfg, tcfg, mesh=mesh, report_fn=report_fn)
+        result = train_dcn(
+            splits, dims, mcfg, tcfg, mesh=mesh, report_fn=report_fn,
+            explicit_exchange=(cfg.mesh.explicit_exchange or None) if mesh else None,
+            exchange_capacity_factor=cfg.mesh.exchange_capacity_factor)
         if result.pruned:
             raise TrialPruned()
         trial.set_user_attr("val_auc", result.final_metrics["val_auc"])
