@@ -60,9 +60,32 @@ def export_artifacts(
     """``train_cfg`` (optional TrainConfig) is recorded in the manifest as
     provenance — which optimizer/batch/rng_impl produced these weights —
     and is never read back by the serve path (model_config alone defines
-    the serving program)."""
+    the serving program).
+
+    Multi-process safe: on a multi-host run the params are row-sharded
+    across processes — ``device_get`` of a partially-addressable array is
+    an error — so the state gathers to replicated host copies first
+    (every process joins the collective) and only process 0 writes files.
+    """
+    state = {"params": params, "bn_state": bn_state}
+    import jax as _jax
+
+    if _jax.process_count() > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from hhrs_tpu.parallel.multiprocess import replicated_host
+
+        leaf = _jax.tree_util.tree_leaves(params)[0]
+        mesh = getattr(leaf.sharding, "mesh", None)
+        if mesh is not None:
+            host = replicated_host(state, NamedSharding(mesh, P()))
+        else:
+            host = jax.device_get(state)
+        if _jax.process_index() != 0:
+            return  # primary writes; peers joined the gather above
+    else:
+        host = jax.device_get(state)
     os.makedirs(out_dir, exist_ok=True)
-    host = jax.device_get({"params": params, "bn_state": bn_state})
     with open(os.path.join(out_dir, PARAMS), "wb") as f:
         f.write(serialization.to_bytes(host))
     preproc.save(os.path.join(out_dir, PREPROC))

@@ -89,7 +89,10 @@ def build_dataset(args, cfg: Config):
 
 def main(argv=None) -> int:
     setup_logging()
-    enable_compilation_cache()
+    # NOTE: the compilation-cache gate probes jax.default_backend(), which
+    # initializes XLA — it must run AFTER a --distributed init (JAX
+    # requires jax.distributed.initialize before ANY backend touch), so it
+    # moved below the argparse/--distributed block.
     p = argparse.ArgumentParser(description="Train the TPU-native DCN-R ranker")
     p.add_argument("--data", default="data", help="data dir with the two CSVs")
     p.add_argument("--out", default="artifacts", help="artifact output dir")
@@ -142,6 +145,7 @@ def main(argv=None) -> int:
         from hhrs_tpu.parallel.distributed import initialize_distributed
 
         initialize_distributed()
+    enable_compilation_cache()
 
     mesh = None
     if args.mesh:
@@ -214,6 +218,12 @@ def main(argv=None) -> int:
 
     export_artifacts(args.out, result.params, result.bn_state, cfg.model, dims,
                      preproc, m, train_cfg=cfg.train)
+    import jax as _jax
+
+    if _jax.process_count() > 1 and _jax.process_index() != 0:
+        # multi-host launch: export_artifacts gathered (all processes) but
+        # only the primary wrote files — registry writes are its job too
+        return 0
     log.info("artifacts exported to %s", args.out)
 
     if args.register_db:

@@ -198,3 +198,46 @@ def test_two_process_host_death_midrun_resumes(tmp_path):
     np.testing.assert_allclose(
         [h["val_loss"] for h in res_hist],
         [h["val_loss"] for h in full_hist], rtol=1e-4, atol=1e-6)
+
+
+def test_two_process_train_cli_exports_once(tmp_path):
+    """The production launch shape: `train.cli --distributed --mesh` in 2
+    real processes (COORDINATOR_ADDRESS/NUM_PROCESSES/PROCESS_ID env — the
+    jax.distributed contract parallel/distributed.py implements). The
+    sharded result gathers inside export_artifacts; only the primary
+    writes the artifact dir + registry row, and the artifacts load."""
+    from hhrs_tpu.data.synthetic import write_synthetic_dataset
+
+    data = str(tmp_path / "data")
+    write_synthetic_dataset(data, n_users=250, n_items=70, n_reviews=5000,
+                            seed=21)
+    out = str(tmp_path / "arts")
+    db = str(tmp_path / "reg.sqlite")
+    port = _free_port()
+    procs = []
+    for pid in range(2):
+        env = dict(os.environ)
+        env["PYTHONPATH"] = REPO
+        env.update({
+            "JAX_PLATFORMS": "cpu",
+            "XLA_FLAGS": "--xla_force_host_platform_device_count=4",
+            "COORDINATOR_ADDRESS": f"localhost:{port}",
+            "NUM_PROCESSES": "2",
+            "PROCESS_ID": str(pid),
+        })
+        procs.append(subprocess.Popen(
+            [sys.executable, "-m", "hhrs_tpu.train.cli", "--synthetic",
+             "--data", data, "--epochs", "2", "--mesh", "4x2",
+             "--distributed", "--out", out, "--register-db", db],
+            cwd=REPO, env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
+    for pid, p in enumerate(procs):
+        stdout, _ = p.communicate(timeout=900)
+        assert p.returncode == 0, f"cli worker {pid} failed:\n{stdout[-4000:]}"
+
+    from hhrs_tpu.db.registry import ModelRegistry
+    from hhrs_tpu.train.artifacts import load_artifact_bundle
+
+    bundle = load_artifact_bundle(out)
+    assert bundle.item_embeddings.shape[1] == bundle.model_cfg.emb_dim
+    assert len(ModelRegistry(db).list()) == 1  # one row, not two
