@@ -90,8 +90,14 @@ def main() -> None:
                 os.kill(os.getpid(), signal.SIGKILL)
             return False
 
+    # MP_EXCHANGE=capped runs the production combo: multi-process mesh +
+    # skew-bounded explicit exchange (overflow counted per epoch).
+    exchange = os.environ.get("MP_EXCHANGE") or None
     res = train_dcn(splits, dims, mcfg, tcfg, mesh=mesh,
-                    checkpoint_dir=ckpt_dir, report_fn=report_fn)
+                    checkpoint_dir=ckpt_dir, report_fn=report_fn,
+                    explicit_exchange=exchange,
+                    exchange_capacity_factor=float(
+                        os.environ.get("MP_EXCHANGE_FACTOR", "1.25")))
     with open(out, "w") as f:
         json.dump({
             "process_index": jax.process_index(),

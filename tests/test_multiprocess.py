@@ -241,3 +241,34 @@ def test_two_process_train_cli_exports_once(tmp_path):
     bundle = load_artifact_bundle(out)
     assert bundle.item_embeddings.shape[1] == bundle.model_cfg.emb_dim
     assert len(ModelRegistry(db).list()) == 1  # one row, not two
+
+
+def test_two_process_capped_exchange_matches_single_process(tmp_path):
+    """The full production combo: 2 real processes, row-sharded tables,
+    and the skew-bounded capped exchange (explicit shard_map all-to-all
+    ACROSS process boundaries). Trajectory and per-epoch overflow rates
+    must match the single-process 8-device capped run."""
+    import mp_worker
+    from hhrs_tpu.parallel.mesh import make_mesh
+    from hhrs_tpu.train.trainer import train_dcn
+
+    splits, dims, mcfg, tcfg = mp_worker.build_problem()
+    ref = train_dcn(splits, dims, mcfg, tcfg,
+                    mesh=make_mesh(*mp_worker.MESH_SHAPE),
+                    explicit_exchange="capped",
+                    exchange_capacity_factor=1.25)
+
+    os.environ["MP_EXCHANGE"] = "capped"
+    try:
+        results = _launch_workers(tmp_path, nproc=2, local_devices=4)
+    finally:
+        os.environ.pop("MP_EXCHANGE", None)
+    r0, r1 = results
+    assert r0["history"] == r1["history"]
+    np.testing.assert_allclose(
+        [h["val_loss"] for h in r0["history"]],
+        [h["val_loss"] for h in ref.history], rtol=1e-4, atol=1e-6)
+    # identical kept sets → identical overflow accounting across layouts
+    assert [h["exchange_overflow"] for h in r0["history"]] == [
+        h["exchange_overflow"] for h in ref.history]
+    assert any(h["exchange_overflow"] > 0 for h in r0["history"])
