@@ -103,6 +103,17 @@ class TrainConfig:
     # already avoids the full-table sweep; the knob then covers only the
     # dense tower subtree).
     moment_dtype: str = "float32"
+    # Validate every Nth epoch instead of every epoch. The reference
+    # evaluates the full val set each epoch (train.py:228-238) — 1 is
+    # reference parity and stays the default. At large-batch configs on a
+    # high-latency backend the per-epoch full-val eval + the D2H scalar
+    # fetch can COST MORE than the epoch's train steps (tuned flagship:
+    # ~29ms of steps vs ~60ms+ of eval+fetch per epoch — RESULTS.md), so
+    # production fine-tune loops can raise this. Semantics on non-eval
+    # epochs: no history entry, no plateau/early-stop/pruning decision,
+    # no best-snapshot update (those all consume val_loss); the final
+    # epoch always evaluates so the run always ends with fresh metrics.
+    eval_every: int = 1
     # Numeric sanitizer: raise FloatingPointError the moment any jitted
     # computation produces a NaN (jax_debug_nans; SURVEY.md §5 — this is
     # the CI-grade replacement for a race/memory sanitizer in a

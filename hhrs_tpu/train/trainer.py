@@ -429,6 +429,8 @@ def train_dcn(
             f"unknown train.rng_impl {train_cfg.rng_impl!r}; "
             "expected 'threefry2x32' or 'rbg'"
         )
+    if train_cfg.eval_every < 1:
+        raise ValueError(f"train.eval_every must be >= 1, got {train_cfg.eval_every}")
 
     rng = jax.random.PRNGKey(train_cfg.seed)
     init_rng, rng = jax.random.split(rng)
@@ -793,55 +795,66 @@ def train_dcn(
                     epoch_losses.append(loss)
                 mean_loss = jnp.mean(jnp.stack(epoch_losses))
 
-            # One D2H for all epoch scalars (each transfer pays the tunnel's
-            # fixed latency) — the capped exchange's (dropped, total) id
-            # counts ride the same fetch.
-            ovf_sum = (jnp.sum(jnp.stack(epoch_ovfs), axis=0)
-                       if epoch_ovfs else None)
-            val_loss, train_loss, ovf_host = jax.device_get(
-                (eval_loss_fn(params, bn_state, val_data), mean_loss, ovf_sum)
-            )
-            val_loss, train_loss = float(val_loss), float(train_loss)
-            overflow_rate = None
-            if ovf_host is not None:
-                dropped, total = int(ovf_host[0]), int(ovf_host[1])
-                overflow_rate = dropped / total if total else 0.0
-
             epochs_run += 1
-            lr = plateau.step(val_loss)
-            if lr != cur_lr:  # host-side mirror: no per-epoch D2H to compare
-                opt_state = set_learning_rate(opt_state, lr)
-                cur_lr = lr
+            # train.eval_every > 1: non-eval epochs skip the full-val
+            # forward AND the D2H scalar fetch entirely — no history
+            # entry, no plateau/early-stop/prune decision, no
+            # best-snapshot (all consume val_loss). The final epoch
+            # always evaluates. Default 1 = reference parity
+            # (train.py:228-238 evaluates every epoch).
+            is_eval = ((epoch + 1) % max(train_cfg.eval_every, 1) == 0
+                       or epoch + 1 == train_cfg.n_epochs)
+            pruned_now = False
+            if is_eval:
+                # One D2H for all epoch scalars (each transfer pays the
+                # tunnel's fixed latency) — the capped exchange's
+                # (dropped, total) id counts ride the same fetch.
+                ovf_sum = (jnp.sum(jnp.stack(epoch_ovfs), axis=0)
+                           if epoch_ovfs else None)
+                val_loss, train_loss, ovf_host = jax.device_get(
+                    (eval_loss_fn(params, bn_state, val_data), mean_loss, ovf_sum)
+                )
+                val_loss, train_loss = float(val_loss), float(train_loss)
+                overflow_rate = None
+                if ovf_host is not None:
+                    dropped, total = int(ovf_host[0]), int(ovf_host[1])
+                    overflow_rate = dropped / total if total else 0.0
 
-            rec = {
-                "epoch": epoch,
-                "train_loss": train_loss,
-                "val_loss": val_loss,
-                "lr": lr,
-            }
-            if overflow_rate is not None:
-                rec["exchange_overflow"] = overflow_rate
-                log.info("capped exchange: %.4f%% of lookups dropped this "
-                         "epoch (%d of %d)", 100 * overflow_rate, dropped,
-                         total)
-            result.history.append(rec)
-            if metrics_logger is not None:
-                metrics_logger.log(**rec)
-            log.info("epoch %d: train_loss %.4f val_loss %.4f lr %.2e", epoch, train_loss, val_loss, lr)
+                lr = plateau.step(val_loss)
+                if lr != cur_lr:  # host-side mirror: no per-epoch D2H to compare
+                    opt_state = set_learning_rate(opt_state, lr)
+                    cur_lr = lr
 
-            if val_loss < result.best_val_loss:
-                result.best_val_loss = val_loss
-                result.best_epoch = epoch
-                epochs_no_improve = 0
-                best_snapshot = snapshot_fn((params, bn_state))  # stays on device
-            else:
-                epochs_no_improve += 1
+                rec = {
+                    "epoch": epoch,
+                    "train_loss": train_loss,
+                    "val_loss": val_loss,
+                    "lr": lr,
+                }
+                if overflow_rate is not None:
+                    rec["exchange_overflow"] = overflow_rate
+                    log.info("capped exchange: %.4f%% of lookups dropped this "
+                             "epoch (%d of %d)", 100 * overflow_rate, dropped,
+                             total)
+                result.history.append(rec)
+                if metrics_logger is not None:
+                    metrics_logger.log(**rec)
+                log.info("epoch %d: train_loss %.4f val_loss %.4f lr %.2e", epoch, train_loss, val_loss, lr)
 
-            # Prune decision BEFORE the periodic save so the persisted meta
-            # records it — a resumed pruned run must not keep training.
-            pruned_now = report_fn is not None and report_fn(epoch, val_loss)
-            if pruned_now:
-                result.pruned = True
+                if val_loss < result.best_val_loss:
+                    result.best_val_loss = val_loss
+                    result.best_epoch = epoch
+                    epochs_no_improve = 0
+                    best_snapshot = snapshot_fn((params, bn_state))  # stays on device
+                else:
+                    epochs_no_improve += 1
+
+                # Prune decision BEFORE the periodic save so the persisted
+                # meta records it — a resumed pruned run must not keep
+                # training.
+                pruned_now = report_fn is not None and report_fn(epoch, val_loss)
+                if pruned_now:
+                    result.pruned = True
 
             if ckpt is not None and (epoch + 1) % checkpoint_every == 0:
                 bp, bb = best_snapshot if best_snapshot is not None else (params, bn_state)

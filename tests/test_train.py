@@ -268,3 +268,35 @@ def test_moment_dtype_bf16_trains_close_to_f32():
         dtypes = {str(leaf.dtype) for leaf in jax.tree.leaves(st)
                   if hasattr(leaf, "dtype") and jnp.issubdtype(leaf.dtype, jnp.floating)}
         assert "bfloat16" in dtypes and "float32" in dtypes
+
+
+def test_eval_every_skips_non_eval_epochs():
+    """train.eval_every=2: only epochs 1, 3 (0-indexed) + the final epoch
+    evaluate; train-step numerics are unchanged (same perms/rng), so the
+    eval epochs' val losses equal the every-epoch run's at those epochs."""
+    ds = generate_synthetic_dataset(n_users=200, n_items=60, n_reviews=4000,
+                                    seed=11)
+    df = add_engineered_features(
+        ds.reviews.rename(columns={"guest_id": "user_id",
+                                   "hotel_id": "item_id"}))
+    splits, art = Preprocessor().fit_transform(df)
+    dims = ModelDims.from_artifacts(art)
+    mcfg = ModelConfig(emb_dim=8, hidden_dim=32, n_cross_layers=1,
+                       n_res_blocks=1, dropout=0.0)
+    base = TrainConfig(batch_size=256, n_epochs=4, seed=3,
+                       early_stop_patience=10, lr_plateau_patience=10)
+    every = train_dcn(splits, dims, mcfg, base)
+    import dataclasses
+    sparse = train_dcn(splits, dims, mcfg,
+                       dataclasses.replace(base, eval_every=2))
+    assert [h["epoch"] for h in sparse.history] == [1, 3]
+    by_epoch = {h["epoch"]: h["val_loss"] for h in every.history}
+    for h in sparse.history:
+        assert h["val_loss"] == pytest.approx(by_epoch[h["epoch"]], rel=1e-6)
+    # final epoch always evaluates even when it's off-cadence
+    sparse3 = train_dcn(splits, dims, mcfg,
+                        dataclasses.replace(base, eval_every=3))
+    assert [h["epoch"] for h in sparse3.history] == [2, 3]
+
+    with pytest.raises(ValueError, match="eval_every"):
+        train_dcn(splits, dims, mcfg, dataclasses.replace(base, eval_every=0))
