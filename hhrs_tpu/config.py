@@ -114,6 +114,20 @@ class TrainConfig:
     # no best-snapshot update (those all consume val_loss); the final
     # epoch always evaluates so the run always ends with fresh metrics.
     eval_every: int = 1
+    # Mesh runs stream the shuffled epoch to the devices by default
+    # (per-device memory = epoch/d; ONE [steps, B, ·] upload per epoch).
+    # On a high-latency host link that per-epoch upload IS the critical
+    # path (measured on the tunneled chip: 2.1M ex/s streamed vs 20.9M
+    # resident at the tuned config — RESULTS.md r5), and slab
+    # double-buffering cannot hide it (transfers are host-serialized
+    # there). True: keep the dataset device-RESIDENT and replicated
+    # across the mesh instead — uploaded once, each epoch ships only the
+    # [n] int32 perm vector, batches gather on-device (exact reference
+    # batch composition, identical to single-device numerics). Memory
+    # trade: every device holds the full train split — for datasets that
+    # fit; streaming stays the default and the only option for
+    # larger-than-HBM data (with stream_slab_steps for out-of-core).
+    mesh_resident_data: bool = False
     # Numeric sanitizer: raise FloatingPointError the moment any jitted
     # computation produces a NaN (jax_debug_nans; SURVEY.md §5 — this is
     # the CI-grade replacement for a race/memory sanitizer in a

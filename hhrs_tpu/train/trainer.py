@@ -454,11 +454,18 @@ def train_dcn(
     # (when that axis exists), opt moments matching, batch over 'data', and
     # the epoch streamed shard-aligned instead of a device-resident
     # replicated dataset (see module docstring).
-    streaming = mesh is not None
+    mesh_mode = mesh is not None
+    # mesh_resident_data: device-RESIDENT replicated dataset on the mesh
+    # (uploaded once; per-epoch upload = one [n] perm vector) — the right
+    # trade when the dataset fits per-device memory and the host link is
+    # slow (measured 10x on the tunneled chip, RESULTS.md r5). Streaming
+    # (the default) keeps per-device memory at epoch/d.
+    mesh_resident = mesh_mode and train_cfg.mesh_resident_data
+    streaming = mesh_mode and not mesh_resident
     batch_sharding = None
     param_sh = opt_sh = rep = None
     epoch_sharding = None
-    if streaming:
+    if mesh_mode:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         from hhrs_tpu.parallel.multiprocess import (
@@ -501,7 +508,22 @@ def train_dcn(
                 return NamedSharding(mesh, P("data", *([None] * (ndim - 1))))
             return rep
 
-        train_data = None  # streamed per epoch from the host split arrays
+        if mesh_resident:
+            # replicated resident train split: uploaded ONCE; the step
+            # gathers each batch on-device from the full dataset exactly
+            # like the single-device resident path (identical numerics),
+            # then constrains the batch to P('data').
+            train_host = {
+                "user": np.asarray(splits.train_user, np.int32),
+                "item": np.asarray(splits.train_item, np.int32),
+                "cat": np.asarray(splits.train_cat, np.int32),
+                "num": np.asarray(splits.train_num, np.float32),
+                "y": np.asarray(splits.train_y, np.float32),
+            }
+            train_data = put_global_tree(
+                train_host, {k: rep for k in train_host})
+        else:
+            train_data = None  # streamed per epoch from the host split arrays
         val_host = {
             "user": np.asarray(splits.val_user, np.int32),
             "item": np.asarray(splits.val_item, np.int32),
@@ -520,7 +542,7 @@ def train_dcn(
 
     def place_state(p, b, o):
         """(Re)place a possibly-host-side state triple with the run's shardings."""
-        if streaming:
+        if mesh_mode:
             return (
                 jax.tree.map(jax.device_put, p, param_sh),
                 jax.device_put(b, rep),
@@ -549,7 +571,9 @@ def train_dcn(
         )
     else:
         raw_step = make_train_step(model_cfg, train_cfg.batch_size, batch_sharding,
-                                   train_cfg)
+                                   train_cfg, mesh=mesh,
+                                   exchange=explicit_exchange,
+                                   capacity_factor=exchange_capacity_factor)
         step_fn = jax.jit(
             lambda p, b, o, d, perm, s, r: raw_step(p, b, o, tx.update, d, perm, s, r),
             donate_argnums=(0, 1, 2),
@@ -565,7 +589,7 @@ def train_dcn(
     # 8-device virtual mesh with 4 host cores, shape-dependent). Keeping
     # exactly ONE sharded program in flight on a CPU mesh (the test/dryrun
     # vehicle) sidesteps it; real TPU meshes keep the async pipeline.
-    sync_each_step = streaming and next(iter(mesh.devices.flat)).platform == "cpu"
+    sync_each_step = mesh_mode and next(iter(mesh.devices.flat)).platform == "cpu"
     eval_loss_fn = make_eval_loss_fn(model_cfg, train_cfg.eval_batch_size)
     # On-device snapshot of the best checkpoint: device_get here would cost
     # seconds per epoch on a tunneled chip (see RESULTS.md).
@@ -592,7 +616,7 @@ def train_dcn(
             "exclusive: a fused epoch scans a device-resident dataset, "
             "slab streaming exists so the dataset is NOT device-resident"
         )
-    fused = train_cfg.fused_epoch and not streaming
+    fused = train_cfg.fused_epoch and not mesh_mode
     epoch_fn = None
     if fused:
         epoch_fn = jax.jit(
@@ -786,12 +810,19 @@ def train_dcn(
                 )
             else:
                 perm_dev = jnp.asarray(perm_host, jnp.int32)
+                if mesh_resident:
+                    perm_dev = jax.device_put(perm_dev, rep)
                 epoch_losses = []
                 s = jnp.asarray(0, jnp.int32)
                 for _ in range(steps_per_epoch):
                     params, bn_state, opt_state, loss, s = step_fn(
                         params, bn_state, opt_state, train_data, perm_dev, s, epoch_rng
                     )
+                    if capped_exchange:
+                        loss, ovf = loss
+                        epoch_ovfs.append(ovf)
+                    if sync_each_step:
+                        loss.block_until_ready()
                     epoch_losses.append(loss)
                 mean_loss = jnp.mean(jnp.stack(epoch_losses))
 
@@ -866,7 +897,7 @@ def train_dcn(
                     "best_bn": bb,
                     "rng": rng,
                 }
-                if streaming and multiproc:
+                if mesh_mode and multiproc:
                     # Sharded leaves live partly on OTHER hosts: gather to
                     # replicated host copies first (every process runs the
                     # collective). EVERY process then calls ckpt.save —
@@ -928,7 +959,7 @@ def train_dcn(
         # in mesh mode re-placing with the run shardings is a no-op for the
         # former and the correct placement for the latter.
         bp, bb = best_snapshot
-        if streaming:
+        if mesh_mode:
             result.params = jax.tree.map(jax.device_put, bp, param_sh)
             result.bn_state = jax.device_put(bb, rep)
         else:
@@ -939,7 +970,7 @@ def train_dcn(
     # Final eval with the best checkpoint (reference train.py:365-387).
     eval_fn = make_eval_fn(
         model_cfg, train_cfg.eval_batch_size,
-        out_sharding=rep if (streaming and multiproc) else None)
+        out_sharding=rep if (mesh_mode and multiproc) else None)
     val_logits = np.asarray(eval_fn(result.params, result.bn_state, val_data))
     y_val = splits.val_y
     result.final_metrics = {
