@@ -92,6 +92,12 @@ def main() -> None:
 
     # MP_EXCHANGE=capped runs the production combo: multi-process mesh +
     # skew-bounded explicit exchange (overflow counted per epoch).
+    # MP_RESIDENT=1 uses the replicated device-resident dataset
+    # (train.mesh_resident_data) instead of epoch streaming.
+    if os.environ.get("MP_RESIDENT"):
+        import dataclasses as _dc
+
+        tcfg = _dc.replace(tcfg, mesh_resident_data=True)
     exchange = os.environ.get("MP_EXCHANGE") or None
     res = train_dcn(splits, dims, mcfg, tcfg, mesh=mesh,
                     checkpoint_dir=ckpt_dir, report_fn=report_fn,
