@@ -73,9 +73,15 @@ TORCH_STEPS = int(os.environ.get("HHRS_BENCH_TORCH_STEPS", "4"))
 # windows. Every record carries the per-window rates so dispersion is
 # visible in BENCH_r*.json itself.
 MIN_WINDOWS = int(os.environ.get("HHRS_BENCH_MIN_WINDOWS", "5"))
-MAX_WINDOWS = int(os.environ.get("HHRS_BENCH_MAX_WINDOWS", "30"))
+# Generous extension caps: the tunnel oscillates on the scale of MINUTES
+# (same program measured 17.1M ex/s spread 0.30 and 5.9M spread 1.75 an
+# hour apart, 2026-08-21), so when the spread trigger fires the loop
+# should keep sampling across several minutes — the 420s budget minus
+# setup/torch reserve bounds it anyway, and a tight-spread healthy run
+# still exits after MIN_WINDOWS (~5s).
+MAX_WINDOWS = int(os.environ.get("HHRS_BENCH_MAX_WINDOWS", "200"))
 SPREAD_TARGET = float(os.environ.get("HHRS_BENCH_SPREAD_TARGET", "0.15"))
-MEASURE_WALL_S = float(os.environ.get("HHRS_BENCH_MEASURE_WALL_S", "90"))
+MEASURE_WALL_S = float(os.environ.get("HHRS_BENCH_MEASURE_WALL_S", "240"))
 TORCH_RESERVE_S = float(os.environ.get("HHRS_BENCH_TORCH_RESERVE_S", "60"))
 
 # Wall-clock budgets (seconds; env-overridable). The driver kills bench.py
