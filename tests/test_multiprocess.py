@@ -272,3 +272,20 @@ def test_two_process_capped_exchange_matches_single_process(tmp_path):
     assert [h["exchange_overflow"] for h in r0["history"]] == [
         h["exchange_overflow"] for h in ref.history]
     assert any(h["exchange_overflow"] > 0 for h in r0["history"])
+
+
+@pytest.mark.usefixtures("eight_devices")
+def test_four_process_run_matches_single_process(single_process_run, tmp_path):
+    """Process-count generality: the same global 8-device problem split
+    4 ways (4 processes x 2 local devices) reproduces the trajectory too —
+    the feeding/gather logic is layout-agnostic, not a 2-process special
+    case."""
+    results = _launch_workers(tmp_path, nproc=4, local_devices=2,
+                              timeout=1200)
+    assert results[0]["process_count"] == 4
+    assert results[0]["global_devices"] == 8
+    assert all(r["history"] == results[0]["history"] for r in results[1:])
+    np.testing.assert_allclose(
+        [h["val_loss"] for h in results[0]["history"]],
+        [h["val_loss"] for h in single_process_run.history],
+        rtol=1e-4, atol=1e-6)
