@@ -136,3 +136,41 @@ def test_resume_with_bf16_moments_matches_uninterrupted(small_splits, tmp_path):
         np.testing.assert_allclose(h_full["train_loss"], h_res["train_loss"], rtol=1e-5)
         np.testing.assert_allclose(h_full["val_loss"], h_res["val_loss"], rtol=1e-5)
     np.testing.assert_allclose(full.best_val_loss, part2.best_val_loss, rtol=1e-5)
+
+
+def test_resume_under_eval_every_and_mesh_resident(eight_devices, tmp_path):
+    """Round-5 knobs compose with checkpoint/resume: a mesh_resident run
+    with sparse validation (eval_every=2), killed after 2 epochs and
+    resumed, reproduces the uninterrupted 4-epoch trajectory — the
+    eval-cadence decisions are epoch-index-deterministic across resume."""
+    import dataclasses
+
+    from hhrs_tpu.parallel.mesh import make_mesh
+
+    ds = generate_synthetic_dataset(n_users=200, n_items=60, n_reviews=4000,
+                                    seed=13)
+    df = add_engineered_features(noise_filter(
+        ds.reviews.rename(columns={"guest_id": "user_id",
+                                   "hotel_id": "item_id"})))
+    splits, art = Preprocessor().fit_transform(df)
+    dims = ModelDims.from_artifacts(art)
+    mcfg = ModelConfig(emb_dim=8, hidden_dim=32, n_cross_layers=1,
+                       n_res_blocks=1, dropout=0.2)
+    base = TrainConfig(batch_size=256, n_epochs=4, seed=5,
+                       drop_remainder=False, eval_batch_size=512,
+                       early_stop_patience=10, eval_every=2,
+                       mesh_resident_data=True)
+    mesh = make_mesh(4, 2)
+
+    full = train_dcn(splits, dims, mcfg, base, mesh=mesh)
+    assert [h["epoch"] for h in full.history] == [1, 3]
+
+    ck = str(tmp_path / "ck_r5")
+    train_dcn(splits, dims, mcfg, dataclasses.replace(base, n_epochs=2),
+              mesh=mesh, checkpoint_dir=ck)
+    resumed = train_dcn(splits, dims, mcfg, base, mesh=mesh,
+                        checkpoint_dir=ck)
+    assert [h["epoch"] for h in resumed.history] == [1, 3]
+    np.testing.assert_allclose(
+        [h["val_loss"] for h in resumed.history],
+        [h["val_loss"] for h in full.history], rtol=1e-6)
