@@ -218,3 +218,48 @@ def test_mesh_quantized_tables_identical_to_single_quantized(engines):
                 assert a == b, (u, city, lam)
                 checked += len(a.get("ranked_hotels", []))
     assert checked > 0
+
+
+def test_mesh_engine_data_hot_reload(engines, tmp_path):
+    """Mesh serving composes with the data hot reload: a data drop rebuilds
+    the MESH engine through the same DataReloader path the CLI wires, the
+    refreshed universe serves, and responses still equal a fresh
+    single-device engine over the same data."""
+    import os
+
+    from hhrs_tpu.data.ingest import load_friendships_csv, load_reviews_csv
+    from hhrs_tpu.data.synthetic import append_reviews, write_synthetic_dataset
+    from hhrs_tpu.serve.reload import DataReloader, SwappableEngine
+
+    _, _, (bundle, _, _, mesh) = engines
+    data_dir = str(tmp_path / "mesh_reload_data")
+    ds = write_synthetic_dataset(data_dir, n_users=220, n_items=121,
+                                 n_reviews=6000, seed=33)
+
+    def frames(d):
+        df = add_engineered_features(load_reviews_csv(
+            os.path.join(d, "hackathon_augmented_data.csv")))
+        return df, load_friendships_csv(os.path.join(d, "friendships.csv"))
+
+    def build(adir, fr=None):
+        fr = fr if fr is not None else frames(data_dir)
+        return RecommendationEngine(bundle, fr[0], fr[1], mesh=mesh)
+
+    holder = SwappableEngine(build(None))
+    dr = DataReloader(holder, data_dir, build, poll_s=3600,
+                      current_dir_fn=lambda: "unused",
+                      frames_loader=frames)
+
+    new_user = 31_000_001
+    append_reviews(data_dir, new_user, n=3, rating=9)
+    assert dr.check_once() is False  # debounce
+    assert dr.check_once() is True   # mesh rebuild + swap
+    assert new_user in set(int(u) for u in holder.gen.universe.user_ids)
+
+    fr = frames(data_dir)  # same refreshed data, no mesh sharding
+    fresh_single = RecommendationEngine(bundle, fr[0], fr[1])
+    uni = holder.gen.universe
+    for city in uni.cities[:2]:
+        a = holder.recommend(new_user, city, "personal", 1.0)
+        b = fresh_single.recommend(new_user, city, "personal", 1.0)
+        assert a == b
