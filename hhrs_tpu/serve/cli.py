@@ -40,6 +40,13 @@ def main(argv=None) -> int:
                    help="hold the model's embedding tables as per-row int8 on "
                         "device: 4x less table HBM and gather traffic "
                         "(near-tied rankings may differ from f32)")
+    p.add_argument("--retrieval-embeddings", default=None, metavar="NPY",
+                   help="substitute learned retrieval vectors (one row per "
+                        "internal item id; retrieval/two_tower.py exports "
+                        "retrieval_embeddings.npy) for the ranker's item "
+                        "table in the similarity surfaces — candidate kNN "
+                        "expansion, /similar_items, MMR. Changes responses "
+                        "by design; the ranking model is untouched")
     p.add_argument("--batch-window-ms", type=float, default=None,
                    help=">0: coalesce concurrent requests into batched device "
                         "programs within this window (dynamic batching)")
@@ -160,7 +167,8 @@ def main(argv=None) -> int:
                 retrieval_cfg=cfg_all.retrieval,  # retrieval.* overrides apply
                 quantize_tables=args.quantize_tables or cfg.quantize_tables,
                 candidate_cap=cap, city_bounded=cfg.city_bounded,
-                use_pallas=cfg.use_pallas, frames=frames)
+                use_pallas=cfg.use_pallas, frames=frames,
+                retrieval_embeddings_path=args.retrieval_embeddings)
             if not args.no_warmup:
                 log.info("warming up compiled request program...")
                 eng.warmup(batch_pad=max_batch if want_batching else None)

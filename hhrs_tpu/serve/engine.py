@@ -60,7 +60,26 @@ class RecommendationEngine:
         quantize_tables: bool = False,
         candidate_cap: int = 0,
         city_bounded: bool = True,
+        retrieval_embeddings=None,
     ):
+        if retrieval_embeddings is not None:
+            # Opt-in learned retriever (retrieval/two_tower.py): substitute
+            # the retrieval-trained item vectors for the ranker's item
+            # table in EVERY similarity surface — candidate kNN expansion,
+            # /similar_items, and MMR diversity — one vector source, no
+            # mixed spaces. Rows are internal item ids (the ranker
+            # artifact's item_embeddings row space); width may differ (all
+            # consumers are dim-agnostic cosine/top-k). The RANKING model
+            # is untouched. Changes responses by design — never a default.
+            import numpy as _np
+
+            re_arr = _np.asarray(retrieval_embeddings, _np.float32)
+            if re_arr.shape[0] != bundle.item_embeddings.shape[0]:
+                raise ValueError(
+                    "retrieval_embeddings rows "
+                    f"({re_arr.shape[0]}) != the artifact's internal item "
+                    f"count ({bundle.item_embeddings.shape[0]})")
+            bundle = dataclasses.replace(bundle, item_embeddings=re_arr)
         self.bundle = bundle
         self.retrieval_cfg = retrieval_cfg or RetrievalConfig()
         self.main_df = main_df
@@ -554,7 +573,8 @@ class RecommendationEngine:
                   quantize_tables: bool = False,
                   candidate_cap: int = 0,
                   city_bounded: bool = True,
-                  frames: tuple | None = None) -> "RecommendationEngine":
+                  frames: tuple | None = None,
+                  retrieval_embeddings_path: str | None = None) -> "RecommendationEngine":
         """Startup loader (reference load_artifacts, main.py:233-277).
 
         ``frames=(main_df, friendships)`` skips the CSV parse — the CLI
@@ -573,9 +593,15 @@ class RecommendationEngine:
             main_df = load_reviews_csv(os.path.join(data_dir, "hackathon_augmented_data.csv"))
             main_df = add_engineered_features(main_df)
             friendships = load_friendships_csv(os.path.join(data_dir, "friendships.csv"))
+        retrieval_embeddings = None
+        if retrieval_embeddings_path:
+            import numpy as _np
+
+            retrieval_embeddings = _np.load(retrieval_embeddings_path)
         eng = cls(bundle, main_df, friendships, retrieval_cfg, use_pallas=use_pallas,
                   mesh=mesh, bf16=bf16, quantize_tables=quantize_tables,
-                  candidate_cap=candidate_cap, city_bounded=city_bounded)
+                  candidate_cap=candidate_cap, city_bounded=city_bounded,
+                  retrieval_embeddings=retrieval_embeddings)
         # Which artifacts this engine serves — surfaced in /healthz and used
         # by the hot-reload poller (serve/reload.py) to detect changes.
         eng.artifacts_dir = artifacts_dir
