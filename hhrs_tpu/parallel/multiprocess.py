@@ -22,6 +22,8 @@ avoids is every host TRANSFERRING the full array to its devices.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 
 __all__ = ["is_multiprocess", "put_global", "put_global_tree", "replicated_host"]
@@ -72,5 +74,13 @@ def replicated_host(tree, rep_sharding):
     while orbax's primary host does the writing). Single-process callers
     should keep using ``device_get`` directly — no gather program needed.
     """
-    gathered = jax.jit(lambda t: t, out_shardings=rep_sharding)(tree)
+    gathered = _gather_fn(rep_sharding)(tree)
     return jax.device_get(gathered)
+
+
+@functools.lru_cache(maxsize=8)
+def _gather_fn(rep_sharding):
+    """One cached jitted identity per replicated sharding: a fresh lambda
+    per call would re-trace (and re-compile per pytree shape) on EVERY
+    checkpoint save."""
+    return jax.jit(lambda t: t, out_shardings=rep_sharding)
