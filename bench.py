@@ -513,12 +513,19 @@ def bench_torch_reference() -> float:
         return loss
 
     float(step())  # warmup; .item() is the sync (matters on CUDA hosts)
-    t0 = time.perf_counter()
-    for _ in range(TORCH_STEPS):
-        loss = step()
-    float(loss)  # value fetch synchronizes async CUDA queues too
-    dt = time.perf_counter() - t0
-    return TORCH_STEPS * BATCH / dt
+    # Median of 3 windows: a single 4-step timing let transient host load
+    # swing vs_baseline 35-119x across otherwise-identical runs (r5) —
+    # the denominator deserves the same robustness as the numerator.
+    import statistics
+
+    rates = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(TORCH_STEPS):
+            loss = step()
+        float(loss)  # value fetch synchronizes async CUDA queues too
+        rates.append(TORCH_STEPS * BATCH / (time.perf_counter() - t0))
+    return statistics.median(rates)
 
 
 def _torch_baseline_timeboxed():
