@@ -230,8 +230,12 @@ class CandidateGenerator:
         self.city_rows_np = city_rows
         self.max_city_items = maxc
 
+        # ONE batched device_put for the whole state dict (per-array puts
+        # each pay the tunneled backend's fixed per-call latency — the same
+        # lesson as the trainer's batched epoch upload; device_put
+        # canonicalizes dtypes exactly like jnp.asarray under x64=off).
         if mesh is None:
-            self.dev = {k: jnp.asarray(v) for k, v in host.items()}
+            self.dev = jax.device_put(host)
         else:
             from hhrs_tpu.parallel.mesh import row_shardings
 
@@ -241,7 +245,7 @@ class CandidateGenerator:
                 "s2t_valid": row1, "nbr": row2, "ghost_nbr": row2,
                 "city_item": by_col, "city_pop": by_col,
             }
-            self.dev = {k: jax.device_put(jnp.asarray(v), sh[k]) for k, v in host.items()}
+            self.dev = jax.device_put(host, sh)
 
         self._generate = jax.jit(self._generate_impl)
 

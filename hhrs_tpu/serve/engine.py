@@ -176,26 +176,32 @@ class RecommendationEngine:
             "params": bundle.params,
             "bn_state": bundle.bn_state,
         }
+        # ONE batched device_put of the whole ranking-state pytree: per-array
+        # puts each pay the tunneled backend's fixed per-call latency, and
+        # the engine build used to make ~dozens of them (measured: warm
+        # 100k-catalog build 7.2-8.5s before batching — RESULTS.md r5).
         if mesh is None:
-            self._dev = {
-                k: jax.tree.map(jnp.asarray, v) if k in ("params", "bn_state")
-                else jnp.asarray(v)
-                for k, v in rank_host.items()
-            }
+            self._dev = jax.device_put(rank_host)
         else:
             from hhrs_tpu.parallel.mesh import row_shardings
 
             row1, row2, _, rep = row_shardings(mesh)
-            self._dev = {
-                "item_internal": jax.device_put(jnp.asarray(item_internal, jnp.int32), row1),
-                "X_cat": jax.device_put(jnp.asarray(X_cat, jnp.int32), row2),
-                "X_num": jax.device_put(jnp.asarray(X_num, jnp.float32), row2),
-                "embedded": jax.device_put(jnp.asarray(embedded), row1),
-                "emb_norm": jax.device_put(jnp.asarray(emb_norm_serve), row2),
-                # the dense model is tiny — replicated on every device
-                "params": jax.device_put(bundle.params, rep),
-                "bn_state": jax.device_put(bundle.bn_state, rep),
+            rank_host = {
+                "item_internal": np.asarray(item_internal, np.int32),
+                "X_cat": np.asarray(X_cat, np.int32),
+                "X_num": np.asarray(X_num, np.float32),
+                "embedded": np.asarray(embedded),
+                "emb_norm": np.asarray(emb_norm_serve),
+                "params": bundle.params,
+                "bn_state": bundle.bn_state,
             }
+            self._dev = jax.device_put(rank_host, {
+                "item_internal": row1, "X_cat": row2, "X_num": row2,
+                "embedded": row1, "emb_norm": row2,
+                # the dense model is tiny — replicated on every device
+                "params": jax.tree.map(lambda _: rep, bundle.params),
+                "bn_state": jax.tree.map(lambda _: rep, bundle.bn_state),
+            })
         self._dev["gen"] = self.gen.dev
 
         self._table_norm_train = normalize_rows(jnp.asarray(bundle.item_embeddings, jnp.float32))
