@@ -119,6 +119,7 @@ class _Progress:
         self.windows: list[float] = []
         self.vs_baseline = None
         self.torch_error = None
+        self.host_load = None
         self.done = False
 
     def set_phase(self, phase: str, deadline: float | None = None):
@@ -168,6 +169,8 @@ class _Progress:
                 rec["error"] = error
             if self.torch_error is not None:
                 rec["torch_error"] = self.torch_error
+            if self.host_load is not None:
+                rec["host_load"] = self.host_load
             return rec
 
     def emit(self, error: str | None = None):
@@ -570,6 +573,13 @@ def main():
     # The JAX median is on stdout (staged emits); the baseline only refines
     # vs_baseline from here.
     _PROGRESS.set_phase("torch_baseline")
+    # vs_baseline's denominator is host-CPU torch, so it is the one number a
+    # busy host can silently corrupt (measured: a concurrent pytest suite
+    # inflated vs_baseline 96x -> 527x while the device-bound numerator moved
+    # <2%). Emit the 1-min load per core at baseline time so a reader of the
+    # record can tell a starved denominator from a genuine ratio.
+    with _PROGRESS.lock:
+        _PROGRESS.host_load = round(os.getloadavg()[0] / (os.cpu_count() or 1), 2)
     torch_eps, torch_err = _torch_baseline_timeboxed()
     with _PROGRESS.lock:
         if torch_eps is not None:
