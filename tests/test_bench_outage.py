@@ -87,6 +87,9 @@ def test_healthy_run_emits_staged_and_final_records():
     assert ("vs_baseline" in final) and (
         final["vs_baseline"] is None or final["vs_baseline"] > 0
     )
+    # host_load (round 5) is sampled when the baseline runs, so a starved
+    # torch-CPU denominator is visible in the record itself
+    assert final.get("host_load") is not None and final["host_load"] >= 0
     # staged lines are each complete records (the driver takes the LAST
     # parseable line, whichever that turns out to be)
     for rec in records[:-1]:
